@@ -1,0 +1,316 @@
+"""X1/X2 — HTML markup → markdown with boilerplate stripping.
+
+Output contract mirrors the reference's pdf→markdown prompt contract
+(/root/reference/docext/core/pdf2md/pdf2md.py:90 and README.md:44-52):
+
+- text in natural reading order, main content only ("as if reading naturally")
+- tables re-emitted as (normalized) HTML
+- checkboxes as ☐ / ☑
+- ``<img>`` placeholders kept as literal ``<img>`` tags (escaping for display
+  is a separate projection, see app/pdf2md.py:17-27 → operators.projections)
+
+The *method* is not a model call: boilerplate classification uses
+readability/trafilatura-style text-density + link-density heuristics
+(public heuristics; see PAPERS.md), implemented natively.
+
+Pure Python, deterministic, no Spark imports. Used by both the Spark pUDF
+and the pytest oracle.
+"""
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# Subtrees that are never main content (hard boilerplate).
+_DROP_SUBTREE = {
+    "script", "style", "nav", "footer", "header", "aside", "noscript",
+    "form", "iframe", "svg", "button", "template", "select", "option",
+}
+
+# Tags that open a new output block.
+_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+_BLOCK_OPEN = {"p", "div", "section", "article", "main", "li", "blockquote",
+               "pre", "ul", "ol", "br", "body", "html", "tr"} | set(_HEADINGS)
+
+_VOID = {"br", "img", "input", "hr", "meta", "link", "area", "base", "col",
+         "embed", "source", "track", "wbr"}
+
+_WS_RE = re.compile(r"\s+")
+
+# Boilerplate thresholds (trafilatura-style link-density heuristic).
+LINK_DENSITY_MAX = 0.5
+SHORT_BLOCK_CHARS = 200
+
+
+class _Block:
+    __slots__ = ("kind", "parts", "link_chars", "start", "end", "pre")
+
+    def __init__(self, kind: str, start: int, pre: bool = False):
+        self.kind = kind
+        self.parts: list[str] = []
+        self.link_chars = 0
+        self.start = start
+        self.end = start
+        self.pre = pre
+
+    def text(self) -> str:
+        raw = "".join(self.parts)
+        if self.pre:
+            return raw.strip("\n")
+        return _WS_RE.sub(" ", raw).strip()
+
+
+class _Extractor(HTMLParser):
+    """Single-pass HTML tokenizer → ordered block list.
+
+    Tracks source character offsets (for kept-span lineage) via line-start
+    precomputation over the raw input.
+    """
+
+    def __init__(self, raw: str):
+        super().__init__(convert_charrefs=True)
+        self.raw = raw
+        self._line_starts = [0]
+        for m in re.finditer("\n", raw):
+            self._line_starts.append(m.end())
+        self.blocks: list[_Block] = []
+        self.tables: list[tuple[int, str]] = []  # (block_position, html)
+        self._cur: _Block | None = None
+        self._drop_depth = 0
+        self._dropped_subtrees = 0
+        self._link_depth = 0
+        self._pre_depth = 0
+        # table capture state
+        self._table_depth = 0
+        self._trows: list[list[tuple[str, int, int, str]]] = []
+        self._tcell: list[str] | None = None
+        self._tcell_meta: tuple[str, int, int] | None = None
+        self._table_start = 0
+
+    # -- offset helpers -------------------------------------------------
+    def _offset(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    # -- block helpers --------------------------------------------------
+    def _open_block(self, kind: str):
+        self._flush()
+        self._cur = _Block(kind, self._offset(), pre=self._pre_depth > 0)
+
+    def _flush(self):
+        if self._cur is not None and (self._cur.parts or self._cur.kind == "table"):
+            self.blocks.append(self._cur)
+        self._cur = None
+
+    def _ensure_block(self):
+        if self._cur is None:
+            self._cur = _Block("p", self._offset(), pre=self._pre_depth > 0)
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        if self._drop_depth > 0:
+            if tag in _DROP_SUBTREE and tag not in _VOID:
+                self._drop_depth += 1
+            return
+        if tag in _DROP_SUBTREE:
+            self._drop_depth = 1
+            self._dropped_subtrees += 1
+            self._flush()
+            return
+        if self._table_depth > 0:
+            if tag == "table":
+                self._table_depth += 1
+            elif tag == "tr":
+                self._trows.append([])
+            elif tag in ("td", "th"):
+                ad = dict(attrs)
+                self._tcell = []
+                self._tcell_meta = (
+                    tag,
+                    int(ad.get("rowspan") or 1),
+                    int(ad.get("colspan") or 1),
+                )
+            elif tag == "input":
+                ad = dict(attrs)
+                if (ad.get("type") or "").lower() == "checkbox" and self._tcell is not None:
+                    self._tcell.append("☑" if "checked" in ad else "☐")
+            return
+        if tag == "table":
+            self._flush()
+            self._table_depth = 1
+            self._trows = []
+            self._table_start = self._offset()
+            return
+        if tag == "a":
+            self._link_depth += 1
+            self._ensure_block()
+            return
+        if tag == "pre":
+            self._pre_depth += 1
+            self._open_block("pre")
+            return
+        if tag in _HEADINGS:
+            self._open_block(tag)
+            return
+        if tag == "img":
+            self._ensure_block()
+            self._cur.parts.append("<img>")
+            return
+        if tag == "input":
+            ad = dict(attrs)
+            if (ad.get("type") or "").lower() == "checkbox":
+                self._ensure_block()
+                self._cur.parts.append("☑ " if "checked" in ad else "☐ ")
+            return
+        if tag in _BLOCK_OPEN:
+            if tag == "br":
+                if self._cur is not None:
+                    self._cur.parts.append("\n" if self._pre_depth else " ")
+                return
+            if tag == "li":
+                self._open_block("li")
+                return
+            if tag == "blockquote":
+                self._open_block("blockquote")
+                return
+            self._flush()
+            return
+        # inline tags (span, b, i, em, strong, code, ...): transparent
+
+    def handle_endtag(self, tag):
+        if self._drop_depth > 0:
+            if tag in _DROP_SUBTREE and tag not in _VOID:
+                self._drop_depth -= 1
+            return
+        if self._table_depth > 0:
+            if tag == "table":
+                self._table_depth -= 1
+                if self._table_depth == 0:
+                    self._emit_table()
+            elif tag in ("td", "th") and self._tcell is not None:
+                t, rs, cs = self._tcell_meta
+                txt = _WS_RE.sub(" ", "".join(self._tcell)).strip()
+                if not self._trows:
+                    self._trows.append([])
+                self._trows[-1].append((t, rs, cs, txt))
+                self._tcell = None
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag == "pre":
+            self._pre_depth = max(0, self._pre_depth - 1)
+            self._flush()
+            return
+        if tag in _HEADINGS or tag in ("p", "li", "div", "blockquote", "section",
+                                       "article", "main", "ul", "ol"):
+            self._flush()
+
+    def handle_data(self, data):
+        if self._drop_depth > 0:
+            return
+        if self._table_depth > 0:
+            if self._tcell is not None:
+                self._tcell.append(data)
+            return
+        if not data.strip() and self._cur is None:
+            return
+        self._ensure_block()
+        self._cur.parts.append(data)
+        if self._link_depth > 0:
+            self._cur.link_chars += len(data.strip())
+        self._cur.end = self._offset() + len(data)
+
+    def _emit_table(self):
+        rows_html = []
+        for row in self._trows:
+            cells = []
+            for tag, rs, cs, txt in row:
+                attrs = ""
+                if rs > 1:
+                    attrs += f' rowspan="{rs}"'
+                if cs > 1:
+                    attrs += f' colspan="{cs}"'
+                cells.append(f"<{tag}{attrs}>{txt}</{tag}>")
+            rows_html.append("<tr>" + "".join(cells) + "</tr>")
+        blk = _Block("table", self._table_start)
+        blk.parts = ["<table>" + "".join(rows_html) + "</table>"]
+        blk.end = self._offset()
+        blk.pre = True  # do not whitespace-collapse the html
+        self.blocks.append(blk)
+
+
+def html_to_markdown(raw: str) -> dict:
+    """Convert an HTML fragment to main-content markdown.
+
+    Returns dict with:
+      md                  markdown string (blocks joined by blank lines)
+      spans               list of (label, start, end) kept source char spans
+      blocks_kept         int
+      blocks_dropped      int  (boilerplate-classified + dropped subtrees)
+      classifier_decisions int (total blocks evaluated)
+    """
+    parser = _Extractor(raw)
+    try:
+        parser.feed(raw)
+        parser.close()
+    except Exception:
+        # malformed markup: fall back to tag-stripped text, still deterministic
+        text = _WS_RE.sub(" ", re.sub(r"<[^>]*>", " ", raw)).strip()
+        return {
+            "md": text,
+            "spans": [("p", 0, len(raw))] if text else [],
+            "blocks_kept": 1 if text else 0,
+            "blocks_dropped": 0,
+            "classifier_decisions": 1,
+        }
+    parser._flush()
+
+    out: list[str] = []
+    spans: list[tuple[str, int, int]] = []
+    kept = 0
+    dropped = parser._dropped_subtrees
+    decisions = parser._dropped_subtrees
+
+    for blk in parser.blocks:
+        decisions += 1
+        text = blk.text()
+        n = len(text)
+        if n == 0:
+            dropped += 1
+            continue
+        if blk.kind != "table":
+            link_density = blk.link_chars / max(n, 1)
+            if link_density > LINK_DENSITY_MAX and n < SHORT_BLOCK_CHARS:
+                dropped += 1
+                continue
+        if blk.kind in _HEADINGS:
+            text = "#" * _HEADINGS[blk.kind] + " " + text
+        elif blk.kind == "li":
+            text = "- " + text
+        elif blk.kind == "blockquote":
+            text = "> " + text
+        elif blk.kind == "pre":
+            text = "```\n" + text + "\n```"
+        out.append(text)
+        spans.append((blk.kind, blk.start, blk.end))
+        kept += 1
+
+    return {
+        "md": "\n\n".join(out),
+        "spans": spans,
+        "blocks_kept": kept,
+        "blocks_dropped": dropped,
+        "classifier_decisions": decisions,
+    }
+
+
+# P4 — display tag escaping (reference: app/pdf2md.py:17-27)
+_TAG_PAIRS = ["img", "watermark", "page_number", "signature"]
+
+
+def escape_display_tags(md: str) -> str:
+    """``<img>`` → ``&lt;img&gt;`` etc. for the 4 display tag pairs."""
+    for t in _TAG_PAIRS:
+        md = md.replace(f"<{t}>", f"&lt;{t}&gt;").replace(f"</{t}>", f"&lt;/{t}&gt;")
+    return md

@@ -1,0 +1,112 @@
+"""Text-analysis kernels for the training-data pipeline operators.
+
+These have exactly-matching SQL formulations (Spark expression + DuckDB
+oracle) in docext_spark.operators.textops — the Python versions here are the
+unit-test ground truth and the pUDF bodies where SQL can't express the op
+(simhash).
+
+Pure Python, deterministic, no Spark imports.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+# Tiny English function-word list — shared verbatim with the SQL operators.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "this", "that", "are", "was", "be",
+]
+
+_TOKEN_RE = re.compile(r"\S+")
+_NORM_WS_RE = re.compile(r"\s+")
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text or "")
+
+
+def token_count(text: str) -> int:
+    return len(tokenize(text))
+
+
+def normalize_text(text: str) -> str:
+    """lower + collapse whitespace — the canonical form for fingerprints."""
+    return _NORM_WS_RE.sub(" ", (text or "").lower()).strip()
+
+
+def fingerprint(text: str) -> str:
+    """sha256 hex of the normalized text (exact-dedup key)."""
+    return hashlib.sha256(normalize_text(text).encode("utf-8")).hexdigest()
+
+
+def stopword_ratio(text: str) -> float:
+    toks = [t.lower() for t in tokenize(text)]
+    if not toks:
+        return 0.0
+    hits = sum(1 for t in toks if t in EN_STOPWORDS)
+    return hits / len(toks)
+
+
+def lang_id(text: str, threshold: float = 0.08) -> str:
+    """n-gram/function-word heuristic language ID: 'en' vs 'unknown'."""
+    return "en" if stopword_ratio(text) >= threshold else "unknown"
+
+
+def quality_score(text: str) -> float:
+    """Composite quality ∈ [0,1]: length, alpha ratio, stopword ratio.
+
+    Mirrors published web-corpus quality filters (C4/Gopher-style length &
+    symbol heuristics) in a deterministic, SQL-expressible form:
+      0.4*min(1, n_tokens/100) + 0.3*alpha_ratio + 0.3*min(1, stop_ratio/0.4)
+    """
+    toks = tokenize(text)
+    n = len(toks)
+    chars = len(text or "")
+    alpha = sum(1 for c in (text or "") if c.isalpha())
+    alpha_ratio = alpha / chars if chars else 0.0
+    sr = stopword_ratio(text)
+    return (0.4 * min(1.0, n / 100.0)
+            + 0.3 * alpha_ratio
+            + 0.3 * min(1.0, sr / 0.4))
+
+
+def word_shingles(text: str, n: int = 3) -> list[str]:
+    toks = normalize_text(text).split(" ") if normalize_text(text) else []
+    if len(toks) < n:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+def minhash_signature(text: str, num_hashes: int = 16, shingle_n: int = 3) -> list[str]:
+    """MinHash via min-over-shingles of seeded sha256 hex digests.
+
+    Hex-string min is engine-independent (same result in Spark SQL and
+    DuckDB), which keeps the LSH operator oracle-checkable.
+    """
+    shingles = word_shingles(text, shingle_n)
+    if not shingles:
+        return ["" for _ in range(num_hashes)]
+    sig = []
+    for seed in range(num_hashes):
+        sig.append(min(
+            hashlib.sha256(f"{seed}|{s}".encode("utf-8")).hexdigest()
+            for s in shingles))
+    return sig
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (Charikar 2002), md5-based."""
+    votes = [0] * 64
+    for tok in normalize_text(text).split(" "):
+        if not tok:
+            continue
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if votes[b] > 0:
+            out |= 1 << b
+    # keep it in signed-int64 range for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out

@@ -1,0 +1,129 @@
+"""Extraction operators — Arrow-batched pandas UDF carriers for the pure
+core kernels (X1-X7). No per-row Python outside the Arrow batch boundary;
+no driver-side loops.
+
+Every UDF here is ``Iterator[pd.Series] → Iterator[pd.DataFrame/Series]``
+(SCALAR_ITER) so worker-side setup cost is paid once per partition, not per
+batch.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from docext_spark.schema import EXTRACTION_STRUCT
+
+
+@pandas_udf(EXTRACTION_STRUCT)
+def turn_extract_udf(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """X1/X2/X3/X5-dispatch per-turn markdown conversion (core.convert)."""
+    from docext_spark.core.convert import turn_to_markdown
+    for batch in texts:
+        rows = [turn_to_markdown(t if t is not None else "") for t in batch]
+        yield pd.DataFrame({
+            "md": [r["md"] for r in rows],
+            "kind": [r["kind"] for r in rows],
+            "blocks_kept": pd.array([r["blocks_kept"] for r in rows], dtype="int32"),
+            "blocks_dropped": pd.array([r["blocks_dropped"] for r in rows], dtype="int32"),
+            "classifier_decisions": pd.array(
+                [r["classifier_decisions"] for r in rows], dtype="int32"),
+            "spans": [
+                [{"label": s[0], "start": s[1], "end": s[2]} for s in r["spans"]]
+                for r in rows],
+            "parse_ok": [r["parse_ok"] for r in rows],
+        })
+
+
+def extract_turns(transcripts: DataFrame) -> DataFrame:
+    """Flagship extraction: one row per turn with markdown + lineage columns.
+
+    Column pruning note: only ``text`` feeds the pUDF, so Catalyst prunes the
+    scan to the referenced columns (SURVEY.md §4).
+    """
+    return (transcripts
+            .withColumn("ext", turn_extract_udf(F.col("text")))
+            .select("conv_id", "turn_idx", "role", "tool", "ts",
+                    F.col("ext.md").alias("md"),
+                    F.col("ext.kind").alias("kind"),
+                    F.col("ext.blocks_kept").alias("blocks_kept"),
+                    F.col("ext.blocks_dropped").alias("blocks_dropped"),
+                    F.col("ext.classifier_decisions").alias("classifier_decisions"),
+                    F.col("ext.spans").alias("spans"),
+                    F.col("ext.parse_ok").alias("parse_ok")))
+
+
+def make_fields_udf(field_names: list[str]):
+    """X4/X6 — KIE extraction for a fixed request schema.
+
+    The request schema (a runtime-dynamic user config in the reference,
+    app/app.py:24-76) parameterizes the generated UDF; output is long
+    format: array of {field, answer, answers, confidence}, one element per
+    requested field in request order (extract.py:85-94).
+    """
+    out_type = T.ArrayType(T.StructType([
+        T.StructField("field", T.StringType(), False),
+        T.StructField("answer", T.StringType(), False),
+        T.StructField("answers", T.ArrayType(T.StringType()), False),
+        T.StructField("confidence", T.StringType(), False),
+    ]))
+    names = list(field_names)
+
+    @pandas_udf(out_type)
+    def fields_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from docext_spark.core.fields import extract_fields
+        for batch in texts:
+            yield pd.Series([extract_fields(t or "", names) for t in batch])
+
+    return fields_udf
+
+
+def extract_fields_long(df: DataFrame, field_names: list[str],
+                        text_col: str = "text",
+                        key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
+    """KIE long-format output: (keys..., field, answer, confidence).
+
+    Mirrors the reference's per-document frame assembly
+    (extract.py:83-97) with document_index → the composite key.
+    """
+    udf = make_fields_udf(field_names)
+    exploded = (df.withColumn("f", F.explode(udf(F.col(text_col))))
+                  .select(*key_cols,
+                          F.col("f.field").alias("field"),
+                          F.col("f.answer").alias("answer"),
+                          F.col("f.answers").alias("answers"),
+                          F.col("f.confidence").alias("confidence")))
+    # deterministic display order (reference extract.py:160-162)
+    return exploded.orderBy(*key_cols, "field")
+
+
+def make_classify_udf(labels: list[str]):
+    """X7 — closed-vocabulary classification."""
+    vocab = list(labels)
+
+    @pandas_udf(T.StringType())
+    def classify_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from docext_spark.core.classify import classify
+        for batch in texts:
+            yield pd.Series([classify(t or "", vocab) for t in batch])
+
+    return classify_udf
+
+
+@pandas_udf(T.DoubleType())
+def grits_con_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
+    """A7 — GRITS_Con table similarity per (gt, pred) HTML pair."""
+    from docext_spark.core.grits import grits_con_from_html
+    return pd.Series([
+        grits_con_from_html(g or "", p or "")
+        for g, p in zip(gt_html, pred_html)])
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    from docext_spark.core.textstats import simhash64
+    return pd.Series([simhash64(t or "") for t in texts], dtype="int64")

@@ -1,0 +1,84 @@
+"""S6/J4 — checkpoint/resume protocol (snapshot-committed results table).
+
+Reference semantics: a sha256-keyed response cache read before compute and
+written after (/root/reference/docext/benchmark/benchmark.py:336-344,
+356-370, 658-673) gives free resume on rerun. Relationally that is:
+
+    todo = input LEFT ANTI JOIN committed_results ON key
+
+On a real cluster the results table is Iceberg (atomic snapshot commits,
+hidden bucket(conv_id) partitioning); this sandbox has no Iceberg runtime
+jars, so the same protocol runs over parquet with an explicit commit
+manifest emulating snapshot atomicity: a batch directory only counts as
+committed once its entry is appended to ``_commits.json``. The
+``TableFormat`` seam keeps the call sites format-agnostic.
+"""
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY_COLS = ("conv_id", "turn_idx")
+
+
+class CheckpointedResults:
+    """Append-only results table with atomic batch commits and anti-join resume."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest = os.path.join(root, "_commits.json")
+
+    # -- commit log -------------------------------------------------------
+    def _committed_batches(self) -> list[str]:
+        if not os.path.exists(self.manifest):
+            return []
+        with open(self.manifest) as f:
+            return [e["batch"] for e in json.load(f)]
+
+    def _append_commit(self, batch: str, n_rows: int):
+        entries = []
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                entries = json.load(f)
+        entries.append({"batch": batch, "rows": n_rows})
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, self.manifest)  # atomic rename = snapshot commit
+
+    # -- protocol ----------------------------------------------------------
+    def committed(self, spark: SparkSession) -> DataFrame | None:
+        batches = self._committed_batches()
+        if not batches:
+            return None
+        paths = [os.path.join(self.root, b) for b in batches]
+        return spark.read.parquet(*paths)
+
+    def remaining(self, spark: SparkSession, source: DataFrame) -> DataFrame:
+        """Rows of ``source`` not yet in a committed batch (J4 left_anti)."""
+        done = self.committed(spark)
+        if done is None:
+            return source
+        keys = done.select(*KEY_COLS).distinct()
+        return source.join(keys, list(KEY_COLS), "left_anti")
+
+    def commit(self, df: DataFrame) -> int:
+        """Write one batch and commit it atomically. Returns rows written."""
+        batch = f"batch-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.root, batch)
+        df.write.mode("error").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
+        self._append_commit(batch, n)
+        return n
+
+
+def resume_key(conv_id_col="conv_id", turn_idx_col="turn_idx", text_col="text"):
+    """Content-addressed work key, the analog of the reference's
+    sha256(messages) cache key (benchmark.py:336-344)."""
+    return F.sha2(F.concat_ws("", F.col(conv_id_col),
+                              F.col(turn_idx_col).cast("string"),
+                              F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)), 256)
