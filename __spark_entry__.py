@@ -1,38 +1,936 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction pipeline on sf0.001.
+``queries()``   — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()``— DuckDB-equivalent SQL per query (omitted for ops whose
+                  perception step is not SQL-expressible → rows-only check).
+
+Column names are aliased identically on both sides; float aggregates are
+rounded on both sides so order-of-summation noise cannot flip the value
+hash.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pseudo-transcripts (conv = source, turn order = doc_id)
+    → per-turn extraction pUDF → salted ordered reassembly (lifecycle 3.2)."""
+    from docext_spark.operators.extract import extract_turns
+    from docext_spark.operators.reassemble import reassemble_conversations
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"))
+    turns = extract_turns(transcripts)
+    return reassemble_conversations(turns, salted=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
+
+# --------------------------------------------------------------------------
+# query implementations — Spark side
+# --------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q5_revenue_by_nation(spark, sf_dir):
+    # dims broadcast; fact-side joins shuffle on keys (SURVEY.md §4)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _j1_field_alignment(spark, sf_dir):
+    """J1+W3+A1: gt label per customer vs first-order pred, '' on miss,
+    mean edit similarity (kie.py:11-32 / ds.py:89-95 semantics)."""
+    from docext_spark.operators.metrics import align_pred_gt, edit_similarity
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    gt = c.select(F.col("c_custkey").alias("key"),
+                  F.lit("mktsegment").alias("label"),
+                  F.col("c_mktsegment").alias("value"))
+    pred = o.select(F.col("o_custkey").alias("key"),
+                    F.lit("mktsegment").alias("label"),
+                    F.col("o_orderpriority").alias("value"),
+                    F.col("o_orderkey").alias("pos"))
+    aligned = align_pred_gt(gt, pred, ["key"], "label", "value", pos_col="pos")
+    return aligned.agg(
+        F.round(F.avg(edit_similarity(F.col("pred_value"), F.col("value"))), 6)
+         .alias("kie_score"),
+        F.count(F.lit(1)).alias("n_fields"))
+
+
+_J1_SQL = """
+WITH pred AS (
+  SELECT o_custkey AS key, o_orderpriority AS pred_value,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+  FROM orders
+), aligned AS (
+  SELECT c_mktsegment AS gt_value, coalesce(p.pred_value, '') AS pred_value
+  FROM customer LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p
+       ON c_custkey = p.key
+)
+SELECT round(avg(CASE WHEN greatest(length(pred_value), length(gt_value)) = 0
+                      THEN 1.0
+                      ELSE 1.0 - levenshtein(pred_value, gt_value)
+                           / greatest(length(pred_value), length(gt_value)) END), 6)
+         AS kie_score,
+       count(*) AS n_fields
+FROM aligned
+"""
+
+
+def _a1_edit_similarity(spark, sf_dir):
+    from docext_spark.operators.metrics import edit_similarity
+    p = _t(spark, sf_dir, "part")
+    return p.agg(
+        F.round(F.avg(edit_similarity(F.col("p_name"), F.col("p_type"))), 6)
+         .alias("mean_sim"),
+        F.count(F.lit(1)).alias("n"))
+
+
+_A1_SQL = """
+SELECT round(avg(CASE WHEN greatest(length(p_name), length(p_type)) = 0 THEN 1.0
+                      ELSE 1.0 - levenshtein(p_name, p_type)
+                           / greatest(length(p_name), length(p_type)) END), 6)
+         AS mean_sim,
+       count(*) AS n
+FROM part
+"""
+
+
+def _a3_vqa_best_of(spark, sf_dir):
+    from docext_spark.operators.metrics import vqa_best_of
+    o = _t(spark, sf_dir, "orders")
+    gt = o.select(F.col("o_orderkey").alias("key"),
+                  F.array("o_orderpriority", "o_orderstatus").alias("answers"),
+                  F.col("o_orderstatus").alias("pred"))
+    return vqa_best_of(gt, ["key"])
+
+
+_A3_SQL = """
+WITH exploded AS (
+  SELECT o_orderkey AS key, o_orderstatus AS pred, unnest([o_orderpriority, o_orderstatus]) AS ans
+  FROM orders
+), per_doc AS (
+  SELECT key, max(CASE WHEN greatest(length(pred), length(ans)) = 0 THEN 1.0
+                       ELSE 1.0 - levenshtein(pred, ans)
+                            / greatest(length(pred), length(ans)) END) AS best_sim
+  FROM exploded GROUP BY key
+)
+SELECT round(avg(best_sim), 6) AS vqa_score FROM per_doc
+"""
+
+
+def _a4_exact_match(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(F.round(F.avg((F.col("event_type") == "click").cast("double")), 6)
+                 .alias("accuracy"))
+
+
+_A4_SQL = "SELECT round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS accuracy FROM events"
+
+
+def _a5_multivalue_fold(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    folded = (o.groupBy("o_custkey")
+              .agg(F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderpriority")))
+                    .alias("pairs")))
+    return folded.select(
+        F.col("o_custkey").alias("custkey"),
+        F.array_join(F.transform("pairs", lambda s: s["o_orderpriority"]), "|")
+         .alias("priorities"))
+
+
+_A5_SQL = """
+SELECT o_custkey AS custkey,
+       string_agg(o_orderpriority, '|' ORDER BY o_orderkey) AS priorities
+FROM orders GROUP BY o_custkey
+"""
+
+
+def _a6_distinct_labels(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("event_type").distinct() \
+        .withColumnRenamed("event_type", "label")
+
+
+_A6_SQL = "SELECT DISTINCT event_type AS label FROM events"
+
+
+def _a9_cost_accounting(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_cost"),
+                 F.round(F.avg("l_discount"), 6).alias("mean_discount")))
+
+
+_A9_SQL = """
+SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_cost,
+       round(avg(l_discount), 6) AS mean_discount
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _a10_score_matrix(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "model", F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
+    pivoted = (e.groupBy("event_type").pivot("model", ["0", "1", "2"])
+               .agg(F.round(F.avg("value"), 4)))
+    out = pivoted.select(
+        "event_type",
+        F.col("0").alias("m0"), F.col("1").alias("m1"), F.col("2").alias("m2"))
+    avg_expr = F.round((F.col("m0") + F.col("m1") + F.col("m2")) / 3.0, 4)
+    return out.withColumn("average", avg_expr)
+
+
+_A10_SQL = """
+WITH p AS (
+  SELECT event_type,
+         round(avg(CASE WHEN user_id % 3 = 0 THEN value END), 4) AS m0,
+         round(avg(CASE WHEN user_id % 3 = 1 THEN value END), 4) AS m1,
+         round(avg(CASE WHEN user_id % 3 = 2 THEN value END), 4) AS m2
+  FROM events GROUP BY event_type
+)
+SELECT event_type, m0, m1, m2, round((m0 + m1 + m2) / 3.0, 4) AS average FROM p
+"""
+
+
+def _a11_stratified_topk(spark, sf_dir):
+    from docext_spark.operators.metrics import stratified_topk
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return stratified_topk(e, "event_type", "event_id", 5)
+
+
+_A11_SQL = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+
+def _w1_stable_order_concat(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    g = (d.select("source", F.struct(F.col("doc_id"),
+                                     F.substring("text", 1, 30).alias("frag")).alias("s"))
+         .groupBy("source")
+         .agg(F.array_sort(F.collect_list("s")).alias("pairs")))
+    return g.select("source",
+                    F.array_join(F.transform("pairs", lambda s: s["frag"]), "\n")
+                     .alias("doc_md"),
+                    F.size("pairs").alias("n_docs"))
+
+
+_W1_SQL = """
+SELECT source,
+       string_agg(substr(text, 1, 30), chr(10) ORDER BY doc_id) AS doc_md,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def _w3_first_match(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("first_orderkey"),
+                    F.col("o_orderpriority").alias("priority")))
+
+
+_W3_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       o_orderpriority AS priority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def _w4_topn(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select(F.col("o_orderkey").alias("orderkey"),
+                    F.round("o_totalprice", 2).alias("totalprice")))
+
+
+_W4_SQL = """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def _p1_field_norm(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (p.select(F.lower(F.regexp_replace("p_type", " ", "_")).alias("field_norm"))
+            .groupBy("field_norm").agg(F.count(F.lit(1)).alias("n")))
+
+
+_P1_SQL = """
+SELECT lower(replace(p_type, ' ', '_')) AS field_norm, count(*) AS n
+FROM part GROUP BY 1
+"""
+
+
+def _p6_key_remap(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    remap = (F.when(F.col("event_type") == "click", "interaction")
+             .when(F.col("event_type") == "view", "impression")
+             .otherwise(F.col("event_type")))
+    return (e.select(remap.alias("canonical"))
+            .groupBy("canonical").agg(F.count(F.lit(1)).alias("n")))
+
+
+_P6_SQL = """
+SELECT CASE WHEN event_type = 'click' THEN 'interaction'
+            WHEN event_type = 'view' THEN 'impression'
+            ELSE event_type END AS canonical, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def _p7_bbox_denorm(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return p.select(F.col("p_partkey").alias("key"),
+                    (F.col("p_size") * 200).alias("x1"),
+                    (F.col("p_size") * 300).alias("y1"),
+                    (F.col("p_size") * 200 + 400).alias("x2"),
+                    (F.col("p_size") * 300 + 150).alias("y2"))
+
+
+_P7_SQL = """
+SELECT p_partkey AS key, p_size * 200 AS x1, p_size * 300 AS y1,
+       p_size * 200 + 400 AS x2, p_size * 300 + 150 AS y2
+FROM part WHERE p_partkey <= 500
+"""
+
+
+def _p9_enclosing_bbox(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey")
+            .agg(F.min("l_quantity").alias("x1"),
+                 F.min("l_linenumber").alias("y1"),
+                 F.max("l_quantity").alias("x2"),
+                 F.max("l_linenumber").alias("y2")))
+
+
+_P9_SQL = """
+SELECT l_orderkey, min(l_quantity) AS x1, min(l_linenumber) AS y1,
+       max(l_quantity) AS x2, max(l_linenumber) AS y2
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def _p10_validity_filter(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (e.filter(F.col("event_type") == "click")
+            .groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_valid")))
+
+
+_P10_SQL = """
+SELECT user_id % 10 AS bucket, count(*) AS n_valid
+FROM events WHERE event_type = 'click' GROUP BY 1
+"""
+
+
+def _s1_extension_predicate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    path = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"),
+                    F.when(F.pmod("doc_id", F.lit(3)) == 0, ".pdf")
+                    .when(F.pmod("doc_id", F.lit(3)) == 1, ".png")
+                    .otherwise(".txt"))
+    ext = F.element_at(F.split(path, r"\."), -1)
+    return (d.select(F.col("doc_id"), ext.alias("ext"))
+            .filter(F.col("ext").isin("pdf", "png", "jpg")))
+
+
+_S1_SQL = """
+WITH paths AS (
+  SELECT doc_id, 'doc_' || doc_id ||
+         CASE WHEN doc_id % 3 = 0 THEN '.pdf'
+              WHEN doc_id % 3 = 1 THEN '.png' ELSE '.txt' END AS path
+  FROM documents
+)
+SELECT doc_id, string_split(path, '.')[-1] AS ext
+FROM paths WHERE string_split(path, '.')[-1] IN ('pdf', 'png', 'jpg')
+"""
+
+
+def _s8_payload_truncation(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.substring("text", 1, 100).alias("payload"),
+                    (F.col("n_chars") > 100).alias("overflow"))
+
+
+_S8_SQL = """
+SELECT doc_id, substr(text, 1, 100) AS payload, n_chars > 100 AS overflow
+FROM documents
+"""
+
+
+def _p3_json_field_default(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id",
+                    F.get_json_object("props", "$.k").alias("k_value"),
+                    F.coalesce(F.get_json_object("props", "$.missing"), F.lit(""))
+                     .alias("missing_defaulted"))
+
+
+_P3_SQL = """
+SELECT event_id, json_extract_string(props, '$.k') AS k_value,
+       coalesce(json_extract_string(props, '$.missing'), '') AS missing_defaulted
+FROM events
+"""
+
+
+def _scalar_sha_b64(spark, sf_dir):
+    from docext_spark.operators.textops import normalized
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    F.sha2(normalized(F.col("text")), 256).alias("fp"),
+                    F.base64(F.substring("text", 1, 30).cast("binary")).alias("b64"))
+
+
+_SHA_SQL = """
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       to_base64(substr(text, 1, 30)::BLOB) AS b64
+FROM documents
+"""
+
+
+def _t_token_count(spark, sf_dir):
+    from docext_spark.operators.textops import token_count
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_TOK_SQL = """
+SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def _t_lang_id(spark, sf_dir):
+    from docext_spark.operators.textops import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(lang_id(F.col("text")).alias("lang"))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _lang_sql():
+    from docext_spark.core.textstats import EN_STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM documents
+), ratio AS (
+  SELECT doc_id, CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE len(list_filter(t, x -> lower(x) IN ({stop}))) * 1.0 / len(t)
+                 END AS sr
+  FROM toks
+)
+SELECT CASE WHEN sr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang, count(*) AS n
+FROM ratio GROUP BY 1
+"""
+
+
+def _t_quality(spark, sf_dir):
+    from docext_spark.operators.textops import quality_score
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+                 F.count(F.lit(1)).alias("n_docs")))
+
+
+def _quality_sql():
+    from docext_spark.core.textstats import EN_STOPWORDS
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM documents
+), feat AS (
+  SELECT source,
+         len(t) AS n_tok,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+         END AS alpha_ratio,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE len(list_filter(t, x -> lower(x) IN ({stop}))) * 1.0 / len(t)
+         END AS sr
+  FROM base
+)
+SELECT source,
+       round(avg(0.4 * least(1.0, n_tok / 100.0) + 0.3 * alpha_ratio
+                 + 0.3 * least(1.0, sr / 0.4)), 4) AS avg_quality,
+       count(*) AS n_docs
+FROM feat GROUP BY source
+"""
+
+
+def _dedup_exact(spark, sf_dir):
+    """Bag-fingerprint exact dedup: sha256 over the sorted distinct token
+    set — groups with >1 member are duplicate candidates."""
+    from docext_spark.operators.textops import normalized
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(F.split(normalized(F.col("text")), " ")))
+    fp = F.sha2(F.array_join(toks, " "), 256)
+    return (d.select(fp.alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("dup_count"),
+                 F.array_join(F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ",")
+                  .alias("doc_ids"))
+            .filter(F.col("dup_count") > 1))
+
+
+_DEDUP_EXACT_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         sha256(array_to_string(list_sort(list_distinct(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))), ' ')) AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS dup_count,
+       array_to_string(list_sort(list(doc_id::VARCHAR)), ',') AS doc_ids
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+
+_SHINGLE_SQL_BASE = """
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 3 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+2], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 2)]
+  END) AS shingle
+  FROM norm
+), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+
+def _dedup_jaccard(spark, sf_dir):
+    from docext_spark.operators.dedup import jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+
+
+_JACCARD_SQL = _SHINGLE_SQL_BASE + """
+, sizes AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.ns + sb.ns - inter AS "union",
+       round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.1
+"""
+
+
+def _dedup_minhash_sigs(spark, sf_dir):
+    from docext_spark.operators.dedup import minhash_signatures
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=4, n=3)
+    return sigs.select(F.col("id").alias("doc_id"),
+                       "sig_0", "sig_1", "sig_2", "sig_3")
+
+
+_MINHASH_SQL = _SHINGLE_SQL_BASE.replace("FROM documents",
+                                         "FROM documents WHERE doc_id < 100") + """
+SELECT doc_id,
+       min(sha256('0|' || shingle)) AS sig_0,
+       min(sha256('1|' || shingle)) AS sig_1,
+       min(sha256('2|' || shingle)) AS sig_2,
+       min(sha256('3|' || shingle)) AS sig_3
+FROM dsh GROUP BY doc_id
+"""
+
+
+def _dedup_lsh_pairs(spark, sf_dir):
+    from docext_spark.operators.dedup import lsh_candidate_pairs
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4, n=3)
+
+
+_LSH_SQL = _SHINGLE_SQL_BASE + """
+, sigs AS (
+  SELECT doc_id,
+         min(sha256('0|' || shingle)) AS s0, min(sha256('1|' || shingle)) AS s1,
+         min(sha256('2|' || shingle)) AS s2, min(sha256('3|' || shingle)) AS s3,
+         min(sha256('4|' || shingle)) AS s4, min(sha256('5|' || shingle)) AS s5,
+         min(sha256('6|' || shingle)) AS s6, min(sha256('7|' || shingle)) AS s7
+  FROM dsh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, 0 AS band, sha256(s0 || '|' || s1) AS key FROM sigs
+    UNION ALL SELECT doc_id, 1, sha256(s2 || '|' || s3) FROM sigs
+    UNION ALL SELECT doc_id, 2, sha256(s4 || '|' || s5) FROM sigs
+    UNION ALL SELECT doc_id, 3, sha256(s6 || '|' || s7) FROM sigs)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+     AND a.doc_id < b.doc_id
+"""
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from docext_spark.operators.similarity import brute_force_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("qid", "vec_id",
+                      F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_aggregate([e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE
+                           for i in generate_series(1, len(e.embedding))], 'sum')
+           / (sqrt(list_aggregate([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                                   for i in generate_series(1, len(e.embedding))], 'sum'))
+              * sqrt(list_aggregate([q.qvec[i]::DOUBLE * q.qvec[i]::DOUBLE
+                                     for i in generate_series(1, len(q.qvec))], 'sum'))),
+           6) AS cos_sim
+  FROM embeddings e CROSS JOIN q
+), ranked AS (
+  SELECT qid, vec_id, round(cos_sim, 4) AS cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---- oracle-checked extraction queries (perception planted in the data) ---
+
+def _x4_kie_fields(spark, sf_dir):
+    """X4/X6 oracle check: field values planted into synthesized invoice
+    text; the pUDF must recover them exactly (missing field → '' Low)."""
+    from docext_spark.operators.extract import extract_fields_long
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    text = F.concat(
+        F.lit("invoice_number: INV-"), F.col("o_orderkey").cast("string"),
+        F.lit("\nbuyer_name: Customer "), F.col("o_custkey").cast("string"),
+        F.lit("\nnote: "), F.col("o_orderpriority"))
+    docs = o.select(F.col("o_orderkey").alias("conv_id"),
+                    F.lit(0).alias("turn_idx"), text.alias("text"))
+    out = extract_fields_long(
+        docs, ["invoice_number", "buyer_name", "seller_name"],
+        text_col="text", key_cols=("conv_id",))
+    return out.select(F.col("conv_id").alias("orderkey"), "field", "answer",
+                      "confidence")
+
+
+_X4_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_orderkey <= 1000)
+SELECT o_orderkey AS orderkey, 'invoice_number' AS field,
+       'INV-' || o_orderkey AS answer, 'High' AS confidence FROM o
+UNION ALL
+SELECT o_orderkey, 'buyer_name', 'Customer ' || o_custkey, 'High' FROM o
+UNION ALL
+SELECT o_orderkey, 'seller_name', '', 'Low' FROM o
+"""
+
+
+def _x5_pipe_table(spark, sf_dir):
+    """X5 oracle check: pipe table synthesized from part rows, pUDF parses
+    it back to long-format cells."""
+    from docext_spark.operators.extract import pipe_table_udf
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    md = F.concat(F.lit("| brand | type |\n|---|---|\n| "),
+                  F.col("p_brand"), F.lit(" | "), F.col("p_type"), F.lit(" |"))
+    cells = p.select(F.col("p_partkey").alias("partkey"),
+                     F.explode(pipe_table_udf(md)).alias("c"))
+    return cells.select("partkey",
+                        F.col("c.row_idx").alias("row_idx"),
+                        F.col("c.col_name").alias("col_name"),
+                        F.col("c.cell").alias("cell"))
+
+
+_X5_SQL = """
+WITH p AS (SELECT * FROM part WHERE p_partkey <= 500)
+SELECT p_partkey AS partkey, 0 AS row_idx, 'brand' AS col_name,
+       p_brand AS cell FROM p
+UNION ALL
+SELECT p_partkey, 0, 'type', p_type FROM p
+"""
+
+
+def _x7_classification(spark, sf_dir):
+    """X7 oracle check: closed-vocabulary classification of priority strings
+    — deterministic keyword argmax, CASE-expressible."""
+    from docext_spark.operators.extract import make_classify_udf
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    udf = make_classify_udf(["urgent", "high", "medium", "specified", "low"])
+    return o.select(F.col("o_orderkey").alias("orderkey"),
+                    udf(F.col("o_orderpriority")).alias("doc_type"))
+
+
+_X7_SQL = """
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'urgent'
+            WHEN o_orderpriority LIKE '%HIGH%' THEN 'high'
+            WHEN o_orderpriority LIKE '%MEDIUM%' THEN 'medium'
+            WHEN o_orderpriority LIKE '%SPECIFIED%' THEN 'specified'
+            WHEN o_orderpriority LIKE '%LOW%' THEN 'low'
+            ELSE 'urgent' END AS doc_type
+FROM orders WHERE o_orderkey <= 2000
+"""
+
+
+def _x3_pdf_layout(spark, sf_dir):
+    """X3 oracle check: block stream built in REVERSE order from lineitem;
+    the extraction pUDF must restore (page, y, x) reading order."""
+    from docext_spark.operators.extract import turn_extract_udf
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    qty = F.col("l_quantity").cast("long")
+    y = F.col("l_linenumber") * 1000 + qty  # unique-ish y → deterministic sort
+    line = F.concat(F.lit("1|"), y.cast("string"),
+                    F.lit("|0|line "), F.col("l_linenumber").cast("string"),
+                    F.lit(" qty "), qty.cast("string"))
+    per_order = (li.select("l_orderkey",
+                           F.struct((-y).alias("neg"),
+                                    line.alias("line")).alias("s"))
+                 .groupBy("l_orderkey")
+                 .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list("s")),
+                                 lambda x: x["line"]), "\n").alias("text")))
+    out = per_order.withColumn("ext", turn_extract_udf(F.col("text")))
+    return out.select(F.col("l_orderkey").alias("orderkey"),
+                      F.col("ext.md").alias("md"))
+
+
+_X3_SQL = """
+SELECT l_orderkey AS orderkey,
+       'Page 1 of 1' || chr(10) ||
+       string_agg('line ' || l_linenumber || ' qty ' || l_quantity::BIGINT,
+                  chr(10) ORDER BY l_linenumber * 1000 + l_quantity::BIGINT) AS md
+FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey
+"""
+
+
+# ---- rows-only (non-SQL-expressible perception) ---------------------------
+
+def _x1_turn_markdown(spark, sf_dir):
+    from docext_spark.operators.extract import extract_turns
+    d = _t(spark, sf_dir, "documents")
+    transcripts = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+        "text", F.lit("").alias("tool"), F.current_timestamp().alias("ts"))
+    t = extract_turns(transcripts)
+    return t.select("conv_id", "md", "kind", "blocks_kept", "blocks_dropped",
+                    "classifier_decisions", "parse_ok")
+
+
+def _flagship_reassembly(spark, sf_dir):
+    return _flagship(spark, sf_dir)
+
+
+def _grits_similarity(spark, sf_dir):
+    from docext_spark.operators.extract import grits_con_udf
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    gt = F.concat(F.lit("<table><tr><th>brand</th><th>type</th></tr><tr><td>"),
+                  F.col("p_brand"), F.lit("</td><td>"), F.col("p_type"),
+                  F.lit("</td></tr></table>"))
+    pred = F.concat(F.lit("<table><tr><th>brand</th><th>type</th></tr><tr><td>"),
+                    F.col("p_brand"), F.lit("</td><td>"),
+                    F.substring(F.col("p_type"), 1, 8),
+                    F.lit("</td></tr></table>"))
+    return p.select(F.col("p_partkey").alias("partkey"),
+                    F.round(grits_con_udf(gt, pred), 6).alias("grits_con"))
+
+
+def _simhash_signatures(spark, sf_dir):
+    from docext_spark.operators.extract import simhash_udf
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def _multimodal_features(spark, sf_dir):
+    from docext_spark.operators.multimodal import extract_features
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("kind"),
+                     F.col("text").cast("binary").alias("payload"))
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"),
+                        F.round(F.element_at("feature", 8), 6).alias("f7"))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "j1_field_alignment": _j1_field_alignment,
+        "a1_edit_similarity": _a1_edit_similarity,
+        "a3_vqa_best_of": _a3_vqa_best_of,
+        "a4_exact_match": _a4_exact_match,
+        "a5_multivalue_fold": _a5_multivalue_fold,
+        "a6_distinct_labels": _a6_distinct_labels,
+        "a9_cost_accounting": _a9_cost_accounting,
+        "a10_score_matrix": _a10_score_matrix,
+        "a11_stratified_topk": _a11_stratified_topk,
+        "w1_stable_order_concat": _w1_stable_order_concat,
+        "w3_first_match": _w3_first_match,
+        "w4_topn": _w4_topn,
+        "p1_field_norm": _p1_field_norm,
+        "p6_key_remap": _p6_key_remap,
+        "p7_bbox_denorm": _p7_bbox_denorm,
+        "p9_enclosing_bbox": _p9_enclosing_bbox,
+        "p10_validity_filter": _p10_validity_filter,
+        "s1_extension_predicate": _s1_extension_predicate,
+        "s8_payload_truncation": _s8_payload_truncation,
+        "p3_json_field_default": _p3_json_field_default,
+        "scalar_sha_b64": _scalar_sha_b64,
+        "t_token_count": _t_token_count,
+        "t_lang_id": _t_lang_id,
+        "t_quality": _t_quality,
+        "dedup_exact": _dedup_exact,
+        "dedup_jaccard": _dedup_jaccard,
+        "dedup_minhash_sigs": _dedup_minhash_sigs,
+        "dedup_lsh_pairs": _dedup_lsh_pairs,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "x4_kie_fields": _x4_kie_fields,
+        "x5_pipe_table": _x5_pipe_table,
+        "x7_classification": _x7_classification,
+        "x3_pdf_layout": _x3_pdf_layout,
+        # rows-only (perception not SQL-expressible)
+        "x1_turn_markdown": _x1_turn_markdown,
+        "flagship_reassembly": _flagship_reassembly,
+        "grits_similarity": _grits_similarity,
+        "simhash_signatures": _simhash_signatures,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q5_revenue_by_nation": _Q5_SQL,
+        "j1_field_alignment": _J1_SQL,
+        "a1_edit_similarity": _A1_SQL,
+        "a3_vqa_best_of": _A3_SQL,
+        "a4_exact_match": _A4_SQL,
+        "a5_multivalue_fold": _A5_SQL,
+        "a6_distinct_labels": _A6_SQL,
+        "a9_cost_accounting": _A9_SQL,
+        "a10_score_matrix": _A10_SQL,
+        "a11_stratified_topk": _A11_SQL,
+        "w1_stable_order_concat": _W1_SQL,
+        "w3_first_match": _W3_SQL,
+        "w4_topn": _W4_SQL,
+        "p1_field_norm": _P1_SQL,
+        "p6_key_remap": _P6_SQL,
+        "p7_bbox_denorm": _P7_SQL,
+        "p9_enclosing_bbox": _P9_SQL,
+        "p10_validity_filter": _P10_SQL,
+        "s1_extension_predicate": _S1_SQL,
+        "s8_payload_truncation": _S8_SQL,
+        "p3_json_field_default": _P3_SQL,
+        "scalar_sha_b64": _SHA_SQL,
+        "t_token_count": _TOK_SQL,
+        "t_lang_id": _lang_sql(),
+        "t_quality": _quality_sql(),
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "dedup_jaccard": _JACCARD_SQL,
+        "dedup_minhash_sigs": _MINHASH_SQL,
+        "dedup_lsh_pairs": _LSH_SQL,
+        "ann_cosine_topk": _ANN_SQL,
+        "x4_kie_fields": _X4_SQL,
+        "x5_pipe_table": _X5_SQL,
+        "x7_classification": _X7_SQL,
+        "x3_pdf_layout": _X3_SQL,
+    }

@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "turns_per_sec": ..., "n_turns": ...}
+
+The flagship extraction throughput (turns/sec over the per-turn markdown
+pipeline) is the north metric; per-query wall times cover the operator
+surface (joins, aggs, dedup, ANN).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_reassembly",
+    "x1_turn_markdown",
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "j1_field_alignment",
+    "a10_score_matrix",
+    "dedup_exact",
+    "dedup_lsh_pairs",
+    "ann_cosine_topk",
+    "x4_kie_fields",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not os.path.isdir(sf_dir):
+        print(f"error: SPARK_GRAFT_SF_DIR does not exist: {sf_dir}",
+              file=sys.stderr)
+        sys.exit(2)
+    try:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    except ValueError:
+        sf = 0.0  # non-sf-named dir: still run, report sf as unknown
+
+    import __spark_entry__ as entry
+    from docext_spark.session import get_spark
+
+    spark = get_spark(app_name="docext_spark_bench", master=f"local[{cpus}]")
+    qs = entry.queries()
+
+    # warm the JVM + Python workers once (excluded from timings)
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        # noop sink: full materialization of every column (count() would let
+        # Catalyst prune deterministic pUDF columns), result stays distributed
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    # north metric: per-turn extraction throughput on the transcript shape
+    from docext_spark.plans.pipeline import run_extraction
+    from docext_spark.synth import transcripts_df
+    n_convs = max(50, int(2000 * sf / 0.1))
+    tdf = transcripts_df(spark, n_convs=n_convs, median_turns=8,
+                         hot_factor=50, partitions=int(cpus) * 2).cache()
+    n_turns = tdf.count()  # materialize synth cost outside the timing
+    t0 = time.time()
+    run_extraction(tdf).write.mode("overwrite").format("noop").save()
+    extract_sec = time.time() - t0
+    timings["flagship_turn_extraction"] = round(extract_sec, 3)
+    turns_per_sec = round(n_turns / extract_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "n_turns": n_turns,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+All distributed-first designs:
+  * exact: hash-groupBy on the normalized-text sha256 fingerprint — one
+    shuffle on a short key, trivially scales.
+  * n-gram Jaccard: distinct-shingle explode → self-join on shingle →
+    per-pair intersection counts → Jaccard. The shingle join is the scale
+    path (candidate pairs only materialize for co-occurring shingles, never
+    the O(n²) cross product).
+  * MinHash + LSH: per-doc signature = min over shingles of seeded sha256
+    (engine-independent hex min) → band → bucket groupBy → candidate pairs.
+  * SimHash: 64-bit signature pUDF + hamming-band bucketing.
+  * embedding cosine near-dup / ANN: see similarity.py.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docext_spark.operators.textops import fingerprint, minhash_component, word_shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (fingerprint, dup_count,
+    doc_ids sorted). Only groups with >1 member."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+              .groupBy("fp")
+              .agg(F.count(F.lit(1)).alias("dup_count"),
+                   F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
+              .filter(F.col("dup_count") > 1))
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+              .distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Returns (id_a, id_b, inter, union, jaccard) with id_a < id_b.
+    Scale note: joins only on shared shingles; hot shingles should be
+    frequency-capped upstream at 100TB (df filter on doc-frequency).
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("union", F.col("na") + F.col("nb") - F.col("inter"))
+            .withColumn("jaccard", F.round(F.col("inter") / F.col("union"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "union", "jaccard"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       n: int = 3) -> DataFrame:
+    """(id, sig_0..sig_{k-1}) MinHash signature columns.
+
+    Computed as one explode + one groupBy: k mins aggregate in a single
+    shuffle pass (map-side partial min), not k passes.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
+            for s in range(num_hashes)]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, n: int = 3) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
+    bucket join on (band, band_key). Returns distinct (id_a, id_b)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.sha2(F.concat_ws("|", *cols), 256).alias("key")))
+    banded = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+                  .select("id", F.col("bk.band").alias("band"),
+                          F.col("bk.key").alias("key")))
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    return (a.join(b, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", band_bits: int = 16) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature (pUDF), bucketed by
+    4 bands of band_bits (two docs within hamming distance 3 share ≥1 band).
+    Returns distinct candidate (id_a, id_b, sim_a, sim_b)."""
+    from docext_spark.operators.extract import simhash_udf
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash_udf(F.col(text_col)).alias("sim"))
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+
+    def _signed(v: int) -> int:  # keep the mask literal in int64 range
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    band_cols = [F.struct(
+        F.lit(i).alias("band"),
+        F.col("sim").bitwiseAND(F.lit(_signed(mask << (i * band_bits)))).alias("key"))
+        for i in range(bands)]
+    banded = (sigs.select("id", "sim", F.explode(F.array(*band_cols)).alias("bk"))
+                  .select("id", "sim", "bk.band", "bk.key"))
+    a = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
+                      "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
+                      "band", "key")
+    return (a.join(b, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())

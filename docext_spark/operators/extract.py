@@ -114,6 +114,30 @@ def make_classify_udf(labels: list[str]):
     return classify_udf
 
 
+PIPE_ROWS_TYPE = T.ArrayType(T.StructType([
+    T.StructField("row_idx", T.IntegerType(), False),
+    T.StructField("col_name", T.StringType(), False),
+    T.StructField("cell", T.StringType(), False),
+]))
+
+
+@pandas_udf(PIPE_ROWS_TYPE)
+def pipe_table_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """X5 — markdown pipe-table → long-format cells (extract.py:118-119
+    slice semantics + mdpd-style parse, via core.tables)."""
+    from docext_spark.core.tables import parse_pipe_table
+    for batch in texts:
+        out = []
+        for t in batch:
+            parsed = parse_pipe_table(t or "")
+            cells = []
+            for ri, row in enumerate(parsed["rows"]):
+                for cn, cell in zip(parsed["columns"], row):
+                    cells.append({"row_idx": ri, "col_name": cn, "cell": cell})
+            out.append(cells)
+        yield pd.Series(out)
+
+
 @pandas_udf(T.DoubleType())
 def grits_con_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
     """A7 — GRITS_Con table similarity per (gt, pred) HTML pair."""

@@ -1,0 +1,104 @@
+"""A1-A12 — benchmark metric operators, all native Catalyst expressions.
+
+Semantics mirror the reference metric modules exactly:
+  * edit similarity: 1 - lev(pred, gt)/max(len), both-empty → 1.0
+    (kie.py:11-32, ocr.py:10-28, vqa.py:10-33)
+  * best-of multi-answer VQA: max similarity over gt answers (vqa.py:36-58)
+  * exact match (classification.py:6-26)
+  * pred↔gt label alignment: left join + coalesce("" ) + first-match dedupe
+    (ds.py:89-95, kie.py:16-31)
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edit_similarity(pred: Column, gt: Column) -> Column:
+    """1 - levenshtein/max(len); 1.0 when both empty (kie.py:26-31)."""
+    p = F.coalesce(pred, F.lit(""))
+    g = F.coalesce(gt, F.lit(""))
+    max_len = F.greatest(F.length(p), F.length(g))
+    return F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein(p, g) / max_len)
+
+
+def align_pred_gt(gt: DataFrame, pred: DataFrame,
+                  keys: list[str], label_col: str = "label",
+                  value_col: str = "value",
+                  pos_col: str | None = None) -> DataFrame:
+    """J1/W3 — for each GT (keys, label), the first matching pred value or "".
+
+    First-match semantics via row_number over pred position
+    (ds.py:92-95: the first pred field with the label wins).
+    """
+    join_cols = keys + [label_col]
+    p = pred
+    if pos_col is not None:
+        w = Window.partitionBy(*join_cols).orderBy(pos_col)
+        p = (p.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn", pos_col))
+    p = p.withColumnRenamed(value_col, "_pred_value")
+    out = gt.join(p, join_cols, "left")
+    return out.withColumn("pred_value",
+                          F.coalesce(F.col("_pred_value"), F.lit(""))) \
+              .drop("_pred_value")
+
+
+def kie_score(aligned: DataFrame, gt_value: str = "value",
+              pred_value: str = "pred_value") -> DataFrame:
+    """A1 — mean normalized edit similarity over all aligned fields."""
+    return aligned.agg(
+        F.round(F.avg(edit_similarity(F.col(pred_value), F.col(gt_value))), 6)
+         .alias("kie_score"))
+
+
+def vqa_best_of(gt_answers: DataFrame, keys: list[str],
+                answers_col: str = "answers",
+                pred_col: str = "pred") -> DataFrame:
+    """A3 — per doc: max edit similarity over the gt answer list, then mean."""
+    exploded = gt_answers.withColumn("_ans", F.explode(F.col(answers_col)))
+    per_doc = (exploded
+               .groupBy(*keys)
+               .agg(F.max(edit_similarity(F.col(pred_col), F.col("_ans")))
+                     .alias("best_sim")))
+    return per_doc.agg(F.round(F.avg("best_sim"), 6).alias("vqa_score"))
+
+
+def exact_match_accuracy(df: DataFrame, gt_col: str, pred_col: str) -> DataFrame:
+    """A4 — classification exact-match accuracy."""
+    return df.agg(F.round(F.avg(
+        (F.coalesce(F.col(gt_col), F.lit("")) ==
+         F.coalesce(F.col(pred_col), F.lit(""))).cast("double")), 6)
+        .alias("accuracy"))
+
+
+def multivalue_fold(df: DataFrame, keys: list[str], label_col: str,
+                    value_col: str, pos_col: str) -> DataFrame:
+    """A5 — repeated labels per doc → ordered value list
+    (docile.py:107-118; order-stable via sort on position)."""
+    return (df.groupBy(*keys, label_col)
+              .agg(F.array_sort(F.collect_list(F.struct(pos_col, value_col)))
+                    .alias("_pairs"))
+              .withColumn("values",
+                          F.transform("_pairs", lambda s: s[value_col]))
+              .drop("_pairs"))
+
+
+def score_matrix(scores: DataFrame, row: str = "model", col: str = "dataset",
+                 val: str = "score") -> DataFrame:
+    """A10 — pivot to a score matrix + row average, sorted desc
+    (benchmark.py:301-316)."""
+    pivoted = scores.groupBy(row).pivot(col).agg(F.first(val))
+    data_cols = [c for c in pivoted.columns if c != row]
+    avg_expr = sum(F.coalesce(F.col(c), F.lit(0.0)) for c in data_cols) / len(data_cols)
+    return (pivoted.withColumn("average", F.round(avg_expr, 6))
+            .orderBy(F.desc("average")))
+
+
+def stratified_topk(df: DataFrame, class_col: str, order_col: str,
+                    k: int) -> DataFrame:
+    """A11 — per class, first k by sorted id (nanonets_cls.py:40-55)."""
+    w = Window.partitionBy(class_col).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") <= k).drop("_rn"))

@@ -1,0 +1,79 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline (native higher-order
+functions — zip_with dot product, aggregate norms; JVM-side, no Python), and
+an LSH-bucketed variant (random-hyperplane signs) as the 100TB scale path:
+buckets shrink the candidate set from |corpus| to |bucket|, the final exact
+re-rank runs only inside buckets.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d == 0, F.lit(0.0)).otherwise(dot(a, b) / d)
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact cosine top-k per query. The (small) query side is broadcast —
+    the corpus streams through one map stage, then a per-query top-k window.
+
+    Returns (qid, vec_id, cos_sim, rank), rank 1..k, ties broken by vec_id
+    (deterministic)."""
+    scored = (vectors.crossJoin(F.broadcast(queries))
+              .select(F.col(qid_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: one sign bit per plane, packed into
+    a string key ('1'/'0' chars). Planes are a fixed seeded constant —
+    broadcast-free (inlined in the plan)."""
+    bits = [F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for p in planes]
+    return F.concat(*bits)
+
+
+def deterministic_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes (pure Python, reproducible)."""
+    import random
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", qid_col: str = "qid",
+             qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    exact cosine re-rank inside the bucket. Recall grows with fewer planes;
+    at scale use multiple tables (union of plane sets)."""
+    planes = deterministic_planes(dim, n_planes)
+    v = vectors.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
+    q = queries.withColumn("bucket", hyperplane_signature(F.col(qvec_col), planes))
+    scored = (v.join(F.broadcast(q), "bucket")
+              .select(F.col(qid_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))

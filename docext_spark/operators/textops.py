@@ -1,0 +1,87 @@
+"""Text-analysis operators as native Catalyst expressions.
+
+Each has an exactly-matching DuckDB SQL formulation (see __spark_entry__
+oracle_sql) and a pure-Python twin in core.textstats used by unit tests.
+All JVM-side — no Python in the hot path.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from docext_spark.core.textstats import EN_STOPWORDS
+
+# canonical token split used by every operator here (SQL twin: \s+)
+_WS = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    t = F.trim(F.coalesce(col, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, _WS))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def normalized(col: Column) -> Column:
+    """lower + collapse whitespace + trim (core.textstats.normalize_text)."""
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), _WS, " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """sha256 hex of normalized text — the exact-dedup key."""
+    return F.sha2(normalized(col), 256)
+
+
+def stopword_hits(col: Column) -> Column:
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
+def stopword_ratio(col: Column) -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(col) / n)
+
+
+def lang_id(col: Column, threshold: float = 0.08) -> Column:
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")) \
+            .otherwise(F.lit("unknown"))
+
+
+def alpha_ratio(col: Column) -> Column:
+    t = F.coalesce(col, F.lit(""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(n_alpha / F.length(t))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality ∈ [0,1] (core.textstats.quality_score twin)."""
+    return (0.4 * F.least(F.lit(1.0), token_count(col) / F.lit(100.0))
+            + 0.3 * alpha_ratio(col)
+            + 0.3 * F.least(F.lit(1.0), stopword_ratio(col) / F.lit(0.4)))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over the normalized text (dedup input).
+
+    Texts shorter than n tokens yield one shingle (the whole text), matching
+    core.textstats.word_shingles.
+    """
+    toks = F.split(normalized(col), " ")
+    cnt = F.size(toks)
+    full = F.array(F.array_join(toks, " "))
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(normalized(col) == "", F.array().cast("array<string>")) \
+            .otherwise(F.when(cnt < n, full).otherwise(grams))
+
+
+def minhash_component(shingle: Column, seed: int) -> Column:
+    """min over shingles of sha256(seed|shingle) — hex-string min is
+    engine-independent, keeping the LSH oracle-checkable."""
+    return F.sha2(F.concat_ws("|", F.lit(str(seed)), shingle), 256)

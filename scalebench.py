@@ -1,0 +1,121 @@
+"""Two-parallelism scaling bench (the north rule's N→4N criterion).
+
+No real cluster exists in this sandbox, so the two-cluster-size criterion is
+evidenced by the same job on the same input at N vs 4N cores
+(BASELINE.md measurement protocol). Methodology decisions, each mirroring
+what an actual N→4N executor comparison controls for:
+
+- CPU-affinity pinning: ``local[N]`` alone still lets JVM GC/IO threads and
+  Python workers spill onto every physical core, silently inflating the
+  small-N baseline. The whole process tree is pinned to N cores.
+- One shared parquet input, generated once (seeded), read by both levels and
+  replicated 3x JVM-side (~1.2M turns) so per-job fixed latency (stage
+  barriers, scheduling) is small relative to compute at 4N.
+- Warm-ups before timing: Python-worker spawn + imports + JIT are one-time
+  costs a multi-hour 100TB job amortizes to zero.
+- Identical code and configs except master; median of timed runs.
+
+Usage: python scalebench.py [--n 8] [--runs 3] [--convs 40000]
+                            [--replicas 3] [--out BENCH/scaling.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+INPUT_DIR = "/tmp/scalebench_input"
+
+WORKER = r'''
+import json, os, sys, time, statistics
+
+cores, replicas, runs, input_dir = (int(sys.argv[1]), int(sys.argv[2]),
+                                    int(sys.argv[3]), sys.argv[4])
+os.sched_setaffinity(0, set(range(cores)))
+sys.path.insert(0, "/root/repo")
+os.environ["SPARK_DRIVER_MEM"] = "60g"
+from pyspark.sql import functions as F
+from docext_spark.session import get_spark
+from docext_spark.plans.pipeline import run_extraction
+from docext_spark.operators.reassemble import reassemble_conversations
+
+spark = get_spark(app_name=f"scalebench_{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=64)
+base = spark.read.parquet(input_dir)
+# JVM-side replication: distinct conv_ids per replica, same payload bytes
+tdf = None
+for r in range(replicas):
+    rep = base.withColumn("conv_id",
+                          F.concat(F.col("conv_id"), F.lit(f"_r{r}")))
+    tdf = rep if tdf is None else tdf.unionByName(rep)
+tdf = tdf.repartition(128).cache()
+n_turns = tdf.count()          # cache fill excluded from timing
+
+def job():
+    extracted = run_extraction(tdf)
+    reassemble_conversations(extracted, salted=True) \
+        .write.mode("overwrite").format("noop").save()
+
+for _ in range(2):             # warm-up: worker spawn + imports + JIT
+    job()
+samples = []
+for _ in range(runs):
+    t0 = time.time()
+    job()
+    samples.append(time.time() - t0)
+print(json.dumps({"cores": cores, "n_turns": n_turns, "secs": samples,
+                  "tps": [n_turns / s for s in samples]}))
+spark.stop()
+'''
+
+
+def prepare_input(n_convs: int):
+    if os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+        return
+    sys.path.insert(0, "/root/repo")
+    from docext_spark.session import get_spark
+    from docext_spark.synth import transcripts_df
+    spark = get_spark(app_name="scalebench_prep", master="local[32]")
+    transcripts_df(spark, n_convs=n_convs, median_turns=8, hot_factor=50,
+                   partitions=64).write.mode("overwrite").parquet(INPUT_DIR)
+    spark.stop()
+
+
+def measure(cores: int, replicas: int, runs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER, str(cores), str(replicas), str(runs),
+         INPUT_DIR],
+        capture_output=True, text=True, check=True)
+    sample = json.loads(out.stdout.strip().splitlines()[-1])
+    tps = statistics.median(sample["tps"])
+    return {"cores": cores, "n_turns": sample["n_turns"],
+            "runs_tps": [round(t, 1) for t in sample["tps"]],
+            "median_turns_per_sec": round(tps, 1)}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--convs", type=int, default=40000)
+    ap.add_argument("--replicas", type=int, default=1)
+    ap.add_argument("--out", default="BENCH/scaling.json")
+    args = ap.parse_args()
+
+    prepare_input(args.convs)
+    lo = measure(args.n, args.replicas, args.runs)
+    hi = measure(args.n * 4, args.replicas, args.runs)
+    eff = hi["median_turns_per_sec"] / (4 * lo["median_turns_per_sec"])
+    result = {"N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
+              "target": 0.8, "pass": eff >= 0.8}
+    print(json.dumps(result, indent=2))
+    if args.out and args.out != "/dev/null":
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

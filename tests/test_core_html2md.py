@@ -1,0 +1,89 @@
+from __future__ import annotations
+
+from docext_spark.core.html2md import escape_display_tags, html_to_markdown
+
+
+def test_headings_and_paragraphs():
+    out = html_to_markdown("<h1>Title</h1><p>Body text here.</p>")
+    assert out["md"] == "# Title\n\nBody text here."
+    assert out["blocks_kept"] == 2
+
+
+def test_boilerplate_subtrees_dropped():
+    html = ("<nav><a href='/'>home</a><a href='/b'>b</a></nav>"
+            "<script>var x=1;</script><style>.a{}</style>"
+            "<p>Main content stays.</p>"
+            "<footer>copyright</footer>")
+    out = html_to_markdown(html)
+    assert out["md"] == "Main content stays."
+    assert out["blocks_dropped"] >= 4
+    assert out["classifier_decisions"] > out["blocks_kept"]
+
+
+def test_link_farm_dropped_by_density():
+    html = ("<p>Real paragraph with plenty of ordinary words in it.</p>"
+            "<div><a href='/1'>spam one</a>, <a href='/2'>spam two</a>, "
+            "<a href='/3'>spam three</a></div>")
+    out = html_to_markdown(html)
+    assert "Real paragraph" in out["md"]
+    assert "spam one" not in out["md"]
+
+
+def test_long_link_block_kept():
+    # link-density rule only drops SHORT blocks (trafilatura-style)
+    body = "word " * 60
+    html = f"<div><a href='/x'>{body}</a></div>"
+    out = html_to_markdown(html)
+    assert "word" in out["md"]
+
+
+def test_table_reemitted_as_html():
+    html = ('<table><tr><th>a</th><th>b</th></tr>'
+            '<tr><td rowspan="2">x</td><td>1</td></tr></table>')
+    out = html_to_markdown(html)
+    assert out["md"] == ('<table><tr><th>a</th><th>b</th></tr>'
+                         '<tr><td rowspan="2">x</td><td>1</td></tr></table>')
+
+
+def test_checkboxes():
+    out = html_to_markdown(
+        '<p>yes <input type="checkbox" checked> no <input type="checkbox"></p>')
+    assert "☑" in out["md"] and "☐" in out["md"]
+
+
+def test_img_placeholder_and_escape():
+    out = html_to_markdown("<p>before <img src='x.png'> after</p>")
+    assert "<img>" in out["md"]
+    assert escape_display_tags(out["md"]).count("&lt;img&gt;") == 1
+
+
+def test_entities_unescaped():
+    out = html_to_markdown("<p>a &amp; b &lt;c&gt;</p>")
+    assert out["md"] == "a & b <c>"
+
+
+def test_lists_and_blockquote():
+    out = html_to_markdown("<ul><li>one</li><li>two</li></ul>"
+                           "<blockquote>quoted</blockquote>")
+    assert "- one" in out["md"] and "- two" in out["md"]
+    assert "> quoted" in out["md"]
+
+
+def test_spans_point_into_source():
+    src = "<h1>Title</h1><p>Body</p>"
+    out = html_to_markdown(src)
+    for label, start, end in out["spans"]:
+        assert 0 <= start <= end <= len(src)
+    # first span covers "Title"
+    label, start, end = out["spans"][0]
+    assert "Title" in src[start:end]
+
+
+def test_empty_and_whitespace():
+    assert html_to_markdown("")["md"] == ""
+    assert html_to_markdown("   ")["md"] == ""
+
+
+def test_deterministic():
+    html = "<div><p>x</p><nav><a href='/'>l</a></nav></div>"
+    assert html_to_markdown(html) == html_to_markdown(html)

@@ -1,0 +1,194 @@
+"""Unit tests for the pure kernels: pdf layout, tables, json repair, fields,
+classify, textstats. Edge cases mirror the reference's observed semantics
+(SURVEY.md §5.2 item 3)."""
+from __future__ import annotations
+
+import math
+
+from docext_spark.core.classify import classify
+from docext_spark.core.convert import detect_payload_kind, turn_to_markdown
+from docext_spark.core.fields import extract_fields, normalize_field_name
+from docext_spark.core.jsonrepair import merge_list_of_dicts, repair_json
+from docext_spark.core.pdflayout import pdf_blocks_to_markdown
+from docext_spark.core.tables import (html_table_to_cells, parse_pipe_table,
+                                      pipe_table_to_html, slice_pipe_region)
+from docext_spark.core import textstats as ts
+
+
+# ---- pdf layout (X3) -------------------------------------------------------
+
+def test_pdf_blocks_sorted_with_page_headers():
+    text = "2|10|0|second page\n1|200|0|below\n1|100|0|above"
+    out = pdf_blocks_to_markdown(text)
+    assert out["md"] == ("Page 1 of 2\nabove\nbelow\n"
+                         "Page 2 of 2\nsecond page")
+    assert out["n_pages"] == 2 and out["n_blocks"] == 3
+
+
+def test_pdf_x_breaks_y_ties():
+    text = "1|100|50|right\n1|100|10|left"
+    assert pdf_blocks_to_markdown(text)["md"] == "Page 1 of 1\nleft\nright"
+
+
+# ---- pipe tables (X5) ------------------------------------------------------
+
+def test_pipe_slice_semantics():
+    # reference extract.py:118 — first '|' to last '|' inclusive
+    text = "preamble | a | b |\n|---|---|\n| 1 | 2 | trailing"
+    region = slice_pipe_region(text)
+    assert region.startswith("|") and region.endswith("|")
+    assert "preamble" not in region and "trailing" not in region
+
+
+def test_pipe_table_parse():
+    t = "| name | value |\n|---|---|\n| a | 1 |\n| b | 2 |"
+    parsed = parse_pipe_table(t)
+    assert parsed["columns"] == ["name", "value"]
+    assert parsed["rows"] == [["a", "1"], ["b", "2"]]
+
+
+def test_pipe_table_to_html():
+    t = "| c1 | c2 |\n|---|---|\n| x | y |"
+    assert pipe_table_to_html(t) == ("<table><tr><th>c1</th><th>c2</th></tr>"
+                                     "<tr><td>x</td><td>y</td></tr></table>")
+
+
+def test_html_grid_rowspan_colspan():
+    html = ('<table><tr><td rowspan="2">A</td><td>B</td></tr>'
+            '<tr><td>C</td></tr>'
+            '<tr><td colspan="2">D</td></tr></table>')
+    cells = html_table_to_cells(html)
+    a = next(c for c in cells if c["cell_text"] == "A")
+    assert a["row_nums"] == [0, 1] and a["column_nums"] == [0]
+    c = next(c for c in cells if c["cell_text"] == "C")
+    assert c["row_nums"] == [1] and c["column_nums"] == [1]
+    d = next(c for c in cells if c["cell_text"] == "D")
+    assert d["column_nums"] == [0, 1]
+
+
+def test_html_grid_thead_header_flag():
+    html = ("<table><thead><tr><td>h</td></tr></thead>"
+            "<tr><td>v</td></tr></table>")
+    cells = html_table_to_cells(html)
+    assert cells[0]["is_column_header"] is True
+    assert cells[1]["is_column_header"] is False
+
+
+# ---- json repair -----------------------------------------------------------
+
+def test_repair_trailing_comma():
+    assert repair_json('{"a": 1,}') == {"a": 1}
+
+
+def test_repair_single_quotes():
+    assert repair_json("{'a': 'x'}") == {"a": "x"}
+
+
+def test_repair_fences_and_unquoted_keys():
+    assert repair_json('```json\n{a: 1}\n```') == {"a": 1}
+
+
+def test_merge_dup_keys_to_list():
+    # reference benchmark.py:638-652
+    merged = merge_list_of_dicts([{"k": 1}, {"k": 2}, {"k": 3}, {"j": "x"}])
+    assert merged == {"k": [1, 2, 3], "j": "x"}
+
+
+def test_merge_ignores_non_dicts():
+    assert merge_list_of_dicts([{"a": 1}, "junk", 7]) == {"a": 1}
+
+
+# ---- fields (X4/X6) --------------------------------------------------------
+
+def test_field_normalization():
+    # reference prompts.py:9-19
+    assert normalize_field_name("Invoice Number") == "invoice_number"
+
+
+def test_extract_fields_planted():
+    text = "invoice_number: INV-42\nbuyer_name: ACME Corp\nnoise line"
+    out = extract_fields(text, ["invoice_number", "buyer_name", "seller_name"])
+    assert out[0]["answer"] == "INV-42" and out[0]["confidence"] == "High"
+    assert out[1]["answer"] == "ACME Corp"
+    # missing → "" / Low (reference extract.py:89-90)
+    assert out[2]["answer"] == "" and out[2]["confidence"] == "Low"
+
+
+def test_extract_fields_multivalue():
+    text = "tag: one\ntag: two"
+    out = extract_fields(text, ["tag"])
+    assert out[0]["answers"] == ["one", "two"]
+    assert out[0]["answer"] == "one"
+    assert out[0]["confidence"] == "Low"  # ambiguous
+
+
+def test_extract_fields_spaced_label():
+    out = extract_fields("Buyer Name: Jane", ["buyer_name"])
+    assert out[0]["answer"] == "Jane"
+
+
+# ---- classify (X7) ---------------------------------------------------------
+
+def test_classify_argmax_and_tiebreak():
+    assert classify("urgent urgent low", ["low", "urgent"]) == "urgent"
+    # tie → first label in vocab order
+    assert classify("alpha beta", ["beta", "alpha"]) == "beta"
+    assert classify("", []) == ""
+
+
+# ---- textstats --------------------------------------------------------------
+
+def test_token_count_edges():
+    assert ts.token_count("") == 0
+    assert ts.token_count("   ") == 0
+    assert ts.token_count("a  b\tc") == 3
+
+
+def test_fingerprint_normalization():
+    assert ts.fingerprint("A  b") == ts.fingerprint("a b")
+
+
+def test_lang_id():
+    assert ts.lang_id("the cat is on the mat and it is warm") == "en"
+    assert ts.lang_id("zzz qqq xxx vvv") == "unknown"
+
+
+def test_quality_bounds():
+    q = ts.quality_score("the quick brown fox is on a mat " * 20)
+    assert 0.0 <= q <= 1.0
+
+
+def test_shingles_and_minhash():
+    assert ts.word_shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert ts.word_shingles("a b", 3) == ["a b"]
+    assert ts.word_shingles("", 3) == []
+    sig = ts.minhash_signature("a b c d e f", num_hashes=4)
+    assert len(sig) == 4 and all(len(s) == 64 for s in sig)
+    # identical text → identical signature
+    assert sig == ts.minhash_signature("a b c d e f", num_hashes=4)
+
+
+def test_simhash_similar_texts_close():
+    a = ts.simhash64("the quick brown fox jumps over the lazy dog")
+    b = ts.simhash64("the quick brown fox jumps over the lazy cat")
+    c = ts.simhash64("completely different words entirely unrelated")
+    ham_ab = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    ham_ac = bin((a ^ c) & ((1 << 64) - 1)).count("1")
+    assert ham_ab < ham_ac
+
+
+# ---- dispatch ----------------------------------------------------------------
+
+def test_detect_kinds():
+    assert detect_payload_kind('{"a": 1}') == "json_payload"
+    assert detect_payload_kind("1|10|0|x\n1|20|0|y") == "pdf_text"
+    assert detect_payload_kind("<p>x</p>") == "html"
+    assert detect_payload_kind("| a | b |\n|---|---|\n| 1 | 2 |") == "md_table"
+    assert detect_payload_kind("plain words") == "plain"
+    assert detect_payload_kind("") == "plain"
+
+
+def test_turn_to_markdown_broken_json_fallback():
+    out = turn_to_markdown("{totally broken ][")
+    assert out["parse_ok"] is False
+    assert out["md"]  # error stub keeps the payload, never raises

@@ -1,0 +1,103 @@
+"""Dedup + similarity operators: Spark vs pure-Python twins, plus recall
+sanity on crafted near-duplicates."""
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from docext_spark.core import textstats as ts
+from docext_spark.operators.dedup import (exact_duplicates, jaccard_pairs,
+                                          lsh_candidate_pairs,
+                                          minhash_signatures,
+                                          simhash_near_dups)
+from docext_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (4, "completely different text about spark and parquet files"),
+    (5, "  THE   quick brown fox jumps over the lazy dog "),   # normalized dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [1, 2, 5]
+    assert groups[0]["dup_count"] == 3
+
+
+def test_jaccard_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_matches_pure_python(docs):
+    sigs = {r["id"]: [r[f"sig_{i}"] for i in range(4)]
+            for r in minhash_signatures(docs, num_hashes=4).collect()}
+    for doc_id, text in DOCS:
+        assert sigs[doc_id] == ts.minhash_signature(text, num_hashes=4), doc_id
+
+
+def test_lsh_candidates_include_dups(docs):
+    cand = {(r["id_a"], r["id_b"])
+            for r in lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in cand  # exact dups always share every band
+    assert (1, 5) in cand
+
+
+def test_simhash_near_dups(docs):
+    cand = {(r["id_a"], r["id_b"])
+            for r in simhash_near_dups(docs).collect()}
+    assert (1, 2) in cand
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.0, 1.0]),
+    (4, [0.7, 0.7, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(VECS, "vec_id int, embedding array<double>").cache()
+
+
+def _queries(spark):
+    return spark.createDataFrame([(0, [1.0, 0.0, 0.0])],
+                                 "qid int, qvec array<double>")
+
+
+def test_brute_force_topk(spark, vectors):
+    out = brute_force_topk(vectors, _queries(spark), k=3).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 0            # itself, cos=1
+    assert ranked[1] == 1            # closest neighbor
+    sims = {r["vec_id"]: r["cos_sim"] for r in out}
+    assert math.isclose(sims[0], 1.0)
+    # cos([1,0,0],[0.9,0.1,0]) = 0.9/sqrt(0.82)
+    assert math.isclose(sims[1], round(0.9 / math.sqrt(0.82), 6), abs_tol=1e-6)
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    exact = {r["vec_id"] for r in
+             brute_force_topk(vectors, _queries(spark), k=5).collect()}
+    approx = {r["vec_id"] for r in
+              lsh_topk(vectors, _queries(spark), dim=3, k=5, n_planes=2).collect()}
+    assert approx  # bucket contains at least the query-identical vector
+    assert approx.issubset(exact)

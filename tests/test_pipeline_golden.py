@@ -1,0 +1,88 @@
+"""The north invariant (SURVEY.md §5.2 item 1): per-turn byte equality
+between the Spark pipeline and the pure-Python oracle, under stable turn
+ordering; plus salted == unsalted reassembly and lineage totals."""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+
+from docext_spark.core.convert import conversation_markdown, turn_to_markdown
+from docext_spark.plans.pipeline import lineage_metrics, run_extraction, run_pipeline
+from docext_spark.operators.reassemble import reassemble_conversations
+from docext_spark.synth import generate_transcripts, transcripts_df
+
+N_CONVS, MEDIAN, HOT = 12, 6, 8
+
+
+@pytest.fixture(scope="module")
+def turns_and_oracle(spark):
+    df = transcripts_df(spark, n_convs=N_CONVS, median_turns=MEDIAN,
+                        hot_factor=HOT, partitions=8)
+    extracted = run_extraction(df).cache()
+    rows = generate_transcripts(n_convs=N_CONVS, median_turns=MEDIAN,
+                                hot_factor=HOT)
+    oracle = {(r["conv_id"], r["turn_idx"]): turn_to_markdown(r["text"])
+              for r in rows}
+    return extracted, oracle
+
+
+def test_per_turn_byte_equality(turns_and_oracle):
+    extracted, oracle = turns_and_oracle
+    got = extracted.select("conv_id", "turn_idx", "md", "kind",
+                           "classifier_decisions").collect()
+    assert len(got) == len(oracle)
+    for row in got:
+        exp = oracle[(row["conv_id"], row["turn_idx"])]
+        assert row["md"] == exp["md"], (row["conv_id"], row["turn_idx"])
+        assert row["kind"] == exp["kind"]
+        assert row["classifier_decisions"] == exp["classifier_decisions"]
+
+
+def test_spans_match_oracle(turns_and_oracle):
+    extracted, oracle = turns_and_oracle
+    got = extracted.select("conv_id", "turn_idx", "spans").collect()
+    for row in got:
+        exp = oracle[(row["conv_id"], row["turn_idx"])]["spans"]
+        assert [(s["label"], s["start"], s["end"]) for s in row["spans"]] == exp
+
+
+def test_conversation_reassembly_order(turns_and_oracle, spark):
+    extracted, oracle = turns_and_oracle
+    convs = {r["conv_id"]: r["conv_md"]
+             for r in reassemble_conversations(extracted, salted=True).collect()}
+    byconv = defaultdict(list)
+    for (cid, tid), o in oracle.items():
+        byconv[cid].append((tid, o["md"]))
+    for cid, items in byconv.items():
+        items.sort()
+        assert convs[cid] == conversation_markdown([m for _, m in items]), cid
+
+
+def test_salted_equals_unsalted(turns_and_oracle):
+    extracted, _ = turns_and_oracle
+    a = {r["conv_id"]: r["conv_md"]
+         for r in reassemble_conversations(extracted, salted=True).collect()}
+    b = {r["conv_id"]: r["conv_md"]
+         for r in reassemble_conversations(extracted, salted=False).collect()}
+    assert a == b
+
+
+def test_lineage_totals(turns_and_oracle):
+    extracted, oracle = turns_and_oracle
+    m = lineage_metrics(extracted).collect()
+    assert sum(r["turns_processed"] for r in m) == len(oracle)
+    assert sum(r["spans_emitted"] for r in m) == \
+        sum(len(o["spans"]) for o in oracle.values())
+    assert sum(r["classifier_decisions"] for r in m) == \
+        sum(o["classifier_decisions"] for o in oracle.values())
+    assert sum(r["parse_failures"] for r in m) == \
+        sum(0 if o["parse_ok"] else 1 for o in oracle.values())
+
+
+def test_empty_input(spark):
+    from docext_spark.schema import TRANSCRIPT_SCHEMA
+    empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
+    res = run_pipeline(spark, empty)
+    assert res["turns"].count() == 0
+    assert res["convs"].count() == 0
