@@ -796,6 +796,161 @@ FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey
 """
 
 
+def _p4_tag_escape(spark, sf_dir):
+    """P4 — display tag escaping (reference app/pdf2md.py:17-27)."""
+    d = _t(spark, sf_dir, "documents")
+    wrapped = F.concat(F.lit("<img>"), F.substring("text", 1, 40), F.lit("</img>"))
+    escaped = F.regexp_replace(
+        F.regexp_replace(wrapped, "<img>", "&lt;img&gt;"),
+        "</img>", "&lt;/img&gt;")
+    return d.select("doc_id", escaped.alias("display_md"))
+
+
+_P4_SQL = """
+SELECT doc_id,
+       replace(replace('<img>' || substr(text, 1, 40) || '</img>',
+                       '<img>', '&lt;img&gt;'),
+               '</img>', '&lt;/img&gt;') AS display_md
+FROM documents
+"""
+
+
+def _p5_strip_normalize(spark, sf_dir):
+    """P5 — answer strip + 'Page ' prefix removal (vqa.py:19-21)."""
+    e = _t(spark, sf_dir, "events")
+    ans = F.concat(F.lit("  Page "), F.col("event_type"), F.lit("  "))
+    return (e.select("event_id",
+                     F.trim(F.regexp_replace(ans, "Page ", "")).alias("answer"))
+            .filter(F.col("event_id") < 2000))
+
+
+_P5_SQL = """
+SELECT event_id,
+       trim(replace('  Page ' || event_type || '  ', 'Page ', '')) AS answer
+FROM events WHERE event_id < 2000
+"""
+
+
+def _p8_polygon_bbox(spark, sf_dir):
+    """P8 — polygon (x,y)* → enclosing bbox via array min/max
+    (vlm_datasets/utils.py:34-51)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    poly = F.array(F.col("p_size") * 2, F.col("p_size") * 3,
+                   F.col("p_size") * 5, F.col("p_size") * 1,
+                   F.col("p_size") * 4, F.col("p_size") * 7)
+    xs = F.filter(poly, lambda v, i: i % 2 == 0)
+    ys = F.filter(poly, lambda v, i: i % 2 == 1)
+    return p.select(F.col("p_partkey").alias("key"),
+                    F.array_min(xs).alias("x1"), F.array_min(ys).alias("y1"),
+                    F.array_max(xs).alias("x2"), F.array_max(ys).alias("y2"))
+
+
+_P8_SQL = """
+SELECT p_partkey AS key,
+       least(p_size * 2, p_size * 5, p_size * 4) AS x1,
+       least(p_size * 3, p_size * 1, p_size * 7) AS y1,
+       greatest(p_size * 2, p_size * 5, p_size * 4) AS x2,
+       greatest(p_size * 3, p_size * 1, p_size * 7) AS y2
+FROM part WHERE p_partkey <= 500
+"""
+
+
+def _j5_table_pairing(spark, sf_dir):
+    """J5 — gt table vs FIRST pred table per doc (tables.py:9-22
+    `tables[0]`): orders as docs, lineitems as predicted tables."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    first_pred = (li.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select("l_orderkey", F.col("l_partkey").alias("pred_part")))
+    return (o.join(first_pred, o.o_orderkey == first_pred.l_orderkey, "left")
+            .select(F.col("o_orderkey").alias("orderkey"),
+                    F.coalesce("pred_part", F.lit(-1)).alias("pred_part")))
+
+
+_J5_SQL = """
+WITH first_pred AS (
+  SELECT l_orderkey, l_partkey AS pred_part FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem) WHERE rn = 1
+)
+SELECT o_orderkey AS orderkey, coalesce(pred_part, -1) AS pred_part
+FROM orders LEFT JOIN first_pred ON o_orderkey = l_orderkey
+WHERE o_orderkey <= 2000
+"""
+
+
+def _a12_union_frames(spark, sf_dir):
+    """A12 — per-doc frame union with document_index (extract.py:84-97 /
+    pd.concat analog): two branches of one source unioned by name."""
+    d = _t(spark, sf_dir, "documents")
+    b1 = d.select(F.col("doc_id"), F.lit(0).alias("document_index"),
+                  F.substring("text", 1, 10).alias("frag"))
+    b2 = d.select(F.col("doc_id"), F.lit(1).alias("document_index"),
+                  F.substring("text", 11, 10).alias("frag"))
+    return b1.unionByName(b2)
+
+
+_A12_SQL = """
+SELECT doc_id, 0 AS document_index, substr(text, 1, 10) AS frag FROM documents
+UNION ALL
+SELECT doc_id, 1 AS document_index, substr(text, 11, 10) AS frag FROM documents
+"""
+
+
+def _scalar_iou(spark, sf_dir):
+    """IoU of two bboxes as native arithmetic (grits.py:234-249 analog)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    ax1, ay1 = F.lit(0), F.lit(0)
+    ax2 = F.col("p_size") * 10
+    ay2 = F.col("p_size") * 10
+    bx1, by1 = F.lit(20), F.lit(20)
+    bx2, by2 = F.lit(120), F.lit(120)
+    ix = F.greatest(F.lit(0), F.least(ax2, bx2) - F.greatest(ax1, bx1))
+    iy = F.greatest(F.lit(0), F.least(ay2, by2) - F.greatest(ay1, by1))
+    inter = ix * iy
+    union = (ax2 - ax1) * (ay2 - ay1) + F.lit(100 * 100) - inter
+    iou = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return p.select(F.col("p_partkey").alias("key"),
+                    F.round(iou, 6).alias("iou"))
+
+
+_IOU_SQL = """
+SELECT p_partkey AS key,
+       round(CASE WHEN (p_size*10*p_size*10 + 10000
+                        - greatest(0, least(p_size*10, 120) - 20)
+                          * greatest(0, least(p_size*10, 120) - 20)) > 0
+                  THEN greatest(0, least(p_size*10, 120) - 20)
+                       * greatest(0, least(p_size*10, 120) - 20) * 1.0
+                       / (p_size*10*p_size*10 + 10000
+                          - greatest(0, least(p_size*10, 120) - 20)
+                            * greatest(0, least(p_size*10, 120) - 20))
+                  ELSE 0.0 END, 6) AS iou
+FROM part WHERE p_partkey <= 1000
+"""
+
+
+def _s2_posexplode_pages(spark, sf_dir):
+    """S2 — one payload → N ordered lines with stable position index
+    (posexplode; reference PDF→page explode, core/utils.py:84-96)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.slice(F.split("text", " "), 1, 5)
+    return (d.select("doc_id", F.posexplode(words).alias("pos", "word")))
+
+
+_S2_SQL = """
+WITH t AS (
+  SELECT doc_id, (string_split(text, ' '))[1:5] AS w
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id, unnest(generate_series(0, len(w)-1)) AS pos, unnest(w) AS word
+FROM t
+"""
+
+
 # ---- rows-only (non-SQL-expressible perception) ---------------------------
 
 def _x1_turn_markdown(spark, sf_dir):
@@ -887,6 +1042,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
+        "p4_tag_escape": _p4_tag_escape,
+        "p5_strip_normalize": _p5_strip_normalize,
+        "p8_polygon_bbox": _p8_polygon_bbox,
+        "j5_table_pairing": _j5_table_pairing,
+        "a12_union_frames": _a12_union_frames,
+        "scalar_iou": _scalar_iou,
+        "s2_posexplode_pages": _s2_posexplode_pages,
         # rows-only (perception not SQL-expressible)
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
@@ -933,4 +1095,11 @@ def oracle_sql() -> dict[str, str]:
         "x5_pipe_table": _X5_SQL,
         "x7_classification": _X7_SQL,
         "x3_pdf_layout": _X3_SQL,
+        "p4_tag_escape": _P4_SQL,
+        "p5_strip_normalize": _P5_SQL,
+        "p8_polygon_bbox": _P8_SQL,
+        "j5_table_pairing": _J5_SQL,
+        "a12_union_frames": _A12_SQL,
+        "scalar_iou": _IOU_SQL,
+        "s2_posexplode_pages": _S2_SQL,
     }

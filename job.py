@@ -1,0 +1,66 @@
+"""Cluster entrypoint — the job you spark-submit (north rule packaging):
+
+    python tools/make_pyfiles_zip.py               # build docext_spark.zip
+    spark-submit --master <cluster> --py-files docext_spark.zip job.py \
+        --input  <transcripts path or iceberg table> \
+        --output <results root> \
+        --metrics <metrics table path> \
+        [--format parquet|iceberg] [--synth-convs N]
+
+Runs the flagship extraction pipeline with checkpoint/resume: rerunning
+after a failure processes only uncommitted (conv_id, turn_idx) keys.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts path / iceberg table")
+    ap.add_argument("--output", required=True, help="checkpointed results root")
+    ap.add_argument("--metrics", help="lineage metrics table path")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg"])
+    ap.add_argument("--synth-convs", type=int, default=0,
+                    help="generate a seeded synthetic input instead of --input")
+    ap.add_argument("--conv-output", help="optional conversation-level output")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = SparkSession.builder.appName("docext_spark_job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from docext_spark.plans.pipeline import run_pipeline
+    from docext_spark.sources.transcripts import read_transcripts
+
+    if args.synth_convs:
+        from docext_spark.synth import transcripts_df
+        transcripts = transcripts_df(spark, n_convs=args.synth_convs)
+    elif args.input:
+        transcripts = read_transcripts(spark, args.input, fmt=args.format)
+    else:
+        ap.error("one of --input / --synth-convs is required")
+
+    t0 = time.time()
+    res = run_pipeline(spark, transcripts, output_root=args.output,
+                       metrics_path=args.metrics)
+    if args.conv_output:
+        res["convs"].write.mode("overwrite").parquet(args.conv_output)
+    else:
+        res["convs"].write.mode("overwrite").format("noop").save()
+    elapsed = time.time() - t0
+
+    n = res["turns"].count()
+    print(json.dumps({"turns_total": n, "turns_written": res["written"],
+                      "sec": round(elapsed, 2),
+                      "turns_per_sec": round(res["written"] / elapsed, 1)
+                      if res["written"] else 0.0}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
