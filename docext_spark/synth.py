@@ -45,11 +45,15 @@ def _html_payload(rng: random.Random) -> str:
                  f"<tr><td>{rng.choice(_WORDS)}</td><td>{rng.randint(1, 99)}</td></tr></table>")
     checkbox = ('<p>approved <input type="checkbox" checked> rejected '
                 '<input type="checkbox"></p>') if rng.random() < 0.3 else ""
+    watermark = (f'<div class="watermark">{rng.choice(_WORDS).upper()}</div>'
+                 if rng.random() < 0.2 else "")
+    pageno = (f'<span class="pageno">{rng.randint(1, 40)}</span>'
+              if rng.random() < 0.2 else "")
     return (f"<html><head><style>.x{{color:red}}</style>"
             f"<script>var t={rng.randint(0, 9)};</script></head><body>"
             f"<nav>{nav_links}</nav>"
-            f"<h1>{_sentence(rng, 2, 5)}</h1>"
-            f"{paras}{table}{checkbox}"
+            f"{watermark}<h1>{_sentence(rng, 2, 5)}</h1>"
+            f"{paras}{table}{checkbox}{pageno}"
             f"<div>{linkfarm}</div>"
             f"<footer>&copy; 2026 {rng.choice(_WORDS)}</footer></body></html>")
 

@@ -84,6 +84,23 @@ def test_empty_and_whitespace():
     assert html_to_markdown("   ")["md"] == ""
 
 
+def test_watermark_and_page_number_tags():
+    # docext output contract: pdf2md.py:90
+    html = ('<div class="watermark">OFFICIAL COPY</div>'
+            '<p>Body text.</p>'
+            '<span class="pageno">14</span>')
+    out = html_to_markdown(html)
+    assert "<watermark>OFFICIAL COPY</watermark>" in out["md"]
+    assert "<page_number>14</page_number>" in out["md"]
+    assert "Body text." in out["md"]
+
+
+def test_plain_inline_span_stays_in_paragraph():
+    out = html_to_markdown("<p>a <span>b</span> c</p>")
+    assert out["md"] == "a b c"
+    assert out["blocks_kept"] == 1
+
+
 def test_deterministic():
     html = "<div><p>x</p><nav><a href='/'>l</a></nav></div>"
     assert html_to_markdown(html) == html_to_markdown(html)
