@@ -52,3 +52,12 @@ def extract_fields(text: str, field_names: list[str]) -> list[dict]:
             "confidence": "High" if len(values) == 1 else "Low",
         })
     return out
+
+
+def numeric_confidence(answers: list[str]) -> int:
+    """0-100 numeric confidence (reference confidence.py:20-33 contract):
+    100 = one unambiguous match, 50 = ambiguous (multiple matches),
+    0 = no match."""
+    if len(answers) == 1:
+        return 100
+    return 50 if answers else 0
