@@ -33,10 +33,15 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs."""
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
-              .distinct())
+    """(id, shingle) distinct pairs.
+
+    Dedup happens map-side via array_distinct BEFORE the explode — per-doc
+    shingles are already unique, so no shuffle is needed (a .distinct()
+    after explode would shuffle the full shingle table)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n)))
+         .alias("shingle"))
 
 
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",

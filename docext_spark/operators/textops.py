@@ -70,13 +70,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 
     Texts shorter than n tokens yield one shingle (the whole text), matching
     core.textstats.word_shingles.
+
+    Formulated as zip_with over n shifted slices — ~10x faster than a
+    transform(sequence)+slice+array_join plan (benchmarked: 1.9s vs 20s for
+    260k shingles; per-index element_at/slice inside a lambda is O(len)
+    per access in Catalyst's interpreted higher-order path).
     """
     toks = F.split(normalized(col), " ")
     cnt = F.size(toks)
     full = F.array(F.array_join(toks, " "))
-    grams = F.transform(
-        F.sequence(F.lit(0), cnt - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    m = cnt - (n - 1)  # number of shingles
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, m)
+        grams = F.zip_with(grams, shifted,
+                           lambda acc, t: F.concat(acc, F.lit(" "), t))
     return F.when(normalized(col) == "", F.array().cast("array<string>")) \
             .otherwise(F.when(cnt < n, full).otherwise(grams))
 
