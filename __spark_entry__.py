@@ -491,20 +491,26 @@ def _t_lang_id(spark, sf_dir):
 
 
 def _lang_sql():
-    from docext_spark.core.textstats import EN_STOPWORDS
-    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    from docext_spark.core.textstats import LANG_ORDER, STOPWORDS_BY_LANG
+    ratio_cols = ",\n         ".join(
+        "CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> lower(x) IN ({}))) * 1.0 / len(t) END AS r_{}".format(
+            ", ".join(f"'{s}'" for s in STOPWORDS_BY_LANG[lang]), lang)
+        for lang in LANG_ORDER)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANG_ORDER) + ")"
+    case = " ".join(f"WHEN r_{lang} = {best} THEN '{lang}'"
+                    for lang in LANG_ORDER)
     return f"""
 WITH toks AS (
   SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
   FROM documents
 ), ratio AS (
-  SELECT doc_id, CASE WHEN len(t) = 0 THEN 0.0
-                      ELSE len(list_filter(t, x -> lower(x) IN ({stop}))) * 1.0 / len(t)
-                 END AS sr
+  SELECT doc_id,
+         {ratio_cols}
   FROM toks
 )
-SELECT CASE WHEN sr >= 0.08 THEN 'en' ELSE 'unknown' END AS lang, count(*) AS n
+SELECT CASE WHEN {best} < 0.08 THEN 'unknown' {case}
+            ELSE 'unknown' END AS lang, count(*) AS n
 FROM ratio GROUP BY 1
 """
 

@@ -12,11 +12,23 @@ from __future__ import annotations
 import hashlib
 import re
 
-# Tiny English function-word list — shared verbatim with the SQL operators.
+# Tiny function-word lists — shared verbatim with the SQL operators.
+# Language-ID heuristic: function words are the highest-frequency, most
+# language-discriminative tokens (standard n-gram/stopword LID baseline).
 EN_STOPWORDS = [
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
     "for", "with", "as", "at", "by", "this", "that", "are", "was", "be",
 ]
+STOPWORDS_BY_LANG: dict[str, list[str]] = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit",
+           "auf", "für", "von", "dem", "den", "des", "im", "zu", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "avec",
+           "pour", "dans", "des", "du", "au", "ce", "que", "qui", "ne"],
+    "es": ["el", "los", "las", "y", "es", "un", "una", "no", "con", "para",
+           "por", "del", "al", "lo", "se", "más", "como", "pero"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
 
 _TOKEN_RE = re.compile(r"\S+")
 _NORM_WS_RE = re.compile(r"\s+")
@@ -48,9 +60,26 @@ def stopword_ratio(text: str) -> float:
     return hits / len(toks)
 
 
+def lang_stopword_ratio(text: str, lang: str) -> float:
+    toks = [t.lower() for t in tokenize(text)]
+    if not toks:
+        return 0.0
+    vocab = set(STOPWORDS_BY_LANG[lang])
+    return sum(1 for t in toks if t in vocab) / len(toks)
+
+
 def lang_id(text: str, threshold: float = 0.08) -> str:
-    """n-gram/function-word heuristic language ID: 'en' vs 'unknown'."""
-    return "en" if stopword_ratio(text) >= threshold else "unknown"
+    """Function-word-ratio language ID over {en, de, fr, es}; 'unknown'
+    below threshold. Tie-break: LANG_ORDER priority (deterministic,
+    mirrored exactly in the Spark expr and DuckDB oracle)."""
+    ratios = {lang: lang_stopword_ratio(text, lang) for lang in LANG_ORDER}
+    best = max(ratios.values())
+    if best < threshold:
+        return "unknown"
+    for lang in LANG_ORDER:
+        if ratios[lang] == best:
+            return lang
+    return "unknown"
 
 
 def quality_score(text: str) -> float:

@@ -60,6 +60,54 @@ def deterministic_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[li
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec_col: str = "embedding", probe: int = 1) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid(s). Centroids are a small seeded constant (inlined literals —
+    at real scale, a broadcast k-means result). probe>1 assigns each vector
+    to its `probe` nearest lists for higher recall."""
+    dists = F.array(*[
+        F.struct(
+            (-cosine(F.col(vec_col),
+                     F.array(*[F.lit(float(x)) for x in cvec]))).alias("negsim"),
+            F.lit(cid).alias("cid"))
+        for cid, cvec in centroids])
+    nearest = F.slice(F.array_sort(dists), 1, probe)
+    return vectors.withColumn("ivf_list",
+                              F.explode(F.transform(nearest, lambda s: s["cid"])))
+
+
+def deterministic_centroids(vectors: DataFrame, n_lists: int = 8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Seeded centroid pick: the n_lists lowest-id vectors (deterministic
+    stand-in for a k-means fit; on a cluster, fit with Spark ML KMeans)."""
+    rows = (vectors.orderBy(id_col).limit(n_lists)
+            .select(vec_col).collect())
+    return [(i, list(r[0])) for i, r in enumerate(rows)]
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_lists: int = 8, probe: int = 2, id_col: str = "vec_id",
+             vec_col: str = "embedding", qid_col: str = "qid",
+             qvec_col: str = "qvec") -> DataFrame:
+    """IVF approximate top-k: corpus bucketed into inverted lists by nearest
+    centroid; a query scans only its `probe` nearest lists. At 100TB the
+    corpus is written bucketed by ivf_list so a query prunes to
+    probe/n_lists of the data."""
+    cents = deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    v = ivf_assign(vectors, cents, vec_col, probe=1)
+    q = ivf_assign(queries.withColumnRenamed(qvec_col, "_qv"), cents,
+                   "_qv", probe=probe).withColumnRenamed("_qv", qvec_col)
+    scored = (v.join(F.broadcast(q), "ivf_list")
+              .select(F.col(qid_col), F.col(id_col),
+                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
+                       .alias("cos_sim")))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "qid",

@@ -9,7 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from docext_spark.core.textstats import EN_STOPWORDS
+from docext_spark.core.textstats import (EN_STOPWORDS, LANG_ORDER,
+                                         STOPWORDS_BY_LANG)
 
 # canonical token split used by every operator here (SQL twin: \s+)
 _WS = r"\s+"
@@ -47,9 +48,24 @@ def stopword_ratio(col: Column) -> Column:
     return F.when(n == 0, F.lit(0.0)).otherwise(stopword_hits(col) / n)
 
 
+def lang_stopword_ratio(col: Column, lang: str) -> Column:
+    vocab = F.array(*[F.lit(s) for s in STOPWORDS_BY_LANG[lang]])
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(vocab, t)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
 def lang_id(col: Column, threshold: float = 0.08) -> Column:
-    return F.when(stopword_ratio(col) >= threshold, F.lit("en")) \
-            .otherwise(F.lit("unknown"))
+    """Multi-language function-word LID (core.textstats.lang_id twin):
+    argmax ratio over {en,de,fr,es}, LANG_ORDER tie-break, 'unknown' below
+    threshold."""
+    ratios = {lang: lang_stopword_ratio(col, lang) for lang in LANG_ORDER}
+    best = F.greatest(*ratios.values())
+    expr = F.lit("unknown")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when(ratios[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best < threshold, F.lit("unknown")).otherwise(expr)
 
 
 def alpha_ratio(col: Column) -> Column:

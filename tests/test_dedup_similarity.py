@@ -94,6 +94,17 @@ def test_brute_force_topk(spark, vectors):
     assert math.isclose(sims[1], round(0.9 / math.sqrt(0.82), 6), abs_tol=1e-6)
 
 
+def test_ivf_topk_finds_exact_match(spark, vectors):
+    from docext_spark.operators.similarity import ivf_topk
+    out = ivf_topk(vectors, _queries(spark), k=3, n_lists=3, probe=2).collect()
+    assert out  # probe buckets contain candidates
+    best = min(out, key=lambda r: r["rank"])
+    assert best["vec_id"] == 0 and abs(best["cos_sim"] - 1.0) < 1e-6
+    exact = {r["vec_id"] for r in
+             brute_force_topk(vectors, _queries(spark), k=5).collect()}
+    assert {r["vec_id"] for r in out}.issubset(exact)
+
+
 def test_lsh_topk_subset_of_exact(spark, vectors):
     exact = {r["vec_id"] for r in
              brute_force_topk(vectors, _queries(spark), k=5).collect()}

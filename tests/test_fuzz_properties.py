@@ -81,7 +81,7 @@ def test_grits_bounds(gt, pred):
 def test_textstats_total(s):
     assert ts.token_count(s) >= 0
     assert 0.0 <= ts.quality_score(s) <= 1.0 + 1e-9
-    assert ts.lang_id(s) in ("en", "unknown")
+    assert ts.lang_id(s) in ("en", "de", "fr", "es", "unknown")
     assert len(ts.fingerprint(s)) == 64
     sig = ts.minhash_signature(s, num_hashes=3)
     assert len(sig) == 3
