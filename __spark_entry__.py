@@ -995,6 +995,16 @@ def _simhash_signatures(spark, sf_dir):
     return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
+def _idp_benchmark_matrix(spark, sf_dir):
+    """Lifecycle 3.3 rebuilt: 5-task fixture benchmark scored through the
+    native extractors → accuracy matrix (benchmark.py:287-316 analog).
+    Deterministic fixtures (seed 42); rows-only check."""
+    from docext_spark.fixtures import fixtures_df
+    from docext_spark.plans.benchmark import accuracy_matrix, score_benchmark
+    fx = fixtures_df(spark, n_per_task=20)
+    return accuracy_matrix(score_benchmark(fx))
+
+
 def _multimodal_features(spark, sf_dir):
     from docext_spark.operators.multimodal import extract_features
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1061,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grits_similarity": _grits_similarity,
         "simhash_signatures": _simhash_signatures,
         "multimodal_features": _multimodal_features,
+        "idp_benchmark_matrix": _idp_benchmark_matrix,
     }
 
 
