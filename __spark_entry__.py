@@ -42,7 +42,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("user").alias("role"),
         F.col("text"),
         F.lit("").alias("tool"),
-        F.current_timestamp().alias("ts"))
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"))
     turns = extract_turns(transcripts)
     return reassemble_conversations(turns, salted=True)
 
@@ -965,7 +965,8 @@ def _x1_turn_markdown(spark, sf_dir):
     transcripts = d.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
-        "text", F.lit("").alias("tool"), F.current_timestamp().alias("ts"))
+        "text", F.lit("").alias("tool"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"))
     t = extract_turns(transcripts)
     return t.select("conv_id", "md", "kind", "blocks_kept", "blocks_dropped",
                     "classifier_decisions", "parse_ok")

@@ -40,6 +40,9 @@ class CheckpointedResults:
             return [e["batch"] for e in json.load(f)]
 
     def _append_commit(self, batch: str, n_rows: int):
+        # single-writer protocol: one driver owns the results table (the
+        # Spark deployment model). On Iceberg, optimistic snapshot commits
+        # replace this manifest and make multi-writer safe.
         entries = []
         if os.path.exists(self.manifest):
             with open(self.manifest) as f:
