@@ -663,7 +663,10 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
 
 def _ann_cosine_topk(spark, sf_dir):
     from docext_spark.operators.similarity import brute_force_topk
-    emb = _t(spark, sf_dir, "embeddings")
+    # cast float32 arrays to double BEFORE the arithmetic so the dot/norm
+    # products match the oracle's ::DOUBLE math bit-for-bit at 6dp
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))

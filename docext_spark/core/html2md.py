@@ -35,6 +35,18 @@ _BLOCK_OPEN = {"p", "div", "section", "article", "main", "li", "blockquote",
 _VOID = {"br", "img", "input", "hr", "meta", "link", "area", "base", "col",
          "embed", "source", "track", "wbr"}
 
+# drop-set tags whose close is optional in HTML (a sibling start implies it)
+_IMPLICIT_CLOSE = {"option"}
+
+
+def _span_int(v, default: int = 1) -> int:
+    """Defensive rowspan/colspan parse (mirrors tables.py): '50%', '', None
+    → default instead of raising into the whole-document fallback."""
+    try:
+        return max(1, int(v))
+    except (TypeError, ValueError):
+        return default
+
 _WS_RE = re.compile(r"\s+")
 
 # Boilerplate thresholds (trafilatura-style link-density heuristic).
@@ -93,6 +105,7 @@ class _Extractor:
         self._cur: _Block | None = None
         self._drop_depth = 0
         self._dropped_subtrees = 0
+        self._drop_stack: list[str] = []
         self._link_depth = 0
         self._pre_depth = 0
         # table capture state
@@ -120,7 +133,12 @@ class _Extractor:
             if raw[m.start() + 1] == "/":
                 self.handle_endtag(tag.lower())
             else:
-                self.handle_starttag_raw(tag.lower(), m.group(2) or "")
+                attrs_raw = m.group(2) or ""
+                self.handle_starttag_raw(tag.lower(), attrs_raw)
+                # XML-style self-closing tag: emit the matching end event so
+                # subtree state (drop depth, table capture) can't leak open
+                if attrs_raw.rstrip().endswith("/") and tag.lower() not in _VOID:
+                    self.handle_endtag(tag.lower())
         if pos < len(raw):
             data = raw[pos:]
             self._pos = pos
@@ -159,26 +177,34 @@ class _Extractor:
     def handle_starttag(self, tag, attrs):
         if self._drop_depth > 0:
             if tag in _DROP_SUBTREE and tag not in _VOID:
-                self._drop_depth += 1
+                # sibling start of the same HTML-optional-close tag
+                # (<option>a<option>b) implicitly closes the previous one —
+                # don't deepen, or an unclosed run swallows the document
+                if not (self._drop_stack and self._drop_stack[-1] == tag
+                        and tag in _IMPLICIT_CLOSE):
+                    self._drop_depth += 1
+                    self._drop_stack.append(tag)
             return
         if tag in _DROP_SUBTREE:
             self._drop_depth = 1
+            self._drop_stack = [tag]
             self._dropped_subtrees += 1
             self._flush()
             return
         if self._table_depth > 0:
             if tag == "table":
+                # nested table: flatten its text into the open outer cell
+                # (structure capture happens only at depth 1)
                 self._table_depth += 1
             elif tag == "tr":
-                self._trows.append([])
+                if self._table_depth == 1:
+                    self._trows.append([])
             elif tag in ("td", "th"):
-                ad = dict(attrs)
-                self._tcell = []
-                self._tcell_meta = (
-                    tag,
-                    int(ad.get("rowspan") or 1),
-                    int(ad.get("colspan") or 1),
-                )
+                if self._table_depth == 1:
+                    ad = dict(attrs)
+                    self._tcell = []
+                    self._tcell_meta = (tag, _span_int(ad.get("rowspan")),
+                                        _span_int(ad.get("colspan")))
             elif tag == "input":
                 ad = dict(attrs)
                 if (ad.get("type") or "").lower() == "checkbox" and self._tcell is not None:
@@ -240,15 +266,21 @@ class _Extractor:
 
     def handle_endtag(self, tag):
         if self._drop_depth > 0:
-            if tag in _DROP_SUBTREE and tag not in _VOID:
-                self._drop_depth -= 1
+            if tag in self._drop_stack:
+                # pop through implicitly-closed children up to this tag
+                while self._drop_stack:
+                    popped = self._drop_stack.pop()
+                    self._drop_depth -= 1
+                    if popped == tag:
+                        break
             return
         if self._table_depth > 0:
             if tag == "table":
                 self._table_depth -= 1
                 if self._table_depth == 0:
                     self._emit_table()
-            elif tag in ("td", "th") and self._tcell is not None:
+            elif (tag in ("td", "th") and self._table_depth == 1
+                  and self._tcell is not None):
                 t, rs, cs = self._tcell_meta
                 txt = _WS_RE.sub(" ", "".join(self._tcell)).strip()
                 if not self._trows:

@@ -30,8 +30,12 @@ STOPWORDS_BY_LANG: dict[str, list[str]] = {
 }
 LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
 
-_TOKEN_RE = re.compile(r"\S+")
-_NORM_WS_RE = re.compile(r"\s+")
+# ASCII flag: the Spark exprs (Java \s) and DuckDB oracle (RE2 \s) treat
+# only ASCII whitespace as separators; the Python twin must match exactly
+# or non-ASCII text (e.g. NBSP, 'für') breaks the three-way parity.
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
+_NORM_WS_RE = re.compile(r"\s+", re.ASCII)
+_ALPHA_RE = re.compile(r"[A-Za-z]")
 
 
 def tokenize(text: str) -> list[str]:
@@ -92,7 +96,7 @@ def quality_score(text: str) -> float:
     toks = tokenize(text)
     n = len(toks)
     chars = len(text or "")
-    alpha = sum(1 for c in (text or "") if c.isalpha())
+    alpha = len(_ALPHA_RE.findall(text or ""))  # ASCII alpha = SQL twin
     alpha_ratio = alpha / chars if chars else 0.0
     sr = stopword_ratio(text)
     return (0.4 * min(1.0, n / 100.0)

@@ -89,6 +89,10 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         bands: int = 4, n: int = 3) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
     bucket join on (band, band_key). Returns distinct (id_a, id_b)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
+            "or trailing signature components would be silently unused")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
     rows_per_band = num_hashes // bands
     band_cols = []

@@ -54,7 +54,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     else:
         ckpt, todo = None, transcripts
 
-    extracted = run_extraction(todo)
+    # persist: the extraction pUDF is the expensive stage and feeds the
+    # commit, the lineage aggregation, and (when uncheckpointed) the
+    # reassembly — without this it would re-execute per consumer
+    extracted = run_extraction(todo).persist()
     written = 0
     if ckpt is not None:
         written = ckpt.commit(
@@ -70,5 +73,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         metrics.write.mode("append").parquet(metrics_path)
 
     convs = reassemble_conversations(all_turns, salted=salted)
+    if metrics_path is not None:
+        extracted.unpersist()  # metrics were materialized by the write above
     return {"turns": all_turns, "convs": convs, "metrics": metrics,
             "written": written}

@@ -51,6 +51,8 @@ def read_transcripts(spark: SparkSession, path: str,
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
     from pyspark.sql import types as T
-    df = spark.read.schema(
-        TRANSCRIPT_SCHEMA.add("conv_bucket", T.IntegerType())).parquet(path)
-    return df.drop("conv_bucket")
+    # fresh StructType: StructType.add mutates in place, so adding to the
+    # shared TRANSCRIPT_SCHEMA would poison every later consumer of it
+    schema = T.StructType(list(TRANSCRIPT_SCHEMA.fields)
+                          + [T.StructField("conv_bucket", T.IntegerType(), True)])
+    return spark.read.schema(schema).parquet(path).drop("conv_bucket")

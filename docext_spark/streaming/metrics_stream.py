@@ -45,5 +45,8 @@ def run_metrics_feed(spark: SparkSession, input_dir: str, output_dir: str,
              .start())
     query.awaitTermination()
     out = spark.sql("select * from docext_metrics_feed")
-    out.write.mode("append").parquet(output_dir)
+    # complete-mode emits CUMULATIVE totals — overwrite keeps the output a
+    # current-snapshot table (appending would double-count prior files on
+    # every rerun)
+    out.write.mode("overwrite").parquet(output_dir)
     return out

@@ -73,7 +73,10 @@ spark.stop()
 
 
 def prepare_input(n_convs: int):
-    if os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+    marker = os.path.join(INPUT_DIR, "_CONVS")
+    if (os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS"))
+            and os.path.exists(marker)
+            and open(marker).read().strip() == str(n_convs)):
         return
     sys.path.insert(0, "/root/repo")
     from docext_spark.session import get_spark
@@ -82,6 +85,8 @@ def prepare_input(n_convs: int):
     transcripts_df(spark, n_convs=n_convs, median_turns=8, hot_factor=50,
                    partitions=64).write.mode("overwrite").parquet(INPUT_DIR)
     spark.stop()
+    with open(marker, "w") as f:
+        f.write(str(n_convs))
 
 
 def measure(cores: int, replicas: int, runs: int) -> dict:

@@ -101,6 +101,35 @@ def test_plain_inline_span_stays_in_paragraph():
     assert out["blocks_kept"] == 1
 
 
+def test_self_closing_drop_tag_does_not_swallow_document():
+    out = html_to_markdown('<iframe src="x"/><p>Main content here</p>'
+                           '<p>More text</p>')
+    assert "Main content here" in out["md"] and "More text" in out["md"]
+
+
+def test_unclosed_options_do_not_swallow_document():
+    out = html_to_markdown("<select><option>a<option>b</select>"
+                           "<p>Visible body text</p>")
+    assert out["md"] == "Visible body text"
+
+
+def test_nested_table_flattens_into_outer_cell():
+    out = html_to_markdown(
+        "<table><tr><td>outer start"
+        "<table><tr><td>inner</td></tr></table>"
+        "outer end</td></tr></table>")
+    assert out["md"] == ("<table><tr><td>outer startinnerouter end</td>"
+                         "</tr></table>")
+
+
+def test_garbage_rowspan_does_not_collapse_document():
+    out = html_to_markdown('<h1>Title</h1><table><tr>'
+                           '<td rowspan="50%">x</td></tr></table><p>body</p>')
+    assert "# Title" in out["md"]
+    assert "<table>" in out["md"]
+    assert "body" in out["md"]
+
+
 def test_deterministic():
     html = "<div><p>x</p><nav><a href='/'>l</a></nav></div>"
     assert html_to_markdown(html) == html_to_markdown(html)
