@@ -942,6 +942,23 @@ FROM part WHERE p_partkey <= 1000
 """
 
 
+def _w5_event_time_window(spark, sf_dir):
+    """W5 — event-time tumbling-window aggregation (F.window; epoch-aligned
+    hourly buckets ≡ date_trunc('hour'))."""
+    from docext_spark.streaming.windowed import windowed_counts
+    e = _t(spark, sf_dir, "events")
+    out = windowed_counts(e, ts_col="ts", key_col="event_type",
+                          window="1 hour")
+    return out.select("window_start", "event_type", "n")
+
+
+_W5_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def _s2_posexplode_pages(spark, sf_dir):
     """S2 — one payload → N ordered lines with stable position index
     (posexplode; reference PDF→page explode, core/utils.py:84-96)."""
@@ -1069,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_union_frames": _a12_union_frames,
         "scalar_iou": _scalar_iou,
         "s2_posexplode_pages": _s2_posexplode_pages,
+        "w5_event_time_window": _w5_event_time_window,
         # rows-only (perception not SQL-expressible)
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
@@ -1123,4 +1141,5 @@ def oracle_sql() -> dict[str, str]:
         "a12_union_frames": _A12_SQL,
         "scalar_iou": _IOU_SQL,
         "s2_posexplode_pages": _S2_SQL,
+        "w5_event_time_window": _W5_SQL,
     }
