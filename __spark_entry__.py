@@ -1016,6 +1016,15 @@ def _simhash_signatures(spark, sf_dir):
     return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
+def _dedup_winnow_pairs(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (MOSS): substring-level near-dup
+    candidate pairs. Rows-only (per-char rolling hash isn't reasonably
+    SQL-expressible)."""
+    from docext_spark.operators.dedup import winnow_overlap_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnow_overlap_pairs(d, min_shared=2)
+
+
 def _idp_benchmark_matrix(spark, sf_dir):
     """Lifecycle 3.3 rebuilt: 5-task fixture benchmark scored through the
     native extractors → accuracy matrix (benchmark.py:287-316 analog).
@@ -1094,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _simhash_signatures,
         "multimodal_features": _multimodal_features,
         "idp_benchmark_matrix": _idp_benchmark_matrix,
+        "dedup_winnow_pairs": _dedup_winnow_pairs,
     }
 
 

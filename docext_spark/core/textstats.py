@@ -128,6 +128,56 @@ def minhash_signature(text: str, num_hashes: int = 16, shingle_n: int = 3) -> li
     return sig
 
 
+_ROLL_BASE = 257
+_ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hashes(text: str, k: int = 8) -> list[int]:
+    """Rabin-Karp rolling hashes of every k-gram of the normalized text."""
+    s = normalize_text(text)
+    n = len(s)
+    if n < k:
+        return []
+    h = 0
+    for c in s[:k]:
+        h = (h * _ROLL_BASE + ord(c)) % _ROLL_MOD
+    out = [h]
+    top = pow(_ROLL_BASE, k - 1, _ROLL_MOD)
+    for i in range(k, n):
+        h = ((h - ord(s[i - k]) * top) * _ROLL_BASE + ord(s[i])) % _ROLL_MOD
+        out.append(h)
+    return out
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS local fingerprinting algorithm): the minimum rolling k-gram
+    hash of every sliding window, rightmost-min tie-break, deduplicated in
+    first-seen order. Guarantees any shared substring of length
+    ≥ k + window - 1 yields a shared fingerprint."""
+    hs = rolling_hashes(text, k)
+    if not hs:
+        return []
+    if len(hs) <= window:
+        return [min(hs)]
+    out: list[int] = []
+    for i in range(len(hs) - window + 1):
+        win = hs[i:i + window]
+        m = min(win)
+        # rightmost occurrence of the min
+        pick = (window - 1) - win[::-1].index(m)
+        v = win[pick]
+        if not out or out[-1] != v:
+            out.append(v)
+    seen: set[int] = set()
+    uniq = []
+    for v in out:
+        if v not in seen:
+            seen.add(v)
+            uniq.append(v)
+    return uniq
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (Charikar 2002), md5-based."""
     votes = [0] * 64

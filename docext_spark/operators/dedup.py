@@ -110,6 +110,25 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id_a", "id_b").distinct())
 
 
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_shared: int = 2) -> DataFrame:
+    """Substring-level near-dup candidates via winnowing fingerprints
+    (MOSS): docs sharing ≥ min_shared fingerprints copied a substring of
+    length ≥ k+window-1. Join shape identical to the shingle path —
+    candidates only materialize through shared fingerprints."""
+    from docext_spark.operators.extract import winnow_udf
+    fps = (df.select(F.col(id_col).alias("id"),
+                     F.explode(winnow_udf(F.col(text_col))).alias("fp")))
+    a = fps.withColumnRenamed("id", "id_a")
+    b = fps.withColumnRenamed("id", "id_b")
+    return (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared_fps"))
+             .filter(F.col("shared_fps") >= min_shared))
+
+
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", band_bits: int = 16) -> DataFrame:
     """SimHash near-dup candidates: 64-bit signature (pUDF), bucketed by

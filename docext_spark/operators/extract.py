@@ -151,3 +151,13 @@ def grits_con_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
 def simhash_udf(texts: pd.Series) -> pd.Series:
     from docext_spark.core.textstats import simhash64
     return pd.Series([simhash64(t or "") for t in texts], dtype="int64")
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def winnow_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """Rolling-hash winnowing fingerprints (core.textstats, MOSS-style):
+    any shared substring of length >= k+window-1 guarantees a shared
+    fingerprint — the join key for substring-level near-dup detection."""
+    from docext_spark.core.textstats import winnow_fingerprints
+    for batch in texts:
+        yield pd.Series([winnow_fingerprints(t or "") for t in batch])

@@ -1,23 +1,30 @@
-"""W1 — stable conversation reassembly with skew-safe two-phase aggregation.
+"""W1 — stable conversation reassembly, skew-safe by segmentation.
 
 The invariant (BASELINE.json north rule): per-turn text equality under
 stable turn ordering — turns concatenate in ``turn_idx`` order regardless of
 physical row order, mirroring the reference's per-page concatenation
 (pdf2md.py:100-137).
 
-Skew: one hot conversation can dominate a partition (FIXTURES.md: 50× median
-turns). ``reassemble_conversations(salted=True)`` aggregates in two phases —
-phase 1 groups by (conv_id, salt) so a hot conversation's turns spread over
-SALT_BUCKETS reducers, phase 2 merges the per-salt partial arrays — then one
-ordered flatten restores exact order. Results are identical to the unsalted
-path (asserted in tests), only the shuffle shape changes.
+Skew design (measured, see BENCH/BASELINE.md): classic hash-salting does NOT
+fix skew for collect-style aggregation — the full payload still converges on
+one reducer at the merge, and the extra shuffle doubles the work (measured
+8.1s salted vs 3.1s direct at 98% single-conversation skew). What does help
+is **segmentation**: phase 1 groups by (conv_id, turn_idx div B) so each
+task sorts at most B structs in parallel and the phase-2 reducer receives
+S = n/B pre-sorted segment rows instead of n individual turns; the final
+merge is a linear flatten of pre-sorted segments — no O(n log n) single-task
+sort, ~B× fewer shuffle records into the hot reducer. The conversation-level
+string itself is irreducibly conversation-grained; segmentation minimizes
+everything around it.
+
+Results are byte-identical to the direct path (asserted in tests).
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SALT_BUCKETS = 16
+SEGMENT_SIZE = 1024
 
 
 def _with_header(arr_col):
@@ -32,21 +39,33 @@ def _with_header(arr_col):
     return F.array_join(parts, "\n")
 
 
-def reassemble_conversations(turns: DataFrame, salted: bool = True) -> DataFrame:
-    """(conv_id, turn_idx, md, ...) → (conv_id, n_turns, conv_md)."""
+def reassemble_conversations(turns: DataFrame, salted: bool = True,
+                             segment_size: int = SEGMENT_SIZE) -> DataFrame:
+    """(conv_id, turn_idx, md, ...) → (conv_id, n_turns, conv_md).
+
+    ``salted=True`` selects the skew-safe segmented two-phase plan;
+    ``salted=False`` is the direct single-shuffle plan (same results).
+    """
     base = turns.select("conv_id", "turn_idx", "md")
     if salted:
-        partial = (base
-                   .withColumn("salt", F.pmod(F.col("turn_idx"), F.lit(SALT_BUCKETS)))
-                   .groupBy("conv_id", "salt")
-                   .agg(F.collect_list(F.struct("turn_idx", "md")).alias("part")))
-        merged = (partial.groupBy("conv_id")
-                  .agg(F.flatten(F.collect_list("part")).alias("parts")))
+        seg = (base
+               .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
+                           .cast("long"))
+               .groupBy("conv_id", "seg")
+               .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
+                     .alias("part")))
+        # segments are disjoint ordered ranges: sorting S segment rows then
+        # flattening yields the fully ordered turn array without re-sorting
+        merged = (seg.groupBy("conv_id")
+                  .agg(F.flatten(
+                      F.transform(
+                          F.array_sort(F.collect_list(F.struct("seg", "part"))),
+                          lambda s: s["part"])).alias("parts")))
     else:
         merged = (base.groupBy("conv_id")
-                  .agg(F.collect_list(F.struct("turn_idx", "md")).alias("parts")))
-    ordered = merged.withColumn("parts", F.array_sort("parts"))
-    return ordered.select(
+                  .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
+                        .alias("parts")))
+    return merged.select(
         "conv_id",
         F.size("parts").alias("n_turns"),
         _with_header(F.col("parts")).alias("conv_md"))

@@ -64,6 +64,28 @@ def test_simhash_near_dups(docs):
     assert (1, 2) in cand
 
 
+def test_winnowing_guarantee_and_overlap(spark, docs):
+    from docext_spark.core import textstats as ts
+    # guarantee: shared substring >= k+window-1 chars -> shared fingerprint
+    a = "PREFIX the quick brown fox jumps over it SUFFIXA"
+    b = "OTHER the quick brown fox jumps over it ENDING"
+    fa = set(ts.winnow_fingerprints(a))
+    fb = set(ts.winnow_fingerprints(b))
+    assert fa & fb
+    # no common substring of that length -> (almost surely) no overlap
+    fc = set(ts.winnow_fingerprints("zzz completely unrelated material qqq"))
+    assert not (fa & fc)
+    # determinism + empty edge
+    assert ts.winnow_fingerprints(a) == ts.winnow_fingerprints(a)
+    assert ts.winnow_fingerprints("") == []
+
+    from docext_spark.operators.dedup import winnow_overlap_pairs
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             winnow_overlap_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs  # identical docs share all fingerprints
+    assert not any(4 in p for p in pairs)
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0]),
