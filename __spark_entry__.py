@@ -551,6 +551,54 @@ FROM feat GROUP BY source
 """
 
 
+def _t_quality_filter(spark, sf_dir):
+    """C4/Gopher-style training-data filter: keep docs that pass language,
+    length, and quality gates — the composite the individual text ops feed."""
+    from docext_spark.operators.textops import lang_id, quality_score, token_count
+    d = _t(spark, sf_dir, "documents")
+    return (d.select("doc_id",
+                     lang_id(F.col("text")).alias("lang"),
+                     token_count(F.col("text")).alias("n_tokens"),
+                     F.round(quality_score(F.col("text")), 4).alias("q"))
+            .filter((F.col("lang") == "en") & (F.col("n_tokens") >= 20)
+                    & (F.col("q") >= 0.5))
+            .select("doc_id", "n_tokens", "q"))
+
+
+def _quality_filter_sql():
+    from docext_spark.core.textstats import LANG_ORDER, STOPWORDS_BY_LANG
+    ratio_cols = ",\n         ".join(
+        "CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> lower(x) IN ({}))) * 1.0 / len(t) END AS r_{}".format(
+            ", ".join(f"'{s}'" for s in STOPWORDS_BY_LANG[lang]), lang)
+        for lang in LANG_ORDER)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANG_ORDER) + ")"
+    case = " ".join(f"WHEN r_{lang} = {best} THEN '{lang}'"
+                    for lang in LANG_ORDER)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+         END AS alpha_ratio,
+         {ratio_cols}
+  FROM base
+), scored AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN {best} < 0.08 THEN 'unknown' {case} ELSE 'unknown' END AS lang,
+         round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * alpha_ratio
+               + 0.3 * least(1.0, r_en / 0.4), 4) AS q
+  FROM feat
+)
+SELECT doc_id, n_tokens, q FROM scored
+WHERE lang = 'en' AND n_tokens >= 20 AND q >= 0.5
+"""
+
+
 def _dedup_exact(spark, sf_dir):
     """Bag-fingerprint exact dedup: sha256 over the sorted distinct token
     set — groups with >1 member are duplicate candidates."""
@@ -997,7 +1045,7 @@ def _flagship_reassembly(spark, sf_dir):
 
 
 def _grits_similarity(spark, sf_dir):
-    from docext_spark.operators.extract import grits_con_udf
+    from docext_spark.operators.extract import grits_con_udf, grits_top_udf
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
     gt = F.concat(F.lit("<table><tr><th>brand</th><th>type</th></tr><tr><td>"),
                   F.col("p_brand"), F.lit("</td><td>"), F.col("p_type"),
@@ -1007,7 +1055,8 @@ def _grits_similarity(spark, sf_dir):
                     F.substring(F.col("p_type"), 1, 8),
                     F.lit("</td></tr></table>"))
     return p.select(F.col("p_partkey").alias("partkey"),
-                    F.round(grits_con_udf(gt, pred), 6).alias("grits_con"))
+                    F.round(grits_con_udf(gt, pred), 6).alias("grits_con"),
+                    F.round(grits_top_udf(gt, pred), 6).alias("grits_top"))
 
 
 def _simhash_signatures(spark, sf_dir):
@@ -1079,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
         "t_quality": _t_quality,
+        "t_quality_filter": _t_quality_filter,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
@@ -1135,6 +1185,7 @@ def oracle_sql() -> dict[str, str]:
         "t_token_count": _TOK_SQL,
         "t_lang_id": _lang_sql(),
         "t_quality": _quality_sql(),
+        "t_quality_filter": _quality_filter_sql(),
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_minhash_sigs": _MINHASH_SQL,

@@ -134,3 +134,47 @@ def grits_con_from_html(true_html: str, pred_html: str) -> float:
     tg = cells_to_text_grid(html_table_to_cells(true_html))
     pg = cells_to_text_grid(html_table_to_cells(pred_html))
     return factored_2dmss(tg, pg)
+
+
+def cells_to_relspan_grid(cells: list[dict]) -> list[list[str]]:
+    """Relative-span grid for GRITS_Top (reference grits.py:274-298): each
+    grid position carries the bbox of its owning cell relative to the
+    position, in grid units — "[0, 0, 1, 1]" for a non-spanning cell.
+    Stringified (the reference's reward str()-ifies the lists too)."""
+    if not cells:
+        return [[]]
+    num_rows = max(max(c["row_nums"]) for c in cells) + 1
+    num_cols = max(max(c["column_nums"]) for c in cells) + 1
+    grid = [["" for _ in range(num_cols)] for _ in range(num_rows)]
+    for c in cells:
+        min_r, max_r = min(c["row_nums"]), max(c["row_nums"]) + 1
+        min_k, max_k = min(c["column_nums"]), max(c["column_nums"]) + 1
+        for r in c["row_nums"]:
+            for k in c["column_nums"]:
+                grid[r][k] = str([min_k - k, min_r - r, max_k - k, max_r - r])
+    return grid
+
+
+def edit_distance_similarity(a: str, b: str) -> float:
+    """1 - lev/maxlen, both-empty → 1.0 (reference grits.py:399-407)."""
+    a, b = str(a), str(b)
+    max_len = max(len(a), len(b))
+    if max_len == 0:
+        return 1.0
+    # O(len^2) DP; grids are small (span strings ~12 chars)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return 1.0 - prev[-1] / max_len
+
+
+def grits_top_from_html(true_html: str, pred_html: str) -> float:
+    """GRITS_Top (topology) over two HTML tables: factored 2D-MSS on the
+    relative-span grids with edit-distance reward (grits.py:410-428)."""
+    tg = cells_to_relspan_grid(html_table_to_cells(true_html))
+    pg = cells_to_relspan_grid(html_table_to_cells(pred_html))
+    return factored_2dmss(tg, pg, reward_fn=edit_distance_similarity)

@@ -147,6 +147,16 @@ def grits_con_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
         for g, p in zip(gt_html, pred_html)])
 
 
+@pandas_udf(T.DoubleType())
+def grits_top_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
+    """GRITS_Top topology similarity per (gt, pred) HTML pair
+    (relative-span grids, grits.py:410-428)."""
+    from docext_spark.core.grits import grits_top_from_html
+    return pd.Series([
+        grits_top_from_html(g or "", p or "")
+        for g, p in zip(gt_html, pred_html)])
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     from docext_spark.core.textstats import simhash64

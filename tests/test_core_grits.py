@@ -66,6 +66,29 @@ def test_rowspan_grid_equivalence():
     assert grits_con_from_html(spanned, expanded) == 1.0
 
 
+def test_grits_top_topology():
+    from docext_spark.core.grits import grits_top_from_html
+    plain = ('<table><tr><td>a</td><td>b</td></tr>'
+             '<tr><td>c</td><td>d</td></tr></table>')
+    # identical topology but different TEXT → GRITS_Top is 1.0 (it only
+    # sees spans), while GRITS_Con is < 1
+    other_text = ('<table><tr><td>w</td><td>x</td></tr>'
+                  '<tr><td>y</td><td>z</td></tr></table>')
+    assert grits_top_from_html(plain, other_text) == 1.0
+    assert grits_con_from_html(plain, other_text) < 1.0
+    # different topology (merged cell) scores < 1 on Top
+    spanned = ('<table><tr><td colspan="2">a</td></tr>'
+               '<tr><td>c</td><td>d</td></tr></table>')
+    assert grits_top_from_html(plain, spanned) < 1.0
+
+
+def test_edit_distance_similarity_kernel():
+    from docext_spark.core.grits import edit_distance_similarity
+    assert edit_distance_similarity("", "") == 1.0
+    assert edit_distance_similarity("abc", "abc") == 1.0
+    assert math.isclose(edit_distance_similarity("kitten", "sitting"), 1 - 3 / 7)
+
+
 def test_empty_tables():
     assert grits_con_from_html("<table></table>", "<table></table>") == 0.0 or True
     # no cells on either side → num_true=num_pos=0 → precision=recall=1 → f can be 1
