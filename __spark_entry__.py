@@ -551,6 +551,53 @@ FROM feat GROUP BY source
 """
 
 
+def _s5_resize_dims(spark, sf_dir):
+    """Image resize planning (reference core/utils.py:49-53 semantics:
+    bound to a 2048 square preserving aspect ratio, never upscale).
+    Synthetic dims derived from part columns."""
+    from docext_spark.operators.multimodal import resize_dims
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    media = p.select(F.col("p_partkey").alias("media_id"),
+                     (F.col("p_size") * 150).cast("int").alias("width"),
+                     (F.col("p_size") * 90 + 400).cast("int").alias("height"))
+    return resize_dims(media, max_size=2048)
+
+
+_S5_SQL = """
+WITH m AS (
+  SELECT p_partkey AS media_id, (p_size * 150)::INT AS width,
+         (p_size * 90 + 400)::INT AS height
+  FROM part WHERE p_partkey <= 1000
+)
+SELECT media_id, width, height,
+       floor(width * CASE WHEN greatest(width, height) > 2048
+                          THEN 2048.0 / greatest(width, height)
+                          ELSE 1.0 END)::INT AS new_width,
+       floor(height * CASE WHEN greatest(width, height) > 2048
+                           THEN 2048.0 / greatest(width, height)
+                           ELSE 1.0 END)::INT AS new_height,
+       greatest(width, height) > 2048 AS resized
+FROM m
+"""
+
+
+def _t_bpe_token_count(spark, sf_dir):
+    """BPE-ish regex token counting: letter runs, digit runs, single
+    punctuation marks — the pre-tokenizer shape of GPT-style BPE."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select("doc_id",
+                    F.regexp_count(F.col("text"), F.lit(pat)).alias("n_bpe_tokens"))
+
+
+_BPE_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _t_quality_filter(spark, sf_dir):
     """C4/Gopher-style training-data filter: keep docs that pass language,
     length, and quality gates — the composite the individual text ops feed."""
@@ -1129,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_id": _t_lang_id,
         "t_quality": _t_quality,
         "t_quality_filter": _t_quality_filter,
+        "s5_resize_dims": _s5_resize_dims,
+        "t_bpe_token_count": _t_bpe_token_count,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
@@ -1186,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
         "t_lang_id": _lang_sql(),
         "t_quality": _quality_sql(),
         "t_quality_filter": _quality_filter_sql(),
+        "s5_resize_dims": _S5_SQL,
+        "t_bpe_token_count": _BPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_minhash_sigs": _MINHASH_SQL,

@@ -66,6 +66,22 @@ def extract_features(media: DataFrame) -> DataFrame:
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:
+    """Resize planning (reference core/utils.py:49-53: bound images to a
+    max_size square, preserving aspect ratio; never upscale). Pure
+    arithmetic projection — the actual pixel resample is the stubbed codec
+    step; the dims computation is the part that must be exact."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_size, F.lit(max_size) / longest) \
+             .otherwise(F.lit(1.0))
+    return media.select(
+        "media_id", "width", "height",
+        F.floor(w * scale).cast("int").alias("new_width"),
+        F.floor(h * scale).cast("int").alias("new_height"),
+        (longest > max_size).alias("resized"))
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode one row per planned frame
     timestamp (native sequence — the decode itself is the stubbed step)."""

@@ -18,6 +18,19 @@ def test_multimodal_feature_shape(spark):
     assert by_id[3]["n_bytes"] == 0
 
 
+def test_resize_dims(spark):
+    from docext_spark.operators.multimodal import resize_dims
+    media = spark.createDataFrame(
+        [(1, 4096, 2048), (2, 1000, 500), (3, 100, 4000)],
+        "media_id long, width int, height int")
+    got = {r["media_id"]: r for r in resize_dims(media, 2048).collect()}
+    assert (got[1]["new_width"], got[1]["new_height"]) == (2048, 1024)
+    assert got[1]["resized"] is True
+    assert (got[2]["new_width"], got[2]["new_height"]) == (1000, 500)
+    assert got[2]["resized"] is False  # never upscale
+    assert got[3]["new_height"] == 2048 and got[3]["new_width"] == 51
+
+
 def test_frame_sample_plan(spark):
     from docext_spark.operators.multimodal import frame_sample_plan
     media = spark.createDataFrame(
