@@ -39,6 +39,62 @@ def _with_header(arr_col):
     return F.array_join(parts, "\n")
 
 
+def reassemble_conversations_chunked(turns: DataFrame,
+                                     segment_size: int = SEGMENT_SIZE,
+                                     segments_per_chunk: int = 64) -> DataFrame:
+    """Bounded-row reassembly for conversations too large for one row.
+
+    At 10^12-turn scale a single conversation's markdown can be many GB — no
+    row (or reducer) should hold it whole. Output is
+    (conv_id, part_idx, n_parts, n_turns, conv_md): each part carries at
+    most segment_size*segments_per_chunk turns, per-turn headers keep their
+    GLOBAL position/total (``Page {i+1} of {N}``), and concatenating parts
+    in part_idx order with "\\n" reproduces the unchunked conv_md exactly
+    (asserted in tests). No task ever sorts or concatenates more than one
+    chunk's worth of turns.
+    """
+    from pyspark.sql import Window
+    base = turns.select("conv_id", "turn_idx", "md")
+    seg = (base
+           .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
+                       .cast("long"))
+           .groupBy("conv_id", "seg")
+           .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
+                 .alias("part")))
+    chunks = (seg
+              .withColumn("chunk", (F.col("seg") / F.lit(segments_per_chunk))
+                          .cast("long"))
+              .groupBy("conv_id", "chunk")
+              .agg(F.flatten(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("seg", "part"))),
+                      lambda s: s["part"])).alias("parts")))
+    w_conv = Window.partitionBy("conv_id")
+    w_prev = (Window.partitionBy("conv_id").orderBy("chunk")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_rank = Window.partitionBy("conv_id").orderBy("chunk")
+    chunks = (chunks
+              .withColumn("chunk_turns", F.size("parts"))
+              .withColumn("offset",
+                          F.coalesce(F.sum("chunk_turns").over(w_prev),
+                                     F.lit(0)))
+              .withColumn("n_turns", F.sum("chunk_turns").over(w_conv))
+              .withColumn("n_parts", F.count(F.lit(1)).over(w_conv))
+              .withColumn("part_idx",
+                          (F.row_number().over(w_rank) - 1).cast("long")))
+    total = F.col("n_turns")
+    offset = F.col("offset")
+    md = F.array_join(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.concat_ws(
+                "", F.lit("Page "), (offset + i + 1).cast("string"),
+                F.lit(" of "), total.cast("string"), F.lit("\n"), x["md"])),
+        "\n")
+    return chunks.select("conv_id", "part_idx", "n_parts", "n_turns",
+                         md.alias("conv_md"))
+
+
 def reassemble_conversations(turns: DataFrame, salted: bool = True,
                              segment_size: int = SEGMENT_SIZE) -> DataFrame:
     """(conv_id, turn_idx, md, ...) → (conv_id, n_turns, conv_md).

