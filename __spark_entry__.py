@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → pseudo-transcripts (conv = source, turn order = doc_id)
-    → per-turn extraction pUDF → salted ordered reassembly (lifecycle 3.2)."""
+    → per-turn extraction pUDF → segmented ordered reassembly (lifecycle 3.2)."""
     from docext_spark.operators.extract import extract_turns
     from docext_spark.operators.reassemble import reassemble_conversations
     docs = _t(spark, sf_dir, "documents")
@@ -44,7 +44,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("tool"),
         F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"))
     turns = extract_turns(transcripts)
-    return reassemble_conversations(turns, salted=True)
+    return reassemble_conversations(turns, segmented=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,6 +55,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 # query implementations — Spark side
 # --------------------------------------------------------------------------
+
+
+def _edit_sim_sql(pred: str, gt: str) -> str:
+    """Normalized edit-similarity SQL fragment (kie.py:26-31 semantics:
+    1 - lev/maxlen, both-empty → 1.0) — shared by every metric oracle."""
+    return (f"CASE WHEN greatest(length({pred}), length({gt})) = 0 THEN 1.0 "
+            f"ELSE 1.0 - levenshtein({pred}, {gt}) "
+            f"/ greatest(length({pred}), length({gt})) END")
+
+
+def _lang_ratio_sql():
+    """Shared builders for the language-ratio columns, argmax CASE, and
+    best expression used by both the LID and quality-filter oracles."""
+    from docext_spark.core.textstats import LANG_ORDER, STOPWORDS_BY_LANG
+    ratio_cols = ",\n         ".join(
+        "CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> lower(x) IN ({}))) * 1.0 / len(t) END AS r_{}".format(
+            ", ".join(f"'{s}'" for s in STOPWORDS_BY_LANG[lang]), lang)
+        for lang in LANG_ORDER)
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANG_ORDER) + ")"
+    case = " ".join(f"WHEN r_{lang} = {best} THEN '{lang}'"
+                    for lang in LANG_ORDER)
+    return ratio_cols, best, case
+
 
 def _q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -128,7 +151,7 @@ def _j1_field_alignment(spark, sf_dir):
         F.count(F.lit(1)).alias("n_fields"))
 
 
-_J1_SQL = """
+_J1_SQL = f"""
 WITH pred AS (
   SELECT o_custkey AS key, o_orderpriority AS pred_value,
          row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
@@ -138,11 +161,7 @@ WITH pred AS (
   FROM customer LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p
        ON c_custkey = p.key
 )
-SELECT round(avg(CASE WHEN greatest(length(pred_value), length(gt_value)) = 0
-                      THEN 1.0
-                      ELSE 1.0 - levenshtein(pred_value, gt_value)
-                           / greatest(length(pred_value), length(gt_value)) END), 6)
-         AS kie_score,
+SELECT round(avg({_edit_sim_sql("pred_value", "gt_value")}), 6) AS kie_score,
        count(*) AS n_fields
 FROM aligned
 """
@@ -157,11 +176,8 @@ def _a1_edit_similarity(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
-_A1_SQL = """
-SELECT round(avg(CASE WHEN greatest(length(p_name), length(p_type)) = 0 THEN 1.0
-                      ELSE 1.0 - levenshtein(p_name, p_type)
-                           / greatest(length(p_name), length(p_type)) END), 6)
-         AS mean_sim,
+_A1_SQL = f"""
+SELECT round(avg({_edit_sim_sql("p_name", "p_type")}), 6) AS mean_sim,
        count(*) AS n
 FROM part
 """
@@ -176,14 +192,12 @@ def _a3_vqa_best_of(spark, sf_dir):
     return vqa_best_of(gt, ["key"])
 
 
-_A3_SQL = """
+_A3_SQL = f"""
 WITH exploded AS (
   SELECT o_orderkey AS key, o_orderstatus AS pred, unnest([o_orderpriority, o_orderstatus]) AS ans
   FROM orders
 ), per_doc AS (
-  SELECT key, max(CASE WHEN greatest(length(pred), length(ans)) = 0 THEN 1.0
-                       ELSE 1.0 - levenshtein(pred, ans)
-                            / greatest(length(pred), length(ans)) END) AS best_sim
+  SELECT key, max({_edit_sim_sql("pred", "ans")}) AS best_sim
   FROM exploded GROUP BY key
 )
 SELECT round(avg(best_sim), 6) AS vqa_score FROM per_doc
@@ -491,14 +505,7 @@ def _t_lang_id(spark, sf_dir):
 
 
 def _lang_sql():
-    from docext_spark.core.textstats import LANG_ORDER, STOPWORDS_BY_LANG
-    ratio_cols = ",\n         ".join(
-        "CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> lower(x) IN ({}))) * 1.0 / len(t) END AS r_{}".format(
-            ", ".join(f"'{s}'" for s in STOPWORDS_BY_LANG[lang]), lang)
-        for lang in LANG_ORDER)
-    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANG_ORDER) + ")"
-    case = " ".join(f"WHEN r_{lang} = {best} THEN '{lang}'"
-                    for lang in LANG_ORDER)
+    ratio_cols, best, case = _lang_ratio_sql()
     return f"""
 WITH toks AS (
   SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
@@ -613,14 +620,7 @@ def _t_quality_filter(spark, sf_dir):
 
 
 def _quality_filter_sql():
-    from docext_spark.core.textstats import LANG_ORDER, STOPWORDS_BY_LANG
-    ratio_cols = ",\n         ".join(
-        "CASE WHEN len(t) = 0 THEN 0.0 ELSE len(list_filter(t, x -> lower(x) IN ({}))) * 1.0 / len(t) END AS r_{}".format(
-            ", ".join(f"'{s}'" for s in STOPWORDS_BY_LANG[lang]), lang)
-        for lang in LANG_ORDER)
-    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANG_ORDER) + ")"
-    case = " ".join(f"WHEN r_{lang} = {best} THEN '{lang}'"
-                    for lang in LANG_ORDER)
+    ratio_cols, best, case = _lang_ratio_sql()
     return f"""
 WITH base AS (
   SELECT doc_id, text,

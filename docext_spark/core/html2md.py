@@ -21,6 +21,8 @@ from __future__ import annotations
 import html as _html
 import re
 
+from docext_spark.core.tables import span_int
+
 # Subtrees that are never main content (hard boilerplate).
 _DROP_SUBTREE = {
     "script", "style", "nav", "footer", "header", "aside", "noscript",
@@ -37,15 +39,6 @@ _VOID = {"br", "img", "input", "hr", "meta", "link", "area", "base", "col",
 
 # drop-set tags whose close is optional in HTML (a sibling start implies it)
 _IMPLICIT_CLOSE = {"option"}
-
-
-def _span_int(v, default: int = 1) -> int:
-    """Defensive rowspan/colspan parse (mirrors tables.py): '50%', '', None
-    → default instead of raising into the whole-document fallback."""
-    try:
-        return max(1, int(v))
-    except (TypeError, ValueError):
-        return default
 
 _WS_RE = re.compile(r"\s+")
 
@@ -101,7 +94,6 @@ class _Extractor:
         self._pos = 0
         self._data_end = 0
         self.blocks: list[_Block] = []
-        self.tables: list[tuple[int, str]] = []  # (block_position, html)
         self._cur: _Block | None = None
         self._drop_depth = 0
         self._dropped_subtrees = 0
@@ -203,8 +195,8 @@ class _Extractor:
                 if self._table_depth == 1:
                     ad = dict(attrs)
                     self._tcell = []
-                    self._tcell_meta = (tag, _span_int(ad.get("rowspan")),
-                                        _span_int(ad.get("colspan")))
+                    self._tcell_meta = (tag, span_int(ad.get("rowspan")),
+                                        span_int(ad.get("colspan")))
             elif tag == "input":
                 ad = dict(attrs)
                 if (ad.get("type") or "").lower() == "checkbox" and self._tcell is not None:

@@ -15,6 +15,15 @@ import re
 _SEP_ROW_RE = re.compile(r"^\s*:?-{3,}:?\s*$")
 
 
+def span_int(v, default: int = 1) -> int:
+    """Defensive rowspan/colspan parse: '50%', '', None → default instead
+    of raising (a bad attribute must never fail a whole payload)."""
+    try:
+        return max(1, int(v))
+    except (TypeError, ValueError):
+        return default
+
+
 def slice_pipe_region(text: str) -> str | None:
     """Substring from first '|' to last '|' inclusive (extract.py:118)."""
     try:
@@ -122,15 +131,9 @@ def html_table_to_cells(table_html: str) -> list[dict]:
                 _close_cell()
                 attrs = {k.lower(): (v1 or v2 or v3 or "")
                          for k, v1, v2, v3 in _ATTR_RE.findall(attrs_raw)}
-                try:
-                    rs = max(1, int(attrs.get("rowspan", "1")))
-                except ValueError:
-                    rs = 1
-                try:
-                    cs = max(1, int(attrs.get("colspan", "1")))
-                except ValueError:
-                    cs = 1
-                cell_meta = (rs, cs, tag == "th")
+                cell_meta = (span_int(attrs.get("rowspan", "1")),
+                             span_int(attrs.get("colspan", "1")),
+                             tag == "th")
     _close_cell()
     return cells
 

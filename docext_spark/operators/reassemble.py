@@ -95,15 +95,15 @@ def reassemble_conversations_chunked(turns: DataFrame,
                          md.alias("conv_md"))
 
 
-def reassemble_conversations(turns: DataFrame, salted: bool = True,
+def reassemble_conversations(turns: DataFrame, segmented: bool = True,
                              segment_size: int = SEGMENT_SIZE) -> DataFrame:
     """(conv_id, turn_idx, md, ...) → (conv_id, n_turns, conv_md).
 
-    ``salted=True`` selects the skew-safe segmented two-phase plan;
-    ``salted=False`` is the direct single-shuffle plan (same results).
+    ``segmented=True`` selects the skew-safe two-phase plan;
+    ``segmented=False`` is the direct single-shuffle plan (same results).
     """
     base = turns.select("conv_id", "turn_idx", "md")
-    if salted:
+    if segmented:
         seg = (base
                .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
                            .cast("long"))

@@ -1,12 +1,12 @@
 """The flagship end-to-end pipeline (SURVEY.md §3.1/§3.2 Spark rebuild):
 
     scan transcripts → per-turn extraction pUDF → (a) per-turn results +
-    per-partition lineage metrics → (b) salted window reassembly →
+    per-partition lineage metrics → (b) segmented window reassembly →
     checkpointed write
 
 Designed for 10^12 turns: the extraction stage is embarrassingly parallel
 (no shuffle — map-only over the scan), the only shuffle is the conversation
-reassembly groupBy, which is salted two-phase to survive hot conversations;
+reassembly groupBy, which is segmented two-phase to survive hot conversations;
 lineage metrics ride the same pass (no second scan).
 """
 from __future__ import annotations
@@ -41,7 +41,7 @@ def run_extraction(transcripts: DataFrame) -> DataFrame:
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  output_root: str | None = None,
                  metrics_path: str | None = None,
-                 salted: bool = True) -> dict:
+                 segmented: bool = True) -> dict:
     """Full job. When ``output_root`` is set, per-turn results are written
     through the checkpoint protocol (resume = anti-join on committed keys).
 
@@ -72,7 +72,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     if metrics_path is not None:
         metrics.write.mode("append").parquet(metrics_path)
 
-    convs = reassemble_conversations(all_turns, salted=salted)
+    convs = reassemble_conversations(all_turns, segmented=segmented)
     if metrics_path is not None:
         extracted.unpersist()  # metrics were materialized by the write above
     return {"turns": all_turns, "convs": convs, "metrics": metrics,

@@ -8,7 +8,7 @@ produce byte-identical tables. Produces the input_hint shape:
 
 Payload mix: html 40%, pdf_text 20%, md_table 15%, json_payload 10%,
 plain 15%. One hot conversation gets ~50× the median turn count (skew
-exercise for the salted reassembly path).
+exercise for the segmented reassembly path).
 
 Rows are emitted in shuffled order — correct ordering must be restored by
 the window over (conv_id, turn_idx), never by read order.
@@ -104,7 +104,6 @@ _KIND_MAKERS = [("html", _html_payload, 0.40), ("pdf_text", _pdf_payload, 0.20),
                 ("json_payload", _json_payload, 0.10),
                 ("plain", _plain_payload, 0.15)]
 _ROLES = ["user", "assistant", "tool"]
-_TOOLS = {"user": "", "assistant": "", "tool": None}  # tool role gets a name
 
 
 def generate_transcripts(n_convs: int = 100, median_turns: int = 8,

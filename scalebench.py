@@ -56,7 +56,7 @@ n_turns = tdf.count()          # cache fill excluded from timing
 
 def job():
     extracted = run_extraction(tdf)
-    reassemble_conversations(extracted, salted=True) \
+    reassemble_conversations(extracted, segmented=True) \
         .write.mode("overwrite").format("noop").save()
 
 for _ in range(2):             # warm-up: worker spawn + imports + JIT

@@ -1,6 +1,6 @@
 """The north invariant (SURVEY.md §5.2 item 1): per-turn byte equality
 between the Spark pipeline and the pure-Python oracle, under stable turn
-ordering; plus salted == unsalted reassembly and lineage totals."""
+ordering; plus segmented == direct reassembly and lineage totals."""
 from __future__ import annotations
 
 from collections import defaultdict
@@ -50,7 +50,7 @@ def test_spans_match_oracle(turns_and_oracle):
 def test_conversation_reassembly_order(turns_and_oracle, spark):
     extracted, oracle = turns_and_oracle
     convs = {r["conv_id"]: r["conv_md"]
-             for r in reassemble_conversations(extracted, salted=True).collect()}
+             for r in reassemble_conversations(extracted, segmented=True).collect()}
     byconv = defaultdict(list)
     for (cid, tid), o in oracle.items():
         byconv[cid].append((tid, o["md"]))
@@ -59,12 +59,12 @@ def test_conversation_reassembly_order(turns_and_oracle, spark):
         assert convs[cid] == conversation_markdown([m for _, m in items]), cid
 
 
-def test_salted_equals_unsalted(turns_and_oracle):
+def test_segmented_equals_direct(turns_and_oracle):
     extracted, _ = turns_and_oracle
     a = {r["conv_id"]: r["conv_md"]
-         for r in reassemble_conversations(extracted, salted=True).collect()}
+         for r in reassemble_conversations(extracted, segmented=True).collect()}
     b = {r["conv_id"]: r["conv_md"]
-         for r in reassemble_conversations(extracted, salted=False).collect()}
+         for r in reassemble_conversations(extracted, segmented=False).collect()}
     assert a == b
 
 
