@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--synth-convs", type=int, default=0,
                     help="generate a seeded synthetic input instead of --input")
     ap.add_argument("--conv-output", help="optional conversation-level output")
+    ap.add_argument("--chunked", action="store_true",
+                    help="bounded-row conversation output (multi-GB convs)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,10 +50,15 @@ def main():
     t0 = time.time()
     res = run_pipeline(spark, transcripts, output_root=args.output,
                        metrics_path=args.metrics)
+    convs = res["convs"]
+    if args.chunked:
+        from docext_spark.operators.reassemble import (
+            reassemble_conversations_chunked)
+        convs = reassemble_conversations_chunked(res["turns"])
     if args.conv_output:
-        res["convs"].write.mode("overwrite").parquet(args.conv_output)
+        convs.write.mode("overwrite").parquet(args.conv_output)
     else:
-        res["convs"].write.mode("overwrite").format("noop").save()
+        convs.write.mode("overwrite").format("noop").save()
     elapsed = time.time() - t0
 
     n = res["turns"].count()
