@@ -137,6 +137,84 @@ GROUP BY n_name
 """
 
 
+def _q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective join + agg + top-10 (join order and
+    TakeOrderedAndProject left to Catalyst/AQE)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                    "revenue"))
+
+
+_Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + aggregate — every predicate must reach
+    the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1997-01-01")
+                      & (F.col("l_shipdate") < "1998-01-01")
+                      & (F.col("l_discount").between(0.03, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+                  .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _a14_cube(spark, sf_dir):
+    """Grouping-sets breadth: CUBE over (returnflag, linestatus) with
+    grouping-null markers normalized to 'ALL' on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "sum_qty", "n"))
+
+
+_A14_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _a15_approx_distinct(spark, sf_dir):
+    """HLL approx-distinct (sketch values are engine-specific → rows-only;
+    the pytest twin asserts ≤5% error vs exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                  F.countDistinct("l_partkey").alias("exact_parts"))
+
+
 def _j1_field_alignment(spark, sf_dir):
     """J1+W3+A1: gt label per customer vs first-order pred, '' on miss,
     mean edit similarity (kie.py:11-32 / ds.py:89-95 semantics)."""
@@ -1157,6 +1235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "a14_cube": _a14_cube,
+        "a15_approx_distinct": _a15_approx_distinct,
         "j1_field_alignment": _j1_field_alignment,
         "a1_edit_similarity": _a1_edit_similarity,
         "a3_vqa_best_of": _a3_vqa_best_of,
@@ -1216,6 +1298,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
         "q5_revenue_by_nation": _Q5_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "a14_cube": _A14_SQL,
         "j1_field_alignment": _J1_SQL,
         "a1_edit_similarity": _A1_SQL,
         "a3_vqa_best_of": _A3_SQL,

@@ -44,3 +44,8 @@ def test_oracle_spot_check(spark, name):
     assert len(srows) == len(drows)
     assert sorted(sdf.columns) == sorted(dcols)
     assert table_digest(sdf.columns, srows) == table_digest(dcols, drows)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    row = entry.queries()["a15_approx_distinct"](spark, SF).collect()[0]
+    assert abs(row["approx_parts"] - row["exact_parts"]) <= 0.05 * row["exact_parts"]
