@@ -81,7 +81,8 @@ def quality_score(col: Column) -> Column:
             + 0.3 * F.least(F.lit(1.0), stopword_ratio(col) / F.lit(0.4)))
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
+def word_shingles(col: Column, n: int = 3,
+                  pre_normalized: bool = False) -> Column:
     """Word n-gram shingles over the normalized text (dedup input).
 
     Texts shorter than n tokens yield one shingle (the whole text), matching
@@ -91,8 +92,14 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     transform(sequence)+slice+array_join plan (benchmarked: 1.9s vs 20s for
     260k shingles; per-index element_at/slice inside a lambda is O(len)
     per access in Catalyst's interpreted higher-order path).
+
+    Pass ``pre_normalized=True`` when ``col`` is already the normalized
+    text: Catalyst does NOT common-subexpression the normalization regex
+    through the higher-order functions, so evaluating it inline costs ~3x
+    (measured) — project ``normalized()`` first and reference the column.
     """
-    toks = F.split(normalized(col), " ")
+    norm = col if pre_normalized else normalized(col)
+    toks = F.split(norm, " ")
     cnt = F.size(toks)
     full = F.array(F.array_join(toks, " "))
     m = cnt - (n - 1)  # number of shingles
@@ -101,7 +108,7 @@ def word_shingles(col: Column, n: int = 3) -> Column:
         shifted = F.slice(toks, k + 1, m)
         grams = F.zip_with(grams, shifted,
                            lambda acc, t: F.concat(acc, F.lit(" "), t))
-    return F.when(normalized(col) == "", F.array().cast("array<string>")) \
+    return F.when(norm == "", F.array().cast("array<string>")) \
             .otherwise(F.when(cnt < n, full).otherwise(grams))
 
 
