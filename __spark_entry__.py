@@ -878,6 +878,32 @@ SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 # ---- oracle-checked extraction queries (perception planted in the data) ---
 
+def _dedup_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline (LSH-bucketed
+    variant is similarity.embedding_near_dups(exact=False))."""
+    from docext_spark.operators.similarity import embedding_near_dups
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_near_dups(emb, threshold=0.8)
+
+
+_COSDUP_SQL = """
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(round(
+           list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                           for i in generate_series(1, len(a.embedding))], 'sum')
+           / (sqrt(list_aggregate([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                                   for i in generate_series(1, len(a.embedding))], 'sum'))
+              * sqrt(list_aggregate([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                     for i in generate_series(1, len(b.embedding))], 'sum'))),
+           6), 6) AS cos_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.8
+"""
+
+
 def _x4_kie_fields(spark, sf_dir):
     """X4/X6 oracle check: field values planted into synthesized invoice
     text; the pUDF must recover them exactly (missing field → '' Low)."""
@@ -1271,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
+        "dedup_cosine_pairs": _dedup_cosine_pairs,
         "x4_kie_fields": _x4_kie_fields,
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
@@ -1333,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "dedup_cosine_pairs": _COSDUP_SQL,
         "x4_kie_fields": _X4_SQL,
         "x5_pipe_table": _X5_SQL,
         "x7_classification": _X7_SQL,

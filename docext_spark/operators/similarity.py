@@ -43,6 +43,35 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k))
 
 
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        exact: bool = True, n_planes: int = 6,
+                        dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ τ).
+
+    exact=True: full self-join — the correctness baseline (oracle-checked).
+    exact=False: hyperplane-LSH bucketed join — candidates only materialize
+    inside shared buckets (the 100TB path; collision prob for cosine≥τ pairs
+    is (1 - acos(τ)/π)^n_planes per table)."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    if not exact:
+        planes = deterministic_planes(dim or 8, n_planes)
+        v = v.withColumn("bucket", hyperplane_signature(F.col("vec"), planes))
+        join_on = ["bucket"]
+    else:
+        v = v.withColumn("bucket", F.lit(0))
+        join_on = ["bucket"]
+    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    return (a.join(b, join_on)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim",
+                         F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+             .filter(F.col("cos_sim") >= threshold)
+             .select("id_a", "id_b", "cos_sim").distinct())
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
     a string key ('1'/'0' chars). Planes are a fixed seeded constant —

@@ -134,3 +134,16 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
               lsh_topk(vectors, _queries(spark), dim=3, k=5, n_planes=2).collect()}
     assert approx  # bucket contains at least the query-identical vector
     assert approx.issubset(exact)
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark, vectors):
+    from docext_spark.operators.similarity import embedding_near_dups
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups(vectors, threshold=0.9).collect()}
+    assert (0, 1) in exact  # cos([1,0,0],[0.9,0.1,0]) ≈ 0.994
+    assert not any(p == (0, 2) for p in exact)
+    approx = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dups(vectors, threshold=0.9,
+                                           exact=False, n_planes=1,
+                                           dim=3).collect()}
+    assert approx.issubset(exact)  # LSH never invents pairs above τ
