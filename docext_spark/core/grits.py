@@ -99,14 +99,22 @@ def factored_2dmss(true_grid: list[list[str]], pred_grid: list[list[str]],
     if num_true == 0 or num_pos == 0:
         return fscore(0.0, num_true, num_pos)
 
-    # dense reward tensor R[ti, tj, pi, pj]
+    # dense reward tensor R[ti, tj, pi, pj]; real tables repeat cell values
+    # (spans, empty cells, units) so memoize per distinct (gt, pred) pair —
+    # turns the O((r·c)²) reward pass into O(distinct_pairs) kernel calls
+    cache: dict[tuple, float] = {}
     R = np.empty((tr, tc, pr, pc))
     for ti in range(tr):
         for tj in range(tc):
             cell = t[ti, tj]
             for pi in range(pr):
                 for pj in range(pc):
-                    R[ti, tj, pi, pj] = reward_fn(cell, p[pi, pj])
+                    key = (cell, p[pi, pj])
+                    r = cache.get(key)
+                    if r is None:
+                        r = reward_fn(key[0], key[1])
+                        cache[key] = r
+                    R[ti, tj, pi, pj] = r
 
     # row alignment: reward(row ti, row pi) = best 1D column alignment
     row_reward = np.empty((tr, pr))
