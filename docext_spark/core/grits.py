@@ -137,10 +137,23 @@ def factored_2dmss(true_grid: list[list[str]], pred_grid: list[list[str]],
     return fscore(match, num_true, num_pos)
 
 
+# Executor-protection bound: factored 2D-MSS is O((r·c)²); a pathological
+# (or adversarial) 10k-row table must not hang a task. Grids are truncated
+# to this many rows/cols — far above any real document table.
+MAX_GRID_ROWS = 200
+MAX_GRID_COLS = 60
+
+
+def _bound(grid: list[list[str]]) -> list[list[str]]:
+    if len(grid) > MAX_GRID_ROWS or (grid and len(grid[0]) > MAX_GRID_COLS):
+        return [row[:MAX_GRID_COLS] for row in grid[:MAX_GRID_ROWS]]
+    return grid
+
+
 def grits_con_from_html(true_html: str, pred_html: str) -> float:
     """GRITS_Con over two HTML tables (reference grits.py:510-525)."""
-    tg = cells_to_text_grid(html_table_to_cells(true_html))
-    pg = cells_to_text_grid(html_table_to_cells(pred_html))
+    tg = _bound(cells_to_text_grid(html_table_to_cells(true_html)))
+    pg = _bound(cells_to_text_grid(html_table_to_cells(pred_html)))
     return factored_2dmss(tg, pg)
 
 
@@ -183,6 +196,6 @@ def edit_distance_similarity(a: str, b: str) -> float:
 def grits_top_from_html(true_html: str, pred_html: str) -> float:
     """GRITS_Top (topology) over two HTML tables: factored 2D-MSS on the
     relative-span grids with edit-distance reward (grits.py:410-428)."""
-    tg = cells_to_relspan_grid(html_table_to_cells(true_html))
-    pg = cells_to_relspan_grid(html_table_to_cells(pred_html))
+    tg = _bound(cells_to_relspan_grid(html_table_to_cells(true_html)))
+    pg = _bound(cells_to_relspan_grid(html_table_to_cells(pred_html)))
     return factored_2dmss(tg, pg, reward_fn=edit_distance_similarity)
