@@ -21,13 +21,16 @@ import numpy as np
 from docext_spark.core.tables import cells_to_text_grid, html_table_to_cells
 
 
-def fscore(match_score: float, num_true: int, num_positives: int) -> float:
-    """Precision 1 when no predictions, recall 1 when no truth, F 0 at 0+0."""
+def fscore(match_score: float, num_true: int,
+           num_positives: int) -> tuple[float, float, float]:
+    """(f, precision, recall) — precision 1 when no predictions, recall 1
+    when no truth, F 0 at 0+0 (reference grits.py:13-36 compute_fscore
+    returns the same triple)."""
     precision = match_score / num_positives if num_positives > 0 else 1.0
     recall = match_score / num_true if num_true > 0 else 1.0
     if precision + recall <= 0:
-        return 0.0
-    return 2 * precision * recall / (precision + recall)
+        return 0.0, precision, recall
+    return 2 * precision * recall / (precision + recall), precision, recall
 
 
 def lcs_similarity(a: str, b: str) -> float:
@@ -83,21 +86,40 @@ def _align(reward: np.ndarray, return_alignment: bool = False):
     return score[n, m], pairs
 
 
-def factored_2dmss(true_grid: list[list[str]], pred_grid: list[list[str]],
+def _to_object_grid(grid: list[list]) -> np.ndarray:
+    """2D object array regardless of cell type (strings, bbox tuples) —
+    np.array() would promote a grid of equal-length bboxes to a 3D array."""
+    rows = len(grid)
+    cols = len(grid[0]) if rows else 0
+    out = np.empty((rows, cols), dtype=object)
+    for i, row in enumerate(grid):
+        for j, cell in enumerate(row):
+            out[i, j] = tuple(cell) if isinstance(cell, list) else cell
+    return out
+
+
+def factored_2dmss(true_grid: list[list], pred_grid: list[list],
                    reward_fn=lcs_similarity) -> float:
-    """Factored 2D most-similar-substructure f-score over two text grids."""
-    t = np.array(true_grid, dtype=object)
-    p = np.array(pred_grid, dtype=object)
-    if t.ndim == 1:
-        t = t.reshape(1, -1)
-    if p.ndim == 1:
-        p = p.reshape(1, -1)
+    """Factored 2D most-similar-substructure f-score over two grids."""
+    return factored_2dmss_full(true_grid, pred_grid, reward_fn)[0]
+
+
+def factored_2dmss_full(true_grid: list[list], pred_grid: list[list],
+                        reward_fn=lcs_similarity
+                        ) -> tuple[float, float, float, float]:
+    """(f, precision, recall, upper_bound) — the reference factored_2dmss
+    contract (grits.py:167-221; the upper bound is min(row-only, col-only)
+    alignment score passed through compute_fscore with the reference's own
+    argument order, grits.py:207-210)."""
+    t = _to_object_grid(true_grid)
+    p = _to_object_grid(pred_grid)
     tr, tc = t.shape if t.size else (0, 0)
     pr, pc = p.shape if p.size else (0, 0)
     num_true = tr * tc
     num_pos = pr * pc
     if num_true == 0 or num_pos == 0:
-        return fscore(0.0, num_true, num_pos)
+        f, prec, rec = fscore(0.0, num_true, num_pos)
+        return f, prec, rec, f
 
     # dense reward tensor R[ti, tj, pi, pj]; real tables repeat cell values
     # (spans, empty cells, units) so memoize per distinct (gt, pred) pair —
@@ -121,20 +143,24 @@ def factored_2dmss(true_grid: list[list[str]], pred_grid: list[list[str]],
     for ti in range(tr):
         for pi in range(pr):
             row_reward[ti, pi] = _align(R[ti, :, pi, :])
-    _, row_pairs = _align(row_reward, return_alignment=True)
+    row_total, row_pairs = _align(row_reward, return_alignment=True)
 
     # column alignment on the transposed tensor
     col_reward = np.empty((tc, pc))
     for tj in range(tc):
         for pj in range(pc):
             col_reward[tj, pj] = _align(R[:, tj, :, pj])
-    _, col_pairs = _align(col_reward, return_alignment=True)
+    col_total, col_pairs = _align(col_reward, return_alignment=True)
+
+    # reference grits.py:207-210 passes (num_pos, num_true) in that order
+    upper_bound, _, _ = fscore(min(row_total, col_total), num_pos, num_true)
 
     match = 0.0
     for ti, pi in row_pairs:
         for tj, pj in col_pairs:
             match += R[ti, tj, pi, pj]
-    return fscore(match, num_true, num_pos)
+    f, prec, rec = fscore(match, num_true, num_pos)
+    return f, prec, rec, upper_bound
 
 
 # Executor-protection bound: factored 2D-MSS is O((r·c)²); a pathological
@@ -199,3 +225,47 @@ def grits_top_from_html(true_html: str, pred_html: str) -> float:
     tg = _bound(cells_to_relspan_grid(html_table_to_cells(true_html)))
     pg = _bound(cells_to_relspan_grid(html_table_to_cells(pred_html)))
     return factored_2dmss(tg, pg, reward_fn=edit_distance_similarity)
+
+
+def cells_to_grid(cells: list[dict], key: str = "cell_text") -> list[list]:
+    """Grid of per-position cell features (reference grits.py:252-272):
+    'cell_text' feeds GRITS_Con, 'bbox' feeds GRITS_Loc. Unoccupied grid
+    positions are 0 (the reference leaves np.zeros entries in place)."""
+    if not cells:
+        return [[]]
+    num_rows = max(max(c["row_nums"]) for c in cells) + 1
+    num_cols = max(max(c["column_nums"]) for c in cells) + 1
+    grid: list[list] = [[0 for _ in range(num_cols)] for _ in range(num_rows)]
+    for c in cells:
+        for r in c["row_nums"]:
+            for k in c["column_nums"]:
+                grid[r][k] = c[key]
+    return grid
+
+
+def bbox_iou(bbox1, bbox2) -> float:
+    """Reference grits.py iou (lines ~395-412): intersection area over the
+    area of the *enclosing* rectangle (fitz include_rect — the smallest rect
+    containing both), not the set-union area. Mirrored exactly so GRITS_Loc
+    scores match."""
+    ix = max(0.0, min(bbox1[2], bbox2[2]) - max(bbox1[0], bbox2[0]))
+    iy = max(0.0, min(bbox1[3], bbox2[3]) - max(bbox1[1], bbox2[1]))
+    inter = ix * iy
+    ex = max(bbox1[2], bbox2[2]) - min(bbox1[0], bbox2[0])
+    ey = max(bbox1[3], bbox2[3]) - min(bbox1[1], bbox2[1])
+    enclosing = ex * ey
+    return inter / enclosing if enclosing > 0 else 0.0
+
+
+def _iou_reward(a, b) -> float:
+    """IoU reward tolerant of the grid's 0 fill (no cell at a position)."""
+    if not isinstance(a, (tuple, list)) or not isinstance(b, (tuple, list)):
+        return 0.0
+    return bbox_iou(a, b)
+
+
+def grits_loc(true_bbox_grid: list[list], pred_bbox_grid: list[list]) -> float:
+    """GRITS_Loc: factored 2D-MSS over grids of cell bounding boxes with
+    IoU reward (reference grits.py:431-436)."""
+    return factored_2dmss(_bound(true_bbox_grid), _bound(pred_bbox_grid),
+                          reward_fn=_iou_reward)

@@ -107,7 +107,10 @@ def html_table_to_cells(table_html: str) -> list[dict]:
             "row_nums": row_nums,
             "column_nums": column_nums,
             "is_column_header": is_th or in_header_depth > 0,
-            "cell_text": re.sub(r"\s+", " ", "".join(cell_text)).strip(),
+            # ' '.join between fragments matches the reference's
+            # ' '.join(itertext()) (grits.py:503) — <td>a<b>b</b></td> must
+            # yield 'a b', not 'ab'; the collapse then canonicalizes runs
+            "cell_text": re.sub(r"\s+", " ", " ".join(cell_text)).strip(),
         })
         cell_meta = None
         cell_text = []

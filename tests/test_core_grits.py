@@ -16,10 +16,12 @@ def test_lcs_similarity_edges():
 
 
 def test_fscore_conventions():
+    # (f, precision, recall) triple, the reference compute_fscore contract:
     # precision 1 with no predictions, recall 1 with no truth, 0 at 0+0
-    assert fscore(0, 0, 0) == 1.0  # p=1, r=1
-    assert fscore(0, 4, 0) == 0.0  # p=1, r=0 → f=0
-    assert fscore(2, 4, 2) == 2 * 1 * 0.5 / 1.5
+    assert fscore(0, 0, 0) == (1.0, 1.0, 1.0)
+    assert fscore(0, 4, 0) == (0.0, 1.0, 0.0)  # p=1, r=0 → f=0
+    f, p, r = fscore(2, 4, 2)
+    assert (f, p, r) == (2 * 1 * 0.5 / 1.5, 1.0, 0.5)
 
 
 def test_identical_grids_score_one():
@@ -87,6 +89,52 @@ def test_edit_distance_similarity_kernel():
     assert edit_distance_similarity("", "") == 1.0
     assert edit_distance_similarity("abc", "abc") == 1.0
     assert math.isclose(edit_distance_similarity("kitten", "sitting"), 1 - 3 / 7)
+
+
+def test_factored_2dmss_full_triple():
+    from docext_spark.core.grits import factored_2dmss_full
+    gt = [["a", "b"], ["c", "d"]]
+    pred = [["a", "b"]]
+    f, p, r, ub = factored_2dmss_full(gt, pred)
+    # match=2, num_true=4, num_pos=2 → p=1, r=.5 (reference grits.py:220)
+    assert (p, r) == (1.0, 0.5)
+    assert math.isclose(f, 2 / 3)
+    assert ub >= f  # upper bound dominates the factored score
+    f2, p2, r2, ub2 = factored_2dmss_full(gt, gt)
+    assert (f2, p2, r2, ub2) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_grits_loc_iou():
+    from docext_spark.core.grits import bbox_iou, grits_loc
+    # reference iou divides by the ENCLOSING rect area (fitz include_rect)
+    assert bbox_iou((0, 0, 2, 2), (0, 0, 2, 2)) == 1.0
+    assert bbox_iou((0, 0, 1, 1), (2, 2, 3, 3)) == 0.0
+    # overlap 1x1, enclosing 2x2 → 0.25 (set-union would give 1/7)
+    assert math.isclose(bbox_iou((0, 0, 2, 1), (1, 0, 2, 2)), 1 / 4)
+    g = [[(0, 0, 10, 10), (10, 0, 20, 10)],
+         [(0, 10, 10, 20), (10, 10, 20, 20)]]
+    assert grits_loc(g, g) == 1.0
+    shifted = [[(x0 + 2, y0, x1 + 2, y1) for (x0, y0, x1, y1) in row]
+               for row in g]
+    assert 0.0 < grits_loc(g, shifted) < 1.0
+
+
+def test_cells_to_grid_bbox_key():
+    from docext_spark.core.grits import cells_to_grid
+    cells = [{"row_nums": [0], "column_nums": [0, 1],
+              "is_column_header": False, "cell_text": "wide",
+              "bbox": (0, 0, 20, 10)}]
+    assert cells_to_grid(cells, key="cell_text") == [["wide", "wide"]]
+    assert cells_to_grid(cells, key="bbox") == [[(0, 0, 20, 10), (0, 0, 20, 10)]]
+    assert cells_to_grid([]) == [[]]
+
+
+def test_inline_markup_cell_text_spacing():
+    from docext_spark.core.tables import html_table_to_cells
+    # reference html_to_cells uses ' '.join(itertext()): <td>a<b>b</b></td>
+    # must read 'a b', not 'ab' (grits.py:503)
+    cells = html_table_to_cells("<table><tr><td>a<b>b</b></td></tr></table>")
+    assert cells[0]["cell_text"] == "a b"
 
 
 def test_empty_tables():
