@@ -878,24 +878,59 @@ SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 # ---- oracle-checked extraction queries (perception planted in the data) ---
 
+def _planted_embeddings(spark, sf_dir):
+    """embeddings (vec_id < 300) plus 10 deterministic near-dup plants:
+    vec_id+100000 carries embedding*1.5 — same direction, cosine exactly
+    1.0 — so the ≥0.8 oracle has teeth (the raw synthetic embeddings are
+    random, max pairwise cosine ≈0.47; without plants an implementation
+    returning an empty frame would vacuously pass)."""
+    emb = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding")))
+    planted = (emb.filter(F.col("vec_id") < 10)
+               .select((F.col("vec_id") + 100000).alias("vec_id"),
+                       F.transform("embedding", lambda x: x * 1.5)
+                        .alias("embedding")))
+    return emb.unionByName(planted)
+
+
 def _dedup_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, exact baseline (LSH-bucketed
-    variant is similarity.embedding_near_dups(exact=False))."""
+    """Embedding-cosine near-dup pairs, exact O(n²) baseline (explicitly
+    opted into; the default path is the LSH one, _dedup_cosine_lsh)."""
     from docext_spark.operators.similarity import embedding_near_dups
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    return embedding_near_dups(emb, threshold=0.8)
+    return embedding_near_dups(_planted_embeddings(spark, sf_dir),
+                               threshold=0.8, exact=True)
+
+
+def _dedup_cosine_lsh(spark, sf_dir):
+    """The 100TB path: hyperplane-LSH with 2-table OR-amplification.
+    Oracle = the exact-baseline SQL — on this input every true pair is a
+    scaled copy (identical direction → identical signature in every table),
+    so the bucketed path must recover exactly the exact-path pairs; the
+    re-rank never invents pairs, so equality is deterministic."""
+    from docext_spark.operators.similarity import embedding_near_dups
+    return embedding_near_dups(_planted_embeddings(spark, sf_dir),
+                               threshold=0.8, dim=64, n_planes=8, n_tables=2)
 
 
 _COSDUP_SQL = """
-WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+WITH base AS (
+  SELECT vec_id, [x::DOUBLE for x in embedding] AS embedding
+  FROM embeddings WHERE vec_id < 300
+), v AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 100000, [x * 1.5 for x in embedding]
+  FROM base WHERE vec_id < 10
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(round(
-           list_aggregate([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+           list_aggregate([a.embedding[i] * b.embedding[i]
                            for i in generate_series(1, len(a.embedding))], 'sum')
-           / (sqrt(list_aggregate([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+           / (sqrt(list_aggregate([a.embedding[i] * a.embedding[i]
                                    for i in generate_series(1, len(a.embedding))], 'sum'))
-              * sqrt(list_aggregate([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+              * sqrt(list_aggregate([b.embedding[i] * b.embedding[i]
                                      for i in generate_series(1, len(b.embedding))], 'sum'))),
            6), 6) AS cos_sim
   FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -1298,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "dedup_cosine_pairs": _dedup_cosine_pairs,
+        "dedup_cosine_lsh": _dedup_cosine_lsh,
         "x4_kie_fields": _x4_kie_fields,
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
@@ -1361,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
+        "dedup_cosine_lsh": _COSDUP_SQL,
         "x4_kie_fields": _X4_SQL,
         "x5_pipe_table": _X5_SQL,
         "x7_classification": _X7_SQL,

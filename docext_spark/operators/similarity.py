@@ -43,33 +43,74 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                   .filter(F.col("rank") <= k))
 
 
+def _dim_guard(vec: Column, dim: int) -> Column:
+    """Fail the job loudly if a vector's length differs from the declared
+    LSH dimension — a silent mismatch would null-pad every zip_with dot
+    product, collapse all sign bits to '0', and degrade the bucketed path
+    into one giant O(n²) bucket."""
+    ok = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(F.lit(f"LSH dim mismatch: declared dim={dim}, got length "),
+                 F.size(vec).cast("string")))
+    return F.when(ok.isNull(), vec)
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        exact: bool = True, n_planes: int = 6,
+                        exact: bool = False, n_planes: int = 8,
+                        n_tables: int = 4,
                         dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ τ).
 
-    exact=True: full self-join — the correctness baseline (oracle-checked).
-    exact=False: hyperplane-LSH bucketed join — candidates only materialize
-    inside shared buckets (the 100TB path; collision prob for cosine≥τ pairs
-    is (1 - acos(τ)/π)^n_planes per table)."""
+    Default (exact=False) is the scale path: hyperplane-LSH with
+    OR-amplification over ``n_tables`` independent plane sets — a pair is a
+    candidate if it collides in ANY table, so recall for cosine≥τ pairs is
+    1 - (1 - (1 - acos(τ)/π)^n_planes)^n_tables. Candidates are deduped
+    BEFORE the exact re-rank so a pair's cosine is computed once, and only
+    (id, bucket) flows through the candidate shuffle (vectors rejoin after).
+    ``dim`` is required: planes must match the embedding length (a guard in
+    the plan raises on mismatch rather than silently degenerating).
+
+    exact=True is the O(n²) oracle baseline — never the default, so pipeline
+    code cannot silently inherit a cartesian self-join."""
+    if not exact and dim is None:
+        raise ValueError(
+            "embedding_near_dups(exact=False) requires dim= (the embedding "
+            "length): hyperplanes of the wrong dimension silently null-pad "
+            "every dot product and collapse all vectors into one bucket")
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("vec"))
-    if not exact:
-        planes = deterministic_planes(dim or 8, n_planes)
-        v = v.withColumn("bucket", hyperplane_signature(F.col("vec"), planes))
-        join_on = ["bucket"]
-    else:
-        v = v.withColumn("bucket", F.lit(0))
-        join_on = ["bucket"]
-    a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-    return (a.join(b, join_on)
+    if exact:
+        a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+        b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (cand.withColumn("cos_sim",
+                                F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+                    .filter(F.col("cos_sim") >= threshold)
+                    .select("id_a", "id_b", "cos_sim").distinct())
+    v = v.withColumn("vec", _dim_guard(F.col("vec"), dim))
+    sigs = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 hyperplane_signature(
+                     F.col("vec"),
+                     deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
+                 .alias("sig"))
+        for t in range(n_tables)])
+    banded = (v.select("id", F.explode(sigs).alias("b"))
+               .select("id", F.concat_ws(":", F.col("b.tbl").cast("string"),
+                                         F.col("b.sig")).alias("bucket")))
+    a = banded.withColumnRenamed("id", "id_a")
+    b = banded.withColumnRenamed("id", "id_b")
+    cand = (a.join(b, "bucket")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim",
-                         F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
-             .filter(F.col("cos_sim") >= threshold)
-             .select("id_a", "id_b", "cos_sim").distinct())
+             .select("id_a", "id_b").distinct())
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .withColumn("cos_sim",
+                            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
+                .filter(F.col("cos_sim") >= threshold)
+                .select("id_a", "id_b", "cos_sim"))
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -138,19 +179,35 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-             n_planes: int = 8, id_col: str = "vec_id",
+             n_planes: int = 8, n_tables: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "qid",
              qvec_col: str = "qvec") -> DataFrame:
-    """Approximate top-k: candidates share the query's hyperplane bucket,
-    exact cosine re-rank inside the bucket. Recall grows with fewer planes;
-    at scale use multiple tables (union of plane sets)."""
-    planes = deterministic_planes(dim, n_planes)
-    v = vectors.withColumn("bucket", hyperplane_signature(F.col(vec_col), planes))
-    q = queries.withColumn("bucket", hyperplane_signature(F.col(qvec_col), planes))
+    """Approximate top-k: candidates share the query's hyperplane bucket in
+    ANY of ``n_tables`` independent plane sets (OR-amplification), exact
+    cosine re-rank inside the union of buckets. A candidate colliding in
+    several tables is deduped before scoring (max_by keeps one row per
+    (qid, vec_id)), so amplification raises recall without rescoring."""
+    def banded(df: DataFrame, col: str) -> DataFrame:
+        sigs = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     hyperplane_signature(
+                         F.col(col),
+                         deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
+                     .alias("sig"))
+            for t in range(n_tables)])
+        return (df.withColumn("b", F.explode(sigs))
+                  .withColumn("bucket",
+                              F.concat_ws(":", F.col("b.tbl").cast("string"),
+                                          F.col("b.sig")))
+                  .drop("b"))
+    v = banded(vectors, vec_col)
+    q = banded(queries, qvec_col)
     scored = (v.join(F.broadcast(q), "bucket")
               .select(F.col(qid_col), F.col(id_col),
                       F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
-                       .alias("cos_sim")))
+                       .alias("cos_sim"))
+              .groupBy(qid_col, id_col)
+              .agg(F.max("cos_sim").alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))

@@ -139,11 +139,72 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
 def test_embedding_near_dups_exact_vs_lsh(spark, vectors):
     from docext_spark.operators.similarity import embedding_near_dups
     exact = {(r["id_a"], r["id_b"])
-             for r in embedding_near_dups(vectors, threshold=0.9).collect()}
+             for r in embedding_near_dups(vectors, threshold=0.9,
+                                          exact=True).collect()}
     assert (0, 1) in exact  # cos([1,0,0],[0.9,0.1,0]) ≈ 0.994
     assert not any(p == (0, 2) for p in exact)
     approx = {(r["id_a"], r["id_b"])
               for r in embedding_near_dups(vectors, threshold=0.9,
-                                           exact=False, n_planes=1,
+                                           n_planes=1, n_tables=1,
                                            dim=3).collect()}
     assert approx.issubset(exact)  # LSH never invents pairs above τ
+
+
+def test_embedding_near_dups_requires_dim():
+    from docext_spark.operators.similarity import embedding_near_dups
+    with pytest.raises(ValueError, match="requires dim"):
+        embedding_near_dups(None, threshold=0.9)  # exact=False default
+
+
+def test_embedding_near_dups_dim_mismatch_raises(spark, vectors):
+    from docext_spark.operators.similarity import embedding_near_dups
+    # declared dim ≠ vector length must FAIL the job, not silently collapse
+    # every vector into one bucket (the advertised scale path becoming n²)
+    with pytest.raises(Exception, match="LSH dim mismatch"):
+        embedding_near_dups(vectors, threshold=0.9, dim=5).collect()
+
+
+def test_embedding_near_dups_or_amplification_recall(spark):
+    """Multi-table OR-amplification must reach ≥0.9 recall at τ=0.9 on a
+    fixture of mid-similarity planted pairs (single-table recall at these
+    plane counts is well below that — amplification is what closes it)."""
+    import random
+    from docext_spark.operators.similarity import embedding_near_dups
+    rng = random.Random(7)
+    dim, rows = 16, []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, base))
+        # perturbed twin at cosine ≈ 0.9-0.99 (mid-similarity, not trivial)
+        noisy = [x + rng.gauss(0, 0.22) for x in base]
+        rows.append((i + 1000, noisy))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups(df, threshold=0.9,
+                                          exact=True).collect()}
+    assert len(exact) >= 20  # the fixture actually plants pairs above τ
+    approx = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dups(df, threshold=0.9, dim=dim,
+                                           n_planes=4, n_tables=4).collect()}
+    assert approx.issubset(exact)
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"OR-amplified LSH recall {recall:.2f} < 0.9"
+    # single-table at the same plane count recalls strictly less on this
+    # fixture — evidence the amplification is doing the work
+    single = {(r["id_a"], r["id_b"])
+              for r in embedding_near_dups(df, threshold=0.9, dim=dim,
+                                           n_planes=4, n_tables=1).collect()}
+    assert len(single) <= len(approx)
+
+
+def test_lsh_topk_multi_table_recall(spark, vectors):
+    exact = {r["vec_id"] for r in
+             brute_force_topk(vectors, _queries(spark), k=5).collect()}
+    amplified = {r["vec_id"] for r in
+                 lsh_topk(vectors, _queries(spark), dim=3, k=5, n_planes=2,
+                          n_tables=4).collect()}
+    single = {r["vec_id"] for r in
+              lsh_topk(vectors, _queries(spark), dim=3, k=5,
+                       n_planes=2).collect()}
+    assert amplified.issubset(exact)
+    assert single.issubset(amplified)  # OR-amplification only adds candidates
