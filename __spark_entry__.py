@@ -794,6 +794,58 @@ WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.1
 """
 
 
+_BOILERPLATE = ("terms of service boilerplate header applies "
+                "to all documents ")
+
+
+def _dedup_jaccard_capped(spark, sf_dir):
+    """Hot-shingle doc-frequency cap under planted skew: every doc gets the
+    same boilerplate prefix (its shingles land in all 300 docs, doc-freq
+    300 > cap 50 → dropped before the self-join), Jaccard is then exact
+    over the surviving shingles. Without the cap the boilerplate shingles
+    alone are a 300²/2-pair candidate bucket."""
+    from docext_spark.operators.dedup import jaccard_pairs
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    skewed = d.select(
+        "doc_id",
+        F.concat(F.lit(_BOILERPLATE),
+                 F.coalesce(F.col("text"), F.lit(""))).alias("text"))
+    return jaccard_pairs(skewed, "doc_id", "text", n=3, threshold=0.1,
+                         max_doc_freq=50)
+
+
+_JACCARD_CAPPED_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, '{_BOILERPLATE}' || coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 300
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM docs
+), sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 3 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+2], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 2)]
+  END) AS shingle
+  FROM norm
+), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+freq AS (SELECT shingle, count(*) AS df FROM dsh GROUP BY shingle),
+kept AS (SELECT dsh.doc_id, dsh.shingle
+         FROM dsh JOIN freq USING (shingle) WHERE df <= 50),
+sizes AS (SELECT doc_id, count(*) AS ns FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter, sa.ns + sb.ns - inter AS "union",
+       round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.1
+"""
+
+
 def _dedup_minhash_sigs(spark, sf_dir):
     from docext_spark.operators.dedup import minhash_signatures
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1329,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bpe_token_count": _t_bpe_token_count,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
+        "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1393,6 +1446,7 @@ def oracle_sql() -> dict[str, str]:
         "t_bpe_token_count": _BPE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
+        "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,

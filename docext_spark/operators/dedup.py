@@ -50,17 +50,48 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
          .alias("shingle"))
 
 
+def capped_shingle_table(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    The hot set (boilerplate headers, stop-phrase n-grams) is by definition
+    tiny relative to the shingle vocabulary, so it is broadcast into a
+    left_anti join — no shuffle of the big shingle table on the filter.
+    Without this cap one ubiquitous shingle is a quadratic candidate bucket
+    at 100TB (a shingle in 1M docs → 5·10^11 candidate pairs)."""
+    hot = (sh.groupBy("shingle")
+             .agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") > max_doc_freq)
+             .select("shingle"))
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  max_doc_freq: int | None = None) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     Returns (id_a, id_b, inter, union, jaccard) with id_a < id_b.
-    Scale note: joins only on shared shingles; hot shingles should be
-    frequency-capped upstream at 100TB (df filter on doc-frequency).
-    """
-    sh = shingle_table(df, id_col, text_col, n).cache()
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ``max_doc_freq`` caps hot shingles: shingles present in more than that
+    many docs are dropped before the self-join AND excluded from the set
+    sizes, i.e. the result is exact Jaccard over the non-ubiquitous
+    shingles. Uncapped, per-doc set sizes are computed map-side from the
+    base table (size(array_distinct(...)) — no shuffle, no cache of the
+    exploded shingle table, which at 100TB is ~10x the input and must never
+    be persisted)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        sh = capped_shingle_table(sh, max_doc_freq)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    else:
+        from docext_spark.operators.textops import normalized
+        pre = df.select(F.col(id_col).alias("id"),
+                        normalized(F.col(text_col)).alias("_norm"))
+        sizes = pre.select(
+            "id",
+            F.size(F.array_distinct(
+                word_shingles(F.col("_norm"), n, pre_normalized=True)))
+             .alias("n_shingles"))
     a = sh.withColumnRenamed("id", "id_a")
     b = sh.withColumnRenamed("id", "id_b")
     inter = (a.join(b, "shingle")

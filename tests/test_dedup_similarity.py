@@ -150,6 +150,68 @@ def test_embedding_near_dups_exact_vs_lsh(spark, vectors):
     assert approx.issubset(exact)  # LSH never invents pairs above τ
 
 
+def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """One shingle in 50% of docs must not create a quadratic candidate
+    bucket: the doc-frequency cap drops it before the self-join."""
+    from docext_spark.operators.dedup import capped_shingle_table, shingle_table
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique document body number {i} alpha beta")
+            for i in range(40)]
+    rows += [(100 + i, f"w{i}a w{i}b w{i}c w{i}d w{i}e")
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = shingle_table(df)
+    uncapped_cands = (sh.withColumnRenamed("id", "id_a")
+                      .join(sh.withColumnRenamed("id", "id_b"), "shingle")
+                      .filter(F.col("id_a") < F.col("id_b"))
+                      .select("id_a", "id_b").distinct().count())
+    assert uncapped_cands >= 40 * 39 / 2  # boilerplate = quadratic bucket
+    capped = capped_shingle_table(sh, max_doc_freq=10)
+    capped_cands = (capped.withColumnRenamed("id", "id_a")
+                    .join(capped.withColumnRenamed("id", "id_b"), "shingle")
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b").distinct().count())
+    assert capped_cands == 0  # everything shared was boilerplate
+    # capped jaccard still finds REAL near-dups (shared non-hot shingles)
+    from docext_spark.operators.dedup import jaccard_pairs
+    near = spark.createDataFrame(
+        [(200, f"{boiler} same same same body here"),
+         (201, f"{boiler} same same same body there")],
+        "doc_id int, text string")
+    pairs = jaccard_pairs(df.union(near), threshold=0.2,
+                          max_doc_freq=10).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(200, 201)}
+
+
+def test_jaccard_capped_matches_python_twin(spark):
+    """Capped Jaccard == exact Jaccard over non-hot shingles (set math in
+    pure Python as the twin)."""
+    from docext_spark.core.textstats import normalize_text, word_shingles as py_sh
+    from docext_spark.operators.dedup import jaccard_pairs
+    rows = [(1, "common prefix words here apple banana cherry date"),
+            (2, "common prefix words here apple banana cherry fig"),
+            (3, "common prefix words here totally different tail now"),
+            (4, "unrelated content entirely separate from the rest ok")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cap = 2
+    sets = {i: set(py_sh(normalize_text(t), 3)) for i, t in rows}
+    from collections import Counter
+    freq = Counter(s for ss in sets.values() for s in ss)
+    capped = {i: {s for s in ss if freq[s] <= cap} for i, ss in sets.items()}
+    expect = {}
+    ids = sorted(capped)
+    for x in ids:
+        for y in ids:
+            if x < y and capped[x] and capped[y]:
+                inter = len(capped[x] & capped[y])
+                union = len(capped[x] | capped[y])
+                if union and round(inter / union, 6) >= 0.1:
+                    expect[(x, y)] = round(inter / union, 6)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(df, threshold=0.1, max_doc_freq=cap).collect()}
+    assert got == expect and expect  # non-vacuous
+
+
 def test_embedding_near_dups_requires_dim():
     from docext_spark.operators.similarity import embedding_near_dups
     with pytest.raises(ValueError, match="requires dim"):
