@@ -871,6 +871,18 @@ def _dedup_lsh_pairs(spark, sf_dir):
     return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4, n=3)
 
 
+def _dedup_lsh_pairs_fast(spark, sf_dir):
+    """Production-hash variant of dedup_lsh_pairs: native xxhash64 instead
+    of 8 sha256 digests per shingle. No SQL oracle (DuckDB has no XXH64);
+    correctness is pinned by test_lsh_engine_parity (same candidate pairs
+    as the sha256 path) — this entry exists so the BENCH numbers track the
+    path a 100TB job would actually run."""
+    from docext_spark.operators.dedup import lsh_candidate_pairs
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4,
+                               n=3, engine="xxhash64")
+
+
 _LSH_SQL = _SHINGLE_SQL_BASE + """
 , sigs AS (
   SELECT doc_id,
@@ -1407,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "idp_benchmark_matrix": _idp_benchmark_matrix,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
+        "dedup_lsh_pairs_fast": _dedup_lsh_pairs_fast,
     }
 
 

@@ -26,7 +26,9 @@ HEADLINE = [
     "j1_field_alignment",
     "a10_score_matrix",
     "dedup_exact",
-    "dedup_lsh_pairs",
+    "dedup_lsh_pairs",        # sha256 oracle-parity hash (DuckDB-replayable)
+    "dedup_lsh_pairs_fast",   # xxhash64 production hash (the 100TB path)
+    "dedup_jaccard_capped",   # hot-shingle cap under planted skew
     "ann_cosine_topk",
     "x4_kie_fields",
 ]

@@ -109,34 +109,42 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
-                       n: int = 3) -> DataFrame:
+                       n: int = 3, engine: str = "sha256") -> DataFrame:
     """(id, sig_0..sig_{k-1}) MinHash signature columns.
 
     Computed as one explode + one groupBy: k mins aggregate in a single
-    shuffle pass (map-side partial min), not k passes.
-    """
+    shuffle pass (map-side partial min), not k passes. engine='xxhash64'
+    is the production hash (native XXH64, long min); 'sha256' is the
+    engine-independent oracle hash (hex-string min)."""
     sh = shingle_table(df, id_col, text_col, n)
-    aggs = [F.min(minhash_component(F.col("shingle"), s)).alias(f"sig_{s}")
+    aggs = [F.min(minhash_component(F.col("shingle"), s, engine)).alias(f"sig_{s}")
             for s in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
-                        bands: int = 4, n: int = 3) -> DataFrame:
+                        bands: int = 4, n: int = 3,
+                        engine: str = "sha256") -> DataFrame:
     """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
-    bucket join on (band, band_key). Returns distinct (id_a, id_b)."""
+    bucket join on (band, band_key). Returns distinct (id_a, id_b).
+
+    The band key is hashed with the same engine as the signature: one
+    xxhash64 over the band's components in the production path (long key —
+    narrower shuffle than the 64-char hex), sha256-of-concat in the oracle
+    path (replayable in SQL)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
             "or trailing signature components would be silently unused")
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, engine)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.sha2(F.concat_ws("|", *cols), 256).alias("key")))
+        key = (F.xxhash64(*cols) if engine == "xxhash64"
+               else F.sha2(F.concat_ws("|", *cols), 256))
+        band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
     banded = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
                   .select("id", F.col("bk.band").alias("band"),
                           F.col("bk.key").alias("key")))

@@ -112,7 +112,20 @@ def word_shingles(col: Column, n: int = 3,
             .otherwise(F.when(cnt < n, full).otherwise(grams))
 
 
-def minhash_component(shingle: Column, seed: int) -> Column:
-    """min over shingles of sha256(seed|shingle) — hex-string min is
-    engine-independent, keeping the LSH oracle-checkable."""
+def minhash_component(shingle: Column, seed: int,
+                      engine: str = "sha256") -> Column:
+    """One MinHash permutation component.
+
+    engine='sha256' (oracle path): min over shingles of hex
+    sha256(seed|shingle) — hex-string min is engine-independent, keeping
+    the LSH pipeline DuckDB-oracle-checkable.
+    engine='xxhash64' (production path): Spark's native non-cryptographic
+    XXH64 — ~an order of magnitude cheaper per shingle, the right choice at
+    100TB where nothing needs to replay the hash outside the JVM. Candidate
+    pairs agree with the sha256 path on the parity fixture
+    (tests/test_dedup_similarity.py::test_lsh_engine_parity)."""
+    if engine == "xxhash64":
+        return F.xxhash64(F.lit(seed), shingle)
+    if engine != "sha256":
+        raise ValueError(f"unknown minhash engine: {engine!r}")
     return F.sha2(F.concat_ws("|", F.lit(str(seed)), shingle), 256)

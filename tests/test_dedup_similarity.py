@@ -150,6 +150,35 @@ def test_embedding_near_dups_exact_vs_lsh(spark, vectors):
     assert approx.issubset(exact)  # LSH never invents pairs above τ
 
 
+def test_lsh_engine_parity(spark):
+    """The xxhash64 production path must find the same candidate pairs as
+    the sha256 oracle path on a corpus of planted near-dups: at jaccard
+    ≈0.9 with 8 hashes / 4 bands the per-engine miss probability is ~0.1%,
+    and the fixture is deterministic, so set equality is a stable gate."""
+    rows = []
+    for g in range(12):
+        # fully group-disjoint vocabulary: near-dup pairs sit at jaccard
+        # ≈0.85 and every cross-group pair at 0 — no marginal pairs where
+        # the two engines could legitimately disagree
+        base = " ".join(f"w{g}x{k}" for k in range(40))
+        rows.append((g * 10, base))
+        # change only the final token: 2 of 38 shingles differ → J ≈ 0.9,
+        # per-engine miss probability (1 - 0.9²)⁴ ≈ 0.13%
+        rows.append((g * 10 + 1, base.replace(f"w{g}x39", f"w{g}zz")))  # near dup
+    rows += [(900 + i, f"unique filler u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sha = {(r["id_a"], r["id_b"]) for r in
+           lsh_candidate_pairs(df, num_hashes=8, bands=4,
+                               engine="sha256").collect()}
+    xx = {(r["id_a"], r["id_b"]) for r in
+          lsh_candidate_pairs(df, num_hashes=8, bands=4,
+                              engine="xxhash64").collect()}
+    planted = {(g * 10, g * 10 + 1) for g in range(12)}
+    assert sha == xx
+    assert planted.issubset(xx)  # the near-dups are actually found
+
+
 def test_jaccard_hot_shingle_cap_bounds_candidates(spark):
     """One shingle in 50% of docs must not create a quadratic candidate
     bucket: the doc-frequency cap drops it before the self-join."""
