@@ -582,10 +582,12 @@ FROM documents
 
 
 def _t_lang_id(spark, sf_dir):
+    """Per-document granularity: (doc_id, lang) pins the argmax and the
+    LANG_ORDER tie-break for every row (a grouped 2-row check would accept
+    any assignment with the right totals)."""
     from docext_spark.operators.textops import lang_id
     d = _t(spark, sf_dir, "documents")
-    return (d.select(lang_id(F.col("text")).alias("lang"))
-            .groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang"))
 
 
 def _lang_sql():
@@ -600,9 +602,10 @@ WITH toks AS (
          {ratio_cols}
   FROM toks
 )
-SELECT CASE WHEN {best} < 0.08 THEN 'unknown' {case}
-            ELSE 'unknown' END AS lang, count(*) AS n
-FROM ratio GROUP BY 1
+SELECT doc_id,
+       CASE WHEN {best} < 0.08 THEN 'unknown' {case}
+            ELSE 'unknown' END AS lang
+FROM ratio
 """
 
 
@@ -1333,11 +1336,20 @@ def _dedup_winnow_pairs(spark, sf_dir):
 def _idp_benchmark_matrix(spark, sf_dir):
     """Lifecycle 3.3 rebuilt: 5-task fixture benchmark scored through the
     native extractors → accuracy matrix (benchmark.py:287-316 analog).
-    Deterministic fixtures (seed 42); rows-only check."""
+    Fixtures are seeded (42) so the matrix is a pinned golden — the oracle
+    is the literal expected row, catching any silent extractor/scorer
+    regression at full value granularity."""
     from docext_spark.fixtures import fixtures_df
     from docext_spark.plans.benchmark import accuracy_matrix, score_benchmark
     fx = fixtures_df(spark, n_per_task=20)
     return accuracy_matrix(score_benchmark(fx))
+
+
+_IDP_GOLDEN_SQL = """
+SELECT 'native' AS model, 1.0 AS "CLASSIFICATION", 1.0 AS "KIE",
+       1.0 AS "OCR", 0.877963 AS "TABLE", 1.0 AS "VQA",
+       0.975593 AS average
+"""
 
 
 def _multimodal_features(spark, sf_dir):
@@ -1357,13 +1369,18 @@ def _multimodal_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so every oracle-paired query that fits sits inside the
+    driver's 50-entry correctness window. 53 queries carry an oracle_sql
+    twin; the 3 overflow pairs (positions 51-53: a12_union_frames,
+    scalar_iou, s2_posexplode_pages — all green in CORRECTNESS_r01) and the
+    rows-only tail are checkable any time via tools/check_oracle.py."""
     return {
+        # -- oracle-paired, window positions 1-50 --------------------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "a14_cube": _a14_cube,
-        "a15_approx_distinct": _a15_approx_distinct,
         "j1_field_alignment": _j1_field_alignment,
         "a1_edit_similarity": _a1_edit_similarity,
         "a3_vqa_best_of": _a3_vqa_best_of,
@@ -1376,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_stable_order_concat": _w1_stable_order_concat,
         "w3_first_match": _w3_first_match,
         "w4_topn": _w4_topn,
+        "w5_event_time_window": _w5_event_time_window,
         "p1_field_norm": _p1_field_norm,
         "p6_key_remap": _p6_key_remap,
         "p7_bbox_denorm": _p7_bbox_denorm,
@@ -1399,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _ann_cosine_topk,
         "dedup_cosine_pairs": _dedup_cosine_pairs,
         "dedup_cosine_lsh": _dedup_cosine_lsh,
+        "idp_benchmark_matrix": _idp_benchmark_matrix,
         "x4_kie_fields": _x4_kie_fields,
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
@@ -1407,17 +1426,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_strip_normalize": _p5_strip_normalize,
         "p8_polygon_bbox": _p8_polygon_bbox,
         "j5_table_pairing": _j5_table_pairing,
+        # -- oracle-paired overflow (51-53) ---------------------------------
         "a12_union_frames": _a12_union_frames,
         "scalar_iou": _scalar_iou,
         "s2_posexplode_pages": _s2_posexplode_pages,
-        "w5_event_time_window": _w5_event_time_window,
-        # rows-only (perception not SQL-expressible)
+        # -- rows-only (perception / sketches / non-SQL-expressible) -------
+        "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
         "grits_similarity": _grits_similarity,
         "simhash_signatures": _simhash_signatures,
         "multimodal_features": _multimodal_features,
-        "idp_benchmark_matrix": _idp_benchmark_matrix,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
         "dedup_lsh_pairs_fast": _dedup_lsh_pairs_fast,
     }
@@ -1465,6 +1484,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
+        "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
         "x4_kie_fields": _X4_SQL,
         "x5_pipe_table": _X5_SQL,
         "x7_classification": _X7_SQL,

@@ -84,11 +84,17 @@ def make_fields_udf(field_names: list[str]):
 
 def extract_fields_long(df: DataFrame, field_names: list[str],
                         text_col: str = "text",
-                        key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> DataFrame:
+                        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                        ordered: bool = False) -> DataFrame:
     """KIE long-format output: (keys..., field, answer, confidence).
 
     Mirrors the reference's per-document frame assembly
     (extract.py:83-97) with document_index → the composite key.
+
+    ``ordered=True`` adds the reference's deterministic display sort
+    (extract.py:160-162) — a TOTAL sort, so it belongs only at a display or
+    sink boundary; at 10^12 turns the default path must stay sort-free
+    (the oracle harness sorts rows itself before hashing).
     """
     udf = make_fields_udf(field_names)
     exploded = (df.withColumn("f", F.explode(udf(F.col(text_col))))
@@ -97,8 +103,9 @@ def extract_fields_long(df: DataFrame, field_names: list[str],
                           F.col("f.answer").alias("answer"),
                           F.col("f.answers").alias("answers"),
                           F.col("f.confidence").alias("confidence")))
-    # deterministic display order (reference extract.py:160-162)
-    return exploded.orderBy(*key_cols, "field")
+    if ordered:
+        return exploded.orderBy(*key_cols, "field")
+    return exploded
 
 
 def make_classify_udf(labels: list[str]):

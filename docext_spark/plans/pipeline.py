@@ -73,7 +73,17 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         metrics.write.mode("append").parquet(metrics_path)
 
     convs = reassemble_conversations(all_turns, segmented=segmented)
-    if metrics_path is not None:
-        extracted.unpersist()  # metrics were materialized by the write above
+    if ckpt is not None:
+        # every consumer of the cached plan is materialized (commit wrote
+        # the turns; convs/turns re-read the committed files): release the
+        # executor storage on ALL code paths, not only when metrics were
+        # written. metrics is tiny (one row per input partition) —
+        # localCheckpoint materializes it off the cached lineage first so
+        # the returned frame never recomputes the extraction pUDF.
+        metrics = metrics.localCheckpoint(eager=True)
+        extracted.unpersist()
+    # output_root=None: convs/turns still read through the cached plan, so
+    # the cache must outlive this call — the caller owns release via the
+    # returned handle once its consumers are materialized.
     return {"turns": all_turns, "convs": convs, "metrics": metrics,
-            "written": written}
+            "written": written, "unpersist": extracted.unpersist}

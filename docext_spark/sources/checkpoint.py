@@ -70,11 +70,15 @@ class CheckpointedResults:
         return source.join(keys, list(KEY_COLS), "left_anti")
 
     def commit(self, df: DataFrame) -> int:
-        """Write one batch and commit it atomically. Returns rows written."""
+        """Write one batch and commit it atomically. Returns rows written.
+
+        The row count comes from the upstream plan (callers persist the
+        expensive stage, so this is a cached count), not a re-read of the
+        files just written — one scan per commit, not two."""
         batch = f"batch-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, batch)
         df.write.mode("error").parquet(path)
-        n = df.sparkSession.read.parquet(path).count()
+        n = df.count()
         self._append_commit(batch, n)
         return n
 
