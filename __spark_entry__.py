@@ -797,6 +797,43 @@ WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.1
 """
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Fuzzy-dedup end-stage: jaccard-verified pairs → connected components
+    → (doc_id, cluster_id, is_keeper). Oracle = DuckDB recursive-CTE
+    transitive closure over the same pair list."""
+    from docext_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    return duplicate_clusters(pairs)
+
+
+_CLUSTERS_SQL = _SHINGLE_SQL_BASE + """
+, sizes AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.3
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
+  ) SELECT src, dst FROM r
+)
+SELECT dst AS doc_id, min(src) AS cluster_id,
+       dst = min(src) AS is_keeper
+FROM reach GROUP BY dst
+"""
+
+
 _BOILERPLATE = ("terms of service boilerplate header applies "
                 "to all documents ")
 
@@ -1370,10 +1407,11 @@ def _multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 53 queries carry an oracle_sql
-    twin; the 3 overflow pairs (positions 51-53: a12_union_frames,
-    scalar_iou, s2_posexplode_pages — all green in CORRECTNESS_r01) and the
-    rows-only tail are checkable any time via tools/check_oracle.py."""
+    driver's 50-entry correctness window. 54 queries carry an oracle_sql
+    twin; the 4 overflow pairs (positions 51-54: p8_polygon_bbox,
+    a12_union_frames, scalar_iou, s2_posexplode_pages — all green in
+    CORRECTNESS_r01) and the rows-only tail are checkable any time via
+    tools/check_oracle.py."""
     return {
         # -- oracle-paired, window positions 1-50 --------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1412,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_jaccard": _dedup_jaccard,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
+        "dedup_clusters": _dedup_clusters,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1424,9 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_pdf_layout": _x3_pdf_layout,
         "p4_tag_escape": _p4_tag_escape,
         "p5_strip_normalize": _p5_strip_normalize,
-        "p8_polygon_bbox": _p8_polygon_bbox,
         "j5_table_pairing": _j5_table_pairing,
-        # -- oracle-paired overflow (51-53) ---------------------------------
+        # -- oracle-paired overflow (51-54) ---------------------------------
+        "p8_polygon_bbox": _p8_polygon_bbox,
         "a12_union_frames": _a12_union_frames,
         "scalar_iou": _scalar_iou,
         "s2_posexplode_pages": _s2_posexplode_pages,
@@ -1479,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
+        "dedup_clusters": _CLUSTERS_SQL,
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,

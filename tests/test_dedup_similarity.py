@@ -241,6 +241,21 @@ def test_jaccard_capped_matches_python_twin(spark):
     assert got == expect and expect  # non-vacuous
 
 
+def test_duplicate_clusters_connected_components(spark):
+    from docext_spark.operators.dedup import duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),              # triangle-ish component → 1
+         (10, 11),                    # pair → 10
+         (33, 34), (32, 33), (31, 32), (30, 31)],  # 4-hop chain → 30
+        "id_a int, id_b int")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+           for r in duplicate_clusters(pairs).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   10: (10, True), 11: (10, False),
+                   30: (30, True), 31: (30, False), 32: (30, False),
+                   33: (30, False), 34: (30, False)}
+
+
 def test_embedding_near_dups_requires_dim():
     from docext_spark.operators.similarity import embedding_near_dups
     with pytest.raises(ValueError, match="requires dim"):
