@@ -1401,6 +1401,46 @@ def _multimodal_features(spark, sf_dir):
                         F.round(F.element_at("feature", 8), 6).alias("f7"))
 
 
+def _loader_benchmark_corpus(spark, sf_dir):
+    """All 16 reference dataset loaders (vlm_datasets/*.py re-expressed as
+    DataFrame transforms over deterministic synthetic raw fixtures) →
+    per-dataset corpus profile. Oracle = pinned golden VALUES: fixtures are
+    seed-free deterministic, so the profile is exact (e.g. nanonets_cls is
+    15 = class-wise cap of 5 × 3 classes, longdocbench 40 = 2 insertion
+    points × 20 samples)."""
+    from docext_spark.sources.loaders import load_all
+    return (load_all(spark, n_per_ds=20)
+            .groupBy("ds_name", "task", "extraction_type")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.count(F.when(F.col("fields").isNotNull(), 1))
+                  .alias("n_with_fields"),
+                 F.count(F.when(F.col("answers").isNotNull(), 1))
+                  .alias("n_with_answers")))
+
+
+_LOADER_CORPUS_SQL = """
+SELECT * FROM (VALUES
+  ('chartqa', 'VQA', 'vqa', 20, 0, 20),
+  ('digital_ocr_diacritics', 'OCR', 'ocr', 20, 0, 0),
+  ('docile', 'KIE', 'field', 20, 20, 0),
+  ('docvqa', 'VQA', 'vqa', 20, 0, 20),
+  ('handwritten_forms', 'KIE', 'field', 20, 20, 0),
+  ('nanonets_cls', 'CLASSIFICATION', 'classification', 15, 0, 0),
+  ('nanonets_kie', 'KIE', 'field', 20, 20, 0),
+  ('nanonets_long_dense_structured_table', 'TABLE', 'table', 20, 0, 0),
+  ('nanonets_long_sparse_structured_table', 'TABLE', 'table', 20, 0, 0),
+  ('nanonets_long_sparse_unstructured_table', 'TABLE', 'table', 20, 0, 0),
+  ('nanonets_longdocbench', 'VQA', 'vqa', 40, 0, 40),
+  ('nanonets_small_dense_structured_table', 'TABLE', 'table', 20, 0, 0),
+  ('nanonets_small_sparse_structured_table', 'TABLE', 'table', 20, 0, 0),
+  ('nanonets_small_sparse_unstructured_table', 'TABLE', 'table', 20, 0, 0),
+  ('ocr_handwriting', 'OCR', 'ocr', 20, 0, 0),
+  ('ocr_handwriting_rotated', 'OCR', 'ocr', 20, 0, 0)
+) AS t(ds_name, task, extraction_type, n_samples, n_with_fields,
+       n_with_answers)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -1461,10 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
-        "p4_tag_escape": _p4_tag_escape,
         "p5_strip_normalize": _p5_strip_normalize,
         "j5_table_pairing": _j5_table_pairing,
-        # -- oracle-paired overflow (51-54) ---------------------------------
+        "loader_benchmark_corpus": _loader_benchmark_corpus,
+        # -- oracle-paired overflow (51-55) ---------------------------------
+        "p4_tag_escape": _p4_tag_escape,
         "p8_polygon_bbox": _p8_polygon_bbox,
         "a12_union_frames": _a12_union_frames,
         "scalar_iou": _scalar_iou,
@@ -1525,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
+        "loader_benchmark_corpus": _LOADER_CORPUS_SQL,
         "x4_kie_fields": _X4_SQL,
         "x5_pipe_table": _X5_SQL,
         "x7_classification": _X7_SQL,
