@@ -1341,7 +1341,8 @@ def _flagship_reassembly(spark, sf_dir):
 
 
 def _grits_similarity(spark, sf_dir):
-    from docext_spark.operators.extract import grits_con_udf, grits_top_udf
+    from docext_spark.operators.extract import (grits_con_udf, grits_loc_udf,
+                                                grits_top_udf)
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
     gt = F.concat(F.lit("<table><tr><th>brand</th><th>type</th></tr><tr><td>"),
                   F.col("p_brand"), F.lit("</td><td>"), F.col("p_type"),
@@ -1350,9 +1351,22 @@ def _grits_similarity(spark, sf_dir):
                     F.col("p_brand"), F.lit("</td><td>"),
                     F.substring(F.col("p_type"), 1, 8),
                     F.lit("</td></tr></table>"))
+    # GRITS_Loc over planted 1x2 bbox grids: the pred cell shifts right by
+    # p_size — IoU decays deterministically with the shift
+    sz = F.col("p_size").cast("double")
+
+    def cell(x1, y1, x2, y2):
+        return F.array(x1, y1, x2, y2)
+
+    gt_grid = F.array(F.array(cell(F.lit(0.0), F.lit(0.0), F.lit(100.0), F.lit(40.0)),
+                              cell(F.lit(100.0), F.lit(0.0), F.lit(200.0), F.lit(40.0))))
+    pred_grid = F.array(F.array(cell(sz, F.lit(0.0), sz + 100.0, F.lit(40.0)),
+                                cell(sz + 100.0, F.lit(0.0), sz + 200.0, F.lit(40.0))))
     return p.select(F.col("p_partkey").alias("partkey"),
                     F.round(grits_con_udf(gt, pred), 6).alias("grits_con"),
-                    F.round(grits_top_udf(gt, pred), 6).alias("grits_top"))
+                    F.round(grits_top_udf(gt, pred), 6).alias("grits_top"),
+                    F.round(grits_loc_udf(gt_grid, pred_grid), 6)
+                     .alias("grits_loc"))
 
 
 def _simhash_signatures(spark, sf_dir):

@@ -164,6 +164,20 @@ def grits_top_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
         for g, p in zip(gt_html, pred_html)])
 
 
+@pandas_udf(T.DoubleType())
+def grits_loc_udf(gt_grid: pd.Series, pred_grid: pd.Series) -> pd.Series:
+    """GRITS_Loc per (gt, pred) bbox-grid pair (reference grits.py:431-436:
+    factored 2D-MSS with IoU reward over cell bounding boxes). Grids are
+    array<array<array<double>>> columns: rows × cols × [x1,y1,x2,y2]."""
+    from docext_spark.core.grits import grits_loc
+
+    def as_grid(g):
+        return [[tuple(c) for c in row] for row in (g if g is not None else [])]
+
+    return pd.Series([grits_loc(as_grid(g), as_grid(p))
+                      for g, p in zip(gt_grid, pred_grid)])
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
     from docext_spark.core.textstats import simhash64

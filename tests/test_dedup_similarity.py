@@ -256,6 +256,39 @@ def test_duplicate_clusters_connected_components(spark):
                    33: (30, False), 34: (30, False)}
 
 
+def test_duplicate_clusters_matches_union_find_twin(spark):
+    """Seeded random graphs vs a pure-Python union-find: the distributed
+    min-label propagation must produce identical components."""
+    import random
+    from docext_spark.operators.dedup import duplicate_clusters
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n = 60
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(50)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expect = {}
+        touched = {v for e in edges for v in e}
+        roots = {}
+        for v in sorted(touched):
+            r = find(v)
+            roots.setdefault(r, v)  # min node id per component
+            expect[v] = roots[r]
+        df = spark.createDataFrame(edges, "id_a int, id_b int")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in duplicate_clusters(df).collect()}
+        assert got == expect, f"trial {trial} diverged"
+
+
 def test_embedding_near_dups_requires_dim():
     from docext_spark.operators.similarity import embedding_near_dups
     with pytest.raises(ValueError, match="requires dim"):
