@@ -897,10 +897,10 @@ def _dedup_minhash_sigs(spark, sf_dir):
 _MINHASH_SQL = _SHINGLE_SQL_BASE.replace("FROM documents",
                                          "FROM documents WHERE doc_id < 100") + """
 SELECT doc_id,
-       min(sha256('0|' || shingle)) AS sig_0,
-       min(sha256('1|' || shingle)) AS sig_1,
-       min(sha256('2|' || shingle)) AS sig_2,
-       min(sha256('3|' || shingle)) AS sig_3
+       min(substr(sha256('0|' || shingle), 1, 8))  AS sig_0,
+       min(substr(sha256('0|' || shingle), 9, 8))  AS sig_1,
+       min(substr(sha256('0|' || shingle), 17, 8)) AS sig_2,
+       min(substr(sha256('0|' || shingle), 25, 8)) AS sig_3
 FROM dsh GROUP BY doc_id
 """
 
@@ -926,10 +926,14 @@ def _dedup_lsh_pairs_fast(spark, sf_dir):
 _LSH_SQL = _SHINGLE_SQL_BASE + """
 , sigs AS (
   SELECT doc_id,
-         min(sha256('0|' || shingle)) AS s0, min(sha256('1|' || shingle)) AS s1,
-         min(sha256('2|' || shingle)) AS s2, min(sha256('3|' || shingle)) AS s3,
-         min(sha256('4|' || shingle)) AS s4, min(sha256('5|' || shingle)) AS s5,
-         min(sha256('6|' || shingle)) AS s6, min(sha256('7|' || shingle)) AS s7
+         min(substr(sha256('0|' || shingle), 1, 8))  AS s0,
+         min(substr(sha256('0|' || shingle), 9, 8))  AS s1,
+         min(substr(sha256('0|' || shingle), 17, 8)) AS s2,
+         min(substr(sha256('0|' || shingle), 25, 8)) AS s3,
+         min(substr(sha256('0|' || shingle), 33, 8)) AS s4,
+         min(substr(sha256('0|' || shingle), 41, 8)) AS s5,
+         min(substr(sha256('0|' || shingle), 49, 8)) AS s6,
+         min(substr(sha256('0|' || shingle), 57, 8)) AS s7
   FROM dsh GROUP BY doc_id
 ), banded AS (
   SELECT doc_id, band, key FROM (

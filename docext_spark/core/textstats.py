@@ -112,7 +112,10 @@ def word_shingles(text: str, n: int = 3) -> list[str]:
 
 
 def minhash_signature(text: str, num_hashes: int = 16, shingle_n: int = 3) -> list[str]:
-    """MinHash via min-over-shingles of seeded sha256 hex digests.
+    """MinHash via min-over-shingles of 8-hex-char slices of seeded sha256
+    digests: component s reads digest s//8 (seed = digest index), slice
+    s%8 — one digest funds 8 permutations (operators/textops.py
+    minhash_component twin).
 
     Hex-string min is engine-independent (same result in Spark SQL and
     DuckDB), which keeps the LSH operator oracle-checkable.
@@ -120,11 +123,19 @@ def minhash_signature(text: str, num_hashes: int = 16, shingle_n: int = 3) -> li
     shingles = word_shingles(text, shingle_n)
     if not shingles:
         return ["" for _ in range(num_hashes)]
+    digests: dict[tuple[int, str], str] = {}
     sig = []
-    for seed in range(num_hashes):
-        sig.append(min(
-            hashlib.sha256(f"{seed}|{s}".encode("utf-8")).hexdigest()
-            for s in shingles))
+    for comp in range(num_hashes):
+        d_idx, s_idx = divmod(comp, 8)
+        vals = []
+        for s in shingles:
+            key = (d_idx, s)
+            dig = digests.get(key)
+            if dig is None:
+                dig = hashlib.sha256(f"{d_idx}|{s}".encode("utf-8")).hexdigest()
+                digests[key] = dig
+            vals.append(dig[8 * s_idx:8 * s_idx + 8])
+        sig.append(min(vals))
     return sig
 
 

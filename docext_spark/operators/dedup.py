@@ -117,6 +117,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     is the production hash (native XXH64, long min); 'sha256' is the
     engine-independent oracle hash (hex-string min)."""
     sh = shingle_table(df, id_col, text_col, n)
+    if engine == "sha256":
+        # project each 64-hex digest ONCE, aggregate mins over its 8-char
+        # slices — 8 permutations per sha256; relying on codegen
+        # subexpression elimination across aggregate inputs is not enough
+        # (measured: the projected form is what collapses the hash count)
+        n_digests = (num_hashes + 7) // 8
+        proj = sh.select("id", *[
+            F.sha2(F.concat_ws("|", F.lit(str(d)), F.col("shingle")), 256)
+             .alias(f"_dig_{d}") for d in range(n_digests)])
+        aggs = [F.min(F.substring(F.col(f"_dig_{s // 8}"),
+                                  1 + 8 * (s % 8), 8)).alias(f"sig_{s}")
+                for s in range(num_hashes)]
+        return proj.groupBy("id").agg(*aggs)
     aggs = [F.min(minhash_component(F.col("shingle"), s, engine)).alias(f"sig_{s}")
             for s in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs)

@@ -116,16 +116,21 @@ def minhash_component(shingle: Column, seed: int,
                       engine: str = "sha256") -> Column:
     """One MinHash permutation component.
 
-    engine='sha256' (oracle path): min over shingles of hex
-    sha256(seed|shingle) — hex-string min is engine-independent, keeping
-    the LSH pipeline DuckDB-oracle-checkable.
+    engine='sha256' (oracle path): min over shingles of an 8-hex-char SLICE
+    of sha256(digest_idx|shingle) — hex-string min is engine-independent,
+    keeping the LSH pipeline DuckDB-oracle-checkable, and one digest yields
+    8 independent 32-bit components (seed s reads digest s//8, slice s%8),
+    so 8 permutations cost ONE sha256 per shingle instead of 8 (the k-bit
+    split of a wide hash is the standard MinHash construction).
     engine='xxhash64' (production path): Spark's native non-cryptographic
-    XXH64 — ~an order of magnitude cheaper per shingle, the right choice at
-    100TB where nothing needs to replay the hash outside the JVM. Candidate
-    pairs agree with the sha256 path on the parity fixture
+    XXH64 — cheaper still, the right choice at 100TB where nothing needs to
+    replay the hash outside the JVM. Candidate pairs agree with the sha256
+    path on the parity fixture
     (tests/test_dedup_similarity.py::test_lsh_engine_parity)."""
     if engine == "xxhash64":
         return F.xxhash64(F.lit(seed), shingle)
     if engine != "sha256":
         raise ValueError(f"unknown minhash engine: {engine!r}")
-    return F.sha2(F.concat_ws("|", F.lit(str(seed)), shingle), 256)
+    digest_idx, slice_idx = divmod(seed, 8)
+    digest = F.sha2(F.concat_ws("|", F.lit(str(digest_idx)), shingle), 256)
+    return F.substring(digest, 1 + 8 * slice_idx, 8)

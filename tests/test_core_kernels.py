@@ -163,7 +163,8 @@ def test_shingles_and_minhash():
     assert ts.word_shingles("a b", 3) == ["a b"]
     assert ts.word_shingles("", 3) == []
     sig = ts.minhash_signature("a b c d e f", num_hashes=4)
-    assert len(sig) == 4 and all(len(s) == 64 for s in sig)
+    # 8-hex-char digest slices (one sha256 funds 8 permutations)
+    assert len(sig) == 4 and all(len(s) == 8 for s in sig)
     # identical text → identical signature
     assert sig == ts.minhash_signature("a b c d e f", num_hashes=4)
 
