@@ -1419,6 +1419,117 @@ def _multimodal_features(spark, sf_dir):
                         F.round(F.element_at("feature", 8), 6).alias("f7"))
 
 
+def _curate_funnel(spark, sf_dir):
+    """End-to-end corpus-curation survivorship funnel: quality gate →
+    exact dedup (keep lowest id) → fuzzy dedup (LSH candidates → jaccard
+    verify → connected components → keep one). Oracle = the full pipeline
+    replayed in DuckDB (lang/quality SQL + fingerprint keep-first + sliced
+    sha256 LSH + recursive-CTE components), so every stage's row count is
+    pinned cross-engine."""
+    from docext_spark.plans.curate import curate
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    out = curate(d, fuzzy_kwargs={"engine": "sha256",
+                                  "jaccard_threshold": 0.5})
+    return out["funnel"]
+
+
+def _curate_funnel_sql():
+    ratio_cols, best, case = _lang_ratio_sql()
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+  FROM docs
+), feat AS (
+  SELECT doc_id, text, len(t) AS n_tokens,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text)
+         END AS alpha_ratio,
+         {ratio_cols}
+  FROM base
+), gated AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, n_tokens,
+           CASE WHEN {best} < 0.08 THEN 'unknown' {case} ELSE 'unknown' END AS lang,
+           round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * alpha_ratio
+                 + 0.3 * least(1.0, r_en / 0.4), 6) AS q
+    FROM feat)
+  WHERE lang = 'en' AND n_tokens >= 5 AND q >= 0.3
+), fp AS (
+  SELECT doc_id, text,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM gated
+), keepfp AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+exact AS (SELECT fp.doc_id, fp.text FROM fp JOIN keepfp
+          ON fp.f = keepfp.f AND fp.doc_id = keepfp.doc_id),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM exact
+), sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 3 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+2], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 2)]
+  END) AS shingle
+  FROM norm
+), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sigs AS (
+  SELECT doc_id,
+         min(substr(sha256('0|' || shingle), 1, 8))  AS s0,
+         min(substr(sha256('0|' || shingle), 9, 8))  AS s1,
+         min(substr(sha256('0|' || shingle), 17, 8)) AS s2,
+         min(substr(sha256('0|' || shingle), 25, 8)) AS s3,
+         min(substr(sha256('0|' || shingle), 33, 8)) AS s4,
+         min(substr(sha256('0|' || shingle), 41, 8)) AS s5,
+         min(substr(sha256('0|' || shingle), 49, 8)) AS s6,
+         min(substr(sha256('0|' || shingle), 57, 8)) AS s7
+  FROM dsh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, 0 AS band, sha256(s0 || '|' || s1) AS key FROM sigs
+    UNION ALL SELECT doc_id, 1, sha256(s2 || '|' || s3) FROM sigs
+    UNION ALL SELECT doc_id, 2, sha256(s4 || '|' || s5) FROM sigs
+    UNION ALL SELECT doc_id, 3, sha256(s6 || '|' || s7) FROM sigs)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS ns FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE round(inter * 1.0 / (sa.ns + sb.ns - inter), 6) >= 0.5
+), verified AS (
+  SELECT j.id_a, j.id_b FROM jpairs j
+  JOIN cands c ON j.id_a = c.id_a AND j.id_b = c.id_b
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION SELECT id_b, id_a FROM verified
+), reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+    UNION
+    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
+  ) SELECT src, dst FROM r
+), losers AS (
+  SELECT dst AS doc_id FROM reach GROUP BY dst HAVING dst <> min(src)
+), fuzzy AS (
+  SELECT exact.doc_id FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+)
+SELECT '0_input' AS stage, count(*)::BIGINT AS n_docs FROM docs
+UNION ALL SELECT '1_quality_gate', count(*) FROM gated
+UNION ALL SELECT '2_exact_dedup', count(*) FROM exact
+UNION ALL SELECT '3_fuzzy_dedup', count(*) FROM fuzzy
+"""
+
+
 def _loader_benchmark_corpus(spark, sf_dir):
     """All 16 reference dataset loaders (vlm_datasets/*.py re-expressed as
     DataFrame transforms over deterministic synthetic raw fixtures) →
@@ -1509,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _dedup_jaccard,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_clusters": _dedup_clusters,
+        "curate_funnel": _curate_funnel,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1519,10 +1631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
-        "p5_strip_normalize": _p5_strip_normalize,
         "j5_table_pairing": _j5_table_pairing,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        # -- oracle-paired overflow (51-55) ---------------------------------
+        # -- oracle-paired overflow (51-56) ---------------------------------
+        "p5_strip_normalize": _p5_strip_normalize,
         "p4_tag_escape": _p4_tag_escape,
         "p8_polygon_bbox": _p8_polygon_bbox,
         "a12_union_frames": _a12_union_frames,
@@ -1578,6 +1690,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "curate_funnel": _curate_funnel_sql(),
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,

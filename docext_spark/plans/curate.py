@@ -1,0 +1,100 @@
+"""End-to-end training-corpus curation plan — the canonical 100TB
+data-pipeline composition over the engine's own operators:
+
+    quality gate (C4-style native filters)
+      → exact dedup (sha256 fingerprint, keep lowest doc_id)
+      → fuzzy dedup (MinHash-LSH candidates → Jaccard verify
+                     → connected components → keep one per cluster)
+      → curated corpus + per-stage survivorship metrics
+
+Every stage is a DataFrame transform; the only driver-side loop is the
+bounded label-propagation convergence inside duplicate_clusters. Scale
+shape: the quality gate and fingerprints are map-only; exact dedup is one
+shuffle on a 64-char key; the fuzzy stage only materializes candidate
+pairs through LSH band buckets (never O(n²)); clustering shuffles the PAIR
+list, which is tiny relative to the corpus.
+
+The reference has no corpus curation (it is a per-document extraction
+tool); this plan is part of the beyond-parity training-data surface
+(dedup/textops operators composed end-to-end, SURVEY §2 extras).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docext_spark.operators.dedup import (duplicate_clusters,
+                                          jaccard_pairs,
+                                          lsh_candidate_pairs)
+from docext_spark.operators.textops import (fingerprint, lang_id,
+                                            quality_score, token_count)
+
+
+def quality_gate(docs: DataFrame, text_col: str = "text",
+                 min_tokens: int = 5, min_quality: float = 0.3,
+                 langs: tuple[str, ...] = ("en",)) -> DataFrame:
+    """C4-style keep predicate: minimum length, composite quality score,
+    language allowlist. Pure native expressions — evaluated inside the
+    scan's whole-stage codegen, nothing shuffles."""
+    return (docs
+            .withColumn("_n_tokens", token_count(F.col(text_col)))
+            .withColumn("_quality", F.round(quality_score(F.col(text_col)), 6))
+            .withColumn("_lang", lang_id(F.col(text_col)))
+            .filter((F.col("_n_tokens") >= min_tokens)
+                    & (F.col("_quality") >= min_quality)
+                    & F.col("_lang").isin(*langs)))
+
+
+def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+    min_by over one hash-groupBy — the 100TB exact-dedup shape."""
+    keepers = (docs
+               .select(F.col(id_col), fingerprint(F.col(text_col)).alias("_fp"))
+               .groupBy("_fp")
+               .agg(F.min(id_col).alias(id_col))
+               .select(id_col))
+    return docs.join(keepers, id_col, "left_semi")
+
+
+def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           num_hashes: int = 8, bands: int = 4,
+                           jaccard_threshold: float = 0.5,
+                           engine: str = "xxhash64") -> DataFrame:
+    """LSH candidates → exact Jaccard verification → connected components
+    → drop every non-keeper. The verify step bounds false positives (LSH
+    alone admits banding collisions); components merge transitive dup
+    chains so A~B~C keeps exactly one document."""
+    cands = lsh_candidate_pairs(docs, id_col, text_col,
+                                num_hashes=num_hashes, bands=bands, n=n,
+                                engine=engine)
+    verified = (jaccard_pairs(docs, id_col, text_col, n=n,
+                              threshold=jaccard_threshold)
+                .join(cands, ["id_a", "id_b"], "left_semi"))
+    losers = (duplicate_clusters(verified)
+              .filter(~F.col("is_keeper"))
+              .select(F.col("doc_id").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")
+
+
+def curate(docs: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text", fuzzy_kwargs: dict | None = None,
+           **quality_kwargs) -> dict:
+    """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame}
+    — funnel is the per-stage survivorship count (the metric a curation
+    job publishes alongside the output table)."""
+    gated = quality_gate(docs, text_col, **quality_kwargs)
+    exact = exact_dedup_keep_first(gated, id_col, text_col)
+    fuzzy = fuzzy_dedup_keep_first(exact, id_col, text_col,
+                                   **(fuzzy_kwargs or {}))
+    corpus = fuzzy.select(id_col, text_col, "_n_tokens", "_quality", "_lang")
+    funnel = (docs.select(F.lit("0_input").alias("stage"),
+                          F.count(F.lit(1)).alias("n_docs"))
+              .unionByName(gated.select(F.lit("1_quality_gate").alias("stage"),
+                                        F.count(F.lit(1)).alias("n_docs")))
+              .unionByName(exact.select(F.lit("2_exact_dedup").alias("stage"),
+                                        F.count(F.lit(1)).alias("n_docs")))
+              .unionByName(fuzzy.select(F.lit("3_fuzzy_dedup").alias("stage"),
+                                        F.count(F.lit(1)).alias("n_docs"))))
+    return {"corpus": corpus, "funnel": funnel}

@@ -1,0 +1,55 @@
+"""End-to-end corpus curation: quality gate → exact dedup → fuzzy dedup
+→ keep-one, with a hand-computable fixture."""
+from __future__ import annotations
+
+from docext_spark.plans.curate import (curate, exact_dedup_keep_first,
+                                       fuzzy_dedup_keep_first, quality_gate)
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then the dog "
+        "walks away to find some food in the big green garden")
+
+
+def _docs(spark):
+    rows = [
+        (1, GOOD),                               # keeper
+        (2, GOOD),                               # exact dup of 1
+        (3, "  THE   QUICK " + GOOD[10:]),       # normalized-exact dup of 1
+        (4, GOOD.replace("garden", "meadow")),   # fuzzy dup of 1
+        (5, "zxq wvu tsr"),                      # fails quality gate (short)
+        (6, "der die das und ist nicht ein " * 5),  # fails lang gate (de)
+        (7, "a completely different english document about the spark engine "
+            "and how it keeps all of the data moving through the cluster"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_quality_gate(spark):
+    kept = {r["doc_id"] for r in quality_gate(_docs(spark)).collect()}
+    assert 5 not in kept          # too short / low quality
+    assert 6 not in kept          # german
+    assert {1, 2, 3, 4, 7} <= kept
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    out = {r["doc_id"] for r in
+           exact_dedup_keep_first(_docs(spark)).collect()}
+    assert 1 in out and 2 not in out and 3 not in out
+    assert {4, 5, 6, 7} <= out    # non-dups untouched
+
+
+def test_fuzzy_dedup_merges_near_dups(spark):
+    docs = exact_dedup_keep_first(_docs(spark))
+    out = {r["doc_id"] for r in fuzzy_dedup_keep_first(docs).collect()}
+    assert 1 in out and 4 not in out   # near-dup cluster keeps min id
+    assert 7 in out
+
+
+def test_curate_funnel(spark):
+    result = curate(_docs(spark))
+    corpus = {r["doc_id"] for r in result["corpus"].collect()}
+    assert corpus == {1, 7}
+    funnel = {r["stage"]: r["n_docs"] for r in result["funnel"].collect()}
+    assert funnel == {"0_input": 7, "1_quality_gate": 5,
+                      "2_exact_dedup": 3, "3_fuzzy_dedup": 2}
+    row = {r["doc_id"]: r for r in result["corpus"].collect()}[1]
+    assert row["_lang"] == "en" and row["_n_tokens"] > 10
