@@ -150,22 +150,50 @@ def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
 def deterministic_centroids(vectors: DataFrame, n_lists: int = 8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
-    """Seeded centroid pick: the n_lists lowest-id vectors (deterministic
-    stand-in for a k-means fit; on a cluster, fit with Spark ML KMeans)."""
+    """Seeded centroid init: the n_lists lowest-id vectors (deterministic;
+    kmeans_fit refines them with Lloyd's iterations)."""
     rows = (vectors.orderBy(id_col).limit(n_lists)
             .select(vec_col).collect())
-    return [(i, list(r[0])) for i, r in enumerate(rows)]
+    return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
+
+
+def kmeans_fit(vectors: DataFrame, dim: int, n_lists: int = 8,
+               iters: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd's k-means over the embedding column (cosine
+    assignment, mean update) — a real IVF coarse-quantizer fit, pure
+    DataFrame ops. Each iteration is one pass: assign every vector to its
+    nearest centroid (centroids are inlined literals — config-scale, the
+    same shape a broadcast would have) and re-aggregate per-dimension
+    means map-side. The only driver materialization is k centroid rows per
+    iteration. Empty clusters keep their previous centroid. Deterministic
+    (seeded init, no sampling)."""
+    cents = deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    for _ in range(iters):
+        assigned = ivf_assign(v, cents, "vec", probe=1)
+        means = (assigned.groupBy("ivf_list")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      *[F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"c{i}")
+                        for i in range(dim)]))
+        new = {int(r["ivf_list"]): [float(r[f"c{i}"]) for i in range(dim)]
+               for r in means.collect()}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_lists: int = 8, probe: int = 2, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "qid",
-             qvec_col: str = "qvec") -> DataFrame:
+             qvec_col: str = "qvec",
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """IVF approximate top-k: corpus bucketed into inverted lists by nearest
     centroid; a query scans only its `probe` nearest lists. At 100TB the
     corpus is written bucketed by ivf_list so a query prunes to
-    probe/n_lists of the data."""
-    cents = deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    probe/n_lists of the data. Pass ``centroids`` from kmeans_fit for a
+    trained quantizer; default is the seeded init (lowest-id vectors)."""
+    cents = centroids or deterministic_centroids(vectors, n_lists,
+                                                 id_col, vec_col)
     v = ivf_assign(vectors, cents, vec_col, probe=1)
     q = ivf_assign(queries.withColumnRenamed(qvec_col, "_qv"), cents,
                    "_qv", probe=probe).withColumnRenamed("_qv", qvec_col)

@@ -336,6 +336,35 @@ def test_embedding_near_dups_or_amplification_recall(spark):
     assert len(single) <= len(approx)
 
 
+def test_kmeans_fit_separates_blobs(spark):
+    """Lloyd's iterations on 3 well-separated direction blobs: every blob
+    ends in its own IVF list, and the trained quantizer gives ivf_topk
+    full recall on a blob-aligned query."""
+    import random
+    from docext_spark.operators.similarity import (ivf_assign, ivf_topk,
+                                                   kmeans_fit)
+    rng = random.Random(3)
+    dirs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = []
+    for i in range(60):
+        d = dirs[i % 3]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in d]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = kmeans_fit(df, dim=4, n_lists=3, iters=4)
+    assert len(cents) == 3 and all(len(c) == 4 for _, c in cents)
+    # each blob maps to exactly one list
+    assigned = ivf_assign(df, cents).select("vec_id", "ivf_list").collect()
+    lists_per_blob = {}
+    for r in assigned:
+        lists_per_blob.setdefault(r["vec_id"] % 3, set()).add(r["ivf_list"])
+    assert all(len(s) == 1 for s in lists_per_blob.values())
+    assert len(set.union(*lists_per_blob.values())) == 3
+    # trained quantizer: blob-0 query retrieves only blob-0 vectors
+    q = spark.createDataFrame([(0, dirs[0])], "qid int, qvec array<double>")
+    out = ivf_topk(df, q, k=5, n_lists=3, probe=1, centroids=cents).collect()
+    assert len(out) == 5 and all(r["vec_id"] % 3 == 0 for r in out)
+
+
 def test_lsh_topk_multi_table_recall(spark, vectors):
     exact = {r["vec_id"] for r in
              brute_force_topk(vectors, _queries(spark), k=5).collect()}
