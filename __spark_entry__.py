@@ -984,6 +984,65 @@ SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k, oracle-paired: the coarse quantizer is the
+    seeded init (8 lowest-id vectors), so the inverted-list assignment is
+    fully replayable in SQL — corpus probe=1, query probe=2, exact re-rank
+    inside the probed lists. (The trained-quantizer path, kmeans_fit, is
+    covered by pytest blob-separation tests.)"""
+    from docext_spark.operators.similarity import ivf_topk
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = ivf_topk(emb, queries, k=5, n_lists=8, probe=2)
+    return out.select("qid", "vec_id",
+                      F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+_COS_FRAG = """
+         list_aggregate([{a}[i] * {b}[i]
+                         for i in generate_series(1, len({a}))], 'sum')
+         / (sqrt(list_aggregate([{a}[i] * {a}[i]
+                                 for i in generate_series(1, len({a}))], 'sum'))
+            * sqrt(list_aggregate([{b}[i] * {b}[i]
+                                   for i in generate_series(1, len({b}))], 'sum')))
+"""
+
+_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+cents AS (SELECT vec_id AS cid, e AS c FROM v ORDER BY vec_id LIMIT 8),
+vd AS (
+  SELECT v.vec_id, v.e, cents.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY -({_COS_FRAG.format(a='v.e', b='cents.c')}),
+                                     cents.cid) AS rn
+  FROM v CROSS JOIN cents
+), vassign AS (SELECT vec_id, e, cid FROM vd WHERE rn <= 1),
+q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 3),
+qd AS (
+  SELECT q.qid, q.qv, cents.cid,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY -({_COS_FRAG.format(a='q.qv', b='cents.c')}),
+                                     cents.cid) AS rn
+  FROM q CROSS JOIN cents
+), qassign AS (SELECT qid, qv, cid FROM qd WHERE rn <= 2),
+scored AS (
+  SELECT qa.qid, va.vec_id,
+         round({_COS_FRAG.format(a='va.e', b='qa.qv')}, 6) AS cos6
+  FROM vassign va JOIN qassign qa ON va.cid = qa.cid
+), ranked AS (
+  -- rank on the 6dp value (the Spark operator's ordering), display at 4dp
+  SELECT qid, vec_id, round(cos6, 4) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---- oracle-checked extraction queries (perception planted in the data) ---
 
 def _planted_embeddings(spark, sf_dir):
@@ -1624,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "dedup_cosine_pairs": _dedup_cosine_pairs,
         "dedup_cosine_lsh": _dedup_cosine_lsh,
         "idp_benchmark_matrix": _idp_benchmark_matrix,
@@ -1631,9 +1691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pipe_table": _x5_pipe_table,
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
-        "j5_table_pairing": _j5_table_pairing,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        # -- oracle-paired overflow (51-56) ---------------------------------
+        # -- oracle-paired overflow (51-57) ---------------------------------
+        "j5_table_pairing": _j5_table_pairing,
         "p5_strip_normalize": _p5_strip_normalize,
         "p4_tag_escape": _p4_tag_escape,
         "p8_polygon_bbox": _p8_polygon_bbox,
@@ -1694,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,
+        "ann_ivf_topk": _IVF_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
