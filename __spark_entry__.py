@@ -1043,6 +1043,53 @@ SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k with 2-table OR-amplification,
+    oracle-paired: the seeded planes are deterministic Python floats, so
+    the same literals are inlined into the DuckDB twin and the bucketing
+    replays exactly (sign bits → bucket string → join → max-cos dedup →
+    rank)."""
+    from docext_spark.operators.similarity import lsh_topk
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=8, n_tables=2)
+
+
+def _ann_lsh_sql():
+    from docext_spark.operators.similarity import deterministic_planes
+    tables = []
+    for t in range(2):
+        planes = deterministic_planes(64, 8, seed=42 + 7919 * t)
+        bits = " || ".join(
+            "(CASE WHEN list_aggregate([{v}[i] * [{p}][i] "
+            "for i in generate_series(1, len({v}))], 'sum') >= 0 "
+            "THEN '1' ELSE '0' END)".format(
+                v="e", p=", ".join(repr(x) for x in plane))
+            for plane in planes)
+        tables.append(f"SELECT vec_id, e, '{t}' || ':' || ({bits}) AS bucket FROM v")
+    banded = " UNION ALL ".join(tables)
+    return f"""
+WITH v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+banded AS ({banded}),
+q AS (SELECT vec_id AS qid, e AS qv, bucket FROM banded WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         max(round({_COS_FRAG.format(a='b.e', b='q.qv')}, 6)) AS cos_sim
+  FROM banded b JOIN q ON b.bucket = q.bucket
+  GROUP BY q.qid, b.vec_id
+), ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
 # ---- oracle-checked extraction queries (perception planted in the data) ---
 
 def _planted_embeddings(spark, sf_dir):
@@ -1658,7 +1705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_stratified_topk": _a11_stratified_topk,
         "w1_stable_order_concat": _w1_stable_order_concat,
         "w3_first_match": _w3_first_match,
-        "w4_topn": _w4_topn,
         "w5_event_time_window": _w5_event_time_window,
         "p1_field_norm": _p1_field_norm,
         "p6_key_remap": _p6_key_remap,
@@ -1684,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
         "dedup_cosine_pairs": _dedup_cosine_pairs,
         "dedup_cosine_lsh": _dedup_cosine_lsh,
         "idp_benchmark_matrix": _idp_benchmark_matrix,
@@ -1692,7 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        # -- oracle-paired overflow (51-57) ---------------------------------
+        # -- oracle-paired overflow (51-58) ---------------------------------
+        "w4_topn": _w4_topn,
         "j5_table_pairing": _j5_table_pairing,
         "p5_strip_normalize": _p5_strip_normalize,
         "p4_tag_escape": _p4_tag_escape,
@@ -1755,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        "ann_lsh_topk": _ann_lsh_sql(),
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
