@@ -109,33 +109,41 @@ class _Extractor:
 
     # -- tokenizer driver --------------------------------------------------
     def run(self):
+        # hot loop: bind lookups once (small measured win, ~3%; byte
+        # equality pinned by the pipeline goldens)
         raw = self.raw
         pos = 0
+        handle_data = self.handle_data
+        handle_endtag = self.handle_endtag
+        handle_starttag_raw = self.handle_starttag_raw
+        unescape = _html.unescape
         for m in _TOKEN_RE.finditer(raw):
-            if m.start() > pos:
-                data = raw[pos:m.start()]
+            start = m.start()
+            if start > pos:
+                data = raw[pos:start]
                 self._pos = pos
-                self._data_end = m.start()
-                self.handle_data(_html.unescape(data) if "&" in data else data)
+                self._data_end = start
+                handle_data(unescape(data) if "&" in data else data)
             pos = m.end()
             tag = m.group(1)
             if tag is None:
                 continue  # comment / doctype / CDATA / PI
-            self._pos = m.start()
-            if raw[m.start() + 1] == "/":
-                self.handle_endtag(tag.lower())
+            self._pos = start
+            tag = tag.lower()
+            if raw[start + 1] == "/":
+                handle_endtag(tag)
             else:
                 attrs_raw = m.group(2) or ""
-                self.handle_starttag_raw(tag.lower(), attrs_raw)
+                handle_starttag_raw(tag, attrs_raw)
                 # XML-style self-closing tag: emit the matching end event so
                 # subtree state (drop depth, table capture) can't leak open
-                if attrs_raw.rstrip().endswith("/") and tag.lower() not in _VOID:
-                    self.handle_endtag(tag.lower())
+                if attrs_raw.rstrip().endswith("/") and tag not in _VOID:
+                    handle_endtag(tag)
         if pos < len(raw):
             data = raw[pos:]
             self._pos = pos
             self._data_end = len(raw)
-            self.handle_data(_html.unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
 
     def handle_starttag_raw(self, tag: str, attrs_raw: str):
         """Lazy attribute parsing: most tags never need their attributes."""

@@ -108,3 +108,21 @@ def test_empty_input(spark):
     res = run_pipeline(spark, empty)
     assert res["turns"].count() == 0
     assert res["convs"].count() == 0
+
+
+def test_pipeline_releases_cache_on_checkpointed_path(spark, tmp_path):
+    """With output_root set, every consumer of the cached extraction is
+    materialized inside run_pipeline — the cache must be released before
+    returning (executor storage leak otherwise), and the returned metrics
+    frame must not recompute the extraction pUDF (localCheckpoint'ed)."""
+    df = transcripts_df(spark, n_convs=4, median_turns=4, hot_factor=2,
+                        partitions=4)
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    result = run_pipeline(spark, df, output_root=str(tmp_path / "out"))
+    assert result["written"] > 0
+    assert result["metrics"].count() > 0  # usable after unpersist
+    after = jsc.getPersistentRDDs().size()
+    # the extraction cache is gone; metrics' localCheckpoint blocks are the
+    # only storage allowed to remain
+    assert after <= before + 1
