@@ -138,14 +138,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", num_hashes: int = 16,
                         bands: int = 4, n: int = 3,
-                        engine: str = "sha256") -> DataFrame:
+                        engine: str = "sha256",
+                        max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
     bucket join on (band, band_key). Returns distinct (id_a, id_b).
 
     The band key is hashed with the same engine as the signature: one
     xxhash64 over the band's components in the production path (long key —
     narrower shuffle than the 64-char hex), sha256-of-concat in the oracle
-    path (replayable in SQL)."""
+    path (replayable in SQL).
+
+    ``max_bucket_size`` guards the remaining skew vector at 100TB: a bucket
+    of B identical-signature docs yields B²/2 candidate pairs, so one
+    1M-member bucket (mass-duplicated boilerplate) is 5·10^11 pairs on one
+    key. Oversized buckets are dropped via the same broadcast-anti shape as
+    the hot-shingle cap. Run EXACT dedup first (plans/curate.py ordering) so
+    byte-identical docs never reach this stage — the cap then only trims
+    pathological near-identical floods, not legitimate recall."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
@@ -158,9 +167,20 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         key = (F.xxhash64(*cols) if engine == "xxhash64"
                else F.sha2(F.concat_ws("|", *cols), 256))
         band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
+    return _banded_pairs(sigs, band_cols, max_bucket_size)
+
+
+def _banded_pairs(sigs: DataFrame, band_cols: list,
+                  max_bucket_size: int | None) -> DataFrame:
     banded = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
                   .select("id", F.col("bk.band").alias("band"),
                           F.col("bk.key").alias("key")))
+    if max_bucket_size is not None:
+        hot = (banded.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("sz"))
+               .filter(F.col("sz") > max_bucket_size)
+               .select("band", "key"))
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     return (a.join(b, ["band", "key"])

@@ -44,3 +44,23 @@ def test_resume_key_is_content_addressed(spark):
         "conv_id string, turn_idx int, text string")
     keys = [r[0] for r in df.select(resume_key()).collect()]
     assert keys[0] == keys[1] != keys[2]
+
+
+def test_uncommitted_batch_is_invisible(spark, tmp_path):
+    """Snapshot atomicity: a batch directory whose manifest entry was never
+    appended (crash between write and commit) must be invisible —
+    committed() skips it and remaining() still returns its rows."""
+    import os
+    from docext_spark.sources.checkpoint import CheckpointedResults
+    root = str(tmp_path / "results")
+    ckpt = CheckpointedResults(root)
+    src = spark.createDataFrame(
+        [("c1", 0, "a"), ("c1", 1, "b")], "conv_id string, turn_idx int, md string")
+    # simulate the crash: files written, manifest NOT updated
+    os.makedirs(root, exist_ok=True)
+    src.write.parquet(os.path.join(root, "batch-orphaned"))
+    assert ckpt.committed(spark) is None          # no manifest → nothing committed
+    assert ckpt.remaining(spark, src).count() == 2  # all rows still to do
+    # a real commit then excludes exactly the committed keys
+    ckpt.commit(src.limit(1))
+    assert ckpt.remaining(spark, src).count() == 1

@@ -241,6 +241,24 @@ def test_jaccard_capped_matches_python_twin(spark):
     assert got == expect and expect  # non-vacuous
 
 
+def test_lsh_bucket_size_cap_bounds_flood(spark):
+    """A flood of near-identical docs lands in one LSH bucket → B²/2
+    candidate pairs; the cap drops the flooded bucket while untouched
+    buckets keep their pairs."""
+    flood = [(i, "spam spam spam wonderful spam spam spam baked beans spam")
+             for i in range(40)]
+    pair = [(100, " ".join(f"p{k}" for k in range(20))),
+            (101, " ".join(f"p{k}" for k in range(19)) + " zz")]
+    df = spark.createDataFrame(flood + pair, "doc_id int, text string")
+    uncapped = lsh_candidate_pairs(df, num_hashes=8, bands=4).count()
+    assert uncapped >= 40 * 39 / 2  # the flood is quadratic
+    capped = {(r["id_a"], r["id_b"]) for r in
+              lsh_candidate_pairs(df, num_hashes=8, bands=4,
+                                  max_bucket_size=10).collect()}
+    assert (100, 101) in capped      # legitimate near-dup pair survives
+    assert len(capped) <= 1 + 0      # flood buckets dropped entirely
+
+
 def test_duplicate_clusters_connected_components(spark):
     from docext_spark.operators.dedup import duplicate_clusters
     pairs = spark.createDataFrame(

@@ -128,3 +128,15 @@ def test_load_all_union_schema(spark):
         "ds_name", "task", "sample_id", "extraction_type", "image_refs",
         "fields", "question", "answers", "doc_type", "class_labels",
         "ocr_text", "table_json"}
+
+
+def test_checkbox_malformed_ground_truth_is_total(spark):
+    """Broken / absent JSON must yield empty fields, never an error row
+    (the broken-payload contract applies to loaders too)."""
+    rows = [(0, "x.png", "{broken ]["),
+            (1, "y.png", None),
+            (2, "z.png", '{"gt_parse": {}}')]
+    df = spark.createDataFrame(rows,
+                               "sample_id int, image_ref string, ground_truth string")
+    out = {r["sample_id"]: r["fields"] for r in L.load_checkbox(df).collect()}
+    assert all(len(f) == 0 for f in out.values())
