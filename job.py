@@ -9,6 +9,10 @@
 
 Runs the flagship extraction pipeline with checkpoint/resume: rerunning
 after a failure processes only uncommitted (conv_id, turn_idx) keys.
+
+``--mode curate`` instead runs the corpus-curation plan (quality gate →
+exact dedup → LSH fuzzy dedup → clustering → keep-one) over a documents
+table (doc_id, text) and writes the curated corpus + survivorship funnel.
 """
 from __future__ import annotations
 
@@ -30,11 +34,31 @@ def main():
     ap.add_argument("--conv-output", help="optional conversation-level output")
     ap.add_argument("--chunked", action="store_true",
                     help="bounded-row conversation output (multi-GB convs)")
+    ap.add_argument("--mode", default="extract",
+                    choices=["extract", "curate"],
+                    help="extract = flagship transcript pipeline; "
+                         "curate = corpus curation over a documents table")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("docext_spark_job").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.mode == "curate":
+        from docext_spark.plans.curate import curate
+        if not args.input:
+            ap.error("--mode curate requires --input (a documents table)")
+        docs = spark.read.parquet(args.input)
+        t0 = time.time()
+        res = curate(docs)
+        res["corpus"].write.mode("overwrite").parquet(args.output)
+        funnel = {r["stage"]: r["n_docs"] for r in res["funnel"].collect()}
+        if args.metrics:
+            res["funnel"].write.mode("overwrite").parquet(args.metrics)
+        print(json.dumps({"funnel": funnel,
+                          "sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return
 
     from docext_spark.plans.pipeline import run_pipeline
     from docext_spark.sources.transcripts import read_transcripts
