@@ -1480,18 +1480,88 @@ def _grits_similarity(spark, sf_dir):
 
 
 def _simhash_signatures(spark, sf_dir):
+    """64-bit SimHash (Charikar) per document. Oracle-paired: the md5
+    token hash + bit-vote construction replays exactly in DuckDB (md5 hex
+    → UBIGINT, 64 vote aggregates, HUGEINT bit pack → signed int64)."""
     from docext_spark.operators.extract import simhash_udf
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
 
 
+def _simhash_sql():
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0 END)"
+        for b in range(64))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS n
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(n, ' ')) AS tok FROM norm WHERE n <> ''
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), voted AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, ({bits}) AS u FROM voted
+)
+SELECT d.doc_id,
+       coalesce(CASE WHEN u >= (1::HUGEINT << 63)
+                     THEN (u - (1::HUGEINT << 64))::BIGINT
+                     ELSE u::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN sims USING (doc_id)
+"""
+
+
 def _dedup_winnow_pairs(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (MOSS): substring-level near-dup
-    candidate pairs. Rows-only (per-char rolling hash isn't reasonably
-    SQL-expressible)."""
+    candidate pairs. Oracle-paired: the Rabin-Karp k-gram polynomial is
+    position-independent (hash(gram) = Σ ord(c)·257^j mod 2^61-1), so the
+    per-doc fingerprint SET replays in SQL as a window-min over explicit
+    k-gram hashes — the rightmost-min tie-break and consecutive-dedup in
+    the kernel affect only which OCCURRENCE is picked, never the value
+    set, and the pair counts depend only on the set."""
     from docext_spark.operators.dedup import winnow_overlap_pairs
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return winnow_overlap_pairs(d, min_shared=2)
+
+
+def _winnow_sql(k: int = 8, window: int = 4) -> str:
+    mod = (1 << 61) - 1
+    poly = " + ".join(
+        f"unicode(substr(n, i+{j}, 1))::HUGEINT * {257 ** (k - 1 - j)}"
+        for j in range(k))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')) AS n
+  FROM documents WHERE doc_id < 200
+), pos AS (
+  SELECT doc_id, n, unnest(generate_series(1, len(n) - {k - 1})) AS i
+  FROM norm WHERE len(n) >= {k}
+), grams AS (
+  SELECT doc_id, i, (({poly}) % {mod})::BIGINT AS h FROM pos
+), wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, m AS fp
+  FROM wmin WHERE nh > {window} AND i <= nh - {window - 1}
+  UNION
+  SELECT doc_id, min(h) AS fp FROM grams
+  GROUP BY doc_id HAVING count(*) <= {window}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
 
 
 def _idp_benchmark_matrix(spark, sf_dir):
@@ -1748,14 +1818,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_union_frames": _a12_union_frames,
         "scalar_iou": _scalar_iou,
         "s2_posexplode_pages": _s2_posexplode_pages,
+        "simhash_signatures": _simhash_signatures,
+        "dedup_winnow_pairs": _dedup_winnow_pairs,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
         "grits_similarity": _grits_similarity,
-        "simhash_signatures": _simhash_signatures,
         "multimodal_features": _multimodal_features,
-        "dedup_winnow_pairs": _dedup_winnow_pairs,
         "dedup_lsh_pairs_fast": _dedup_lsh_pairs_fast,
     }
 
@@ -1804,6 +1874,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
+        "simhash_signatures": _simhash_sql(),
+        "dedup_winnow_pairs": _winnow_sql(),
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
