@@ -1752,11 +1752,14 @@ SELECT * FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 54 queries carry an oracle_sql
-    twin; the 4 overflow pairs (positions 51-54: p8_polygon_bbox,
-    a12_union_frames, scalar_iou, s2_posexplode_pages — all green in
-    CORRECTNESS_r01) and the rows-only tail are checkable any time via
-    tools/check_oracle.py."""
+    driver's 50-entry correctness window. 60 queries carry an oracle_sql
+    twin; the 10 overflow pairs (positions 51-60, all previously green /
+    full-sweep-verified — see CORRECTNESS_FULL_r2.md) and the 6 rows-only
+    tail entries are checkable any time via tools/check_oracle.py. The
+    rows-only ones are genuinely non-SQL-replayable: HLL sketch, perception
+    pUDFs (byte-pinned by pytest goldens), the stubbed multimodal codec,
+    and the xxhash64 LSH variant (pytest parity-gated vs the sha256
+    oracle path)."""
     return {
         # -- oracle-paired, window positions 1-50 --------------------------
         "q1_pricing_summary": _q1_pricing_summary,
