@@ -1583,6 +1583,16 @@ SELECT 'native' AS model, 1.0 AS "CLASSIFICATION", 1.0 AS "KIE",
 """
 
 
+def _vlm_messages(spark, sf_dir):
+    """Per-task VLM chat-message assembly over the full loader corpus
+    (reference tasks.py:107-282 + default templates) — pure projection, no
+    driver loop. Rows-only here; parse-level equality with a python mirror
+    of the reference builders is pinned in tests/test_messages.py."""
+    from docext_spark.operators.messages import benchmark_messages
+    from docext_spark.sources.loaders import load_all
+    return benchmark_messages(load_all(spark, n_per_ds=10))
+
+
 def _multimodal_features(spark, sf_dir):
     from docext_spark.operators.multimodal import extract_features
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1829,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_reassembly": _flagship_reassembly,
         "grits_similarity": _grits_similarity,
         "multimodal_features": _multimodal_features,
+        "vlm_messages": _vlm_messages,
         "dedup_lsh_pairs_fast": _dedup_lsh_pairs_fast,
     }
 

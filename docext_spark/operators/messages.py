@@ -1,0 +1,193 @@
+"""Per-task VLM chat-message assembly, Spark-native.
+
+The reference builds one chat-message list per benchmark row in a Python
+loop (tasks.py:107-282: get_{TABLE,CLASSIFICATION,VQA,OCR,KIE}_messages,
+with the default templates from configs/benchmark.yaml:121-146). Here the
+same structures are assembled as ONE native expression over the loader
+frame (sources/loaders.py output) — at 10^12 rows prompt construction is a
+projection, not a driver loop.
+
+Faithful to the reference shapes:
+- messages = [system] + one user message per page (a "Page {n}" text item
+  + an image_url item; OCR: single image, no page-separator item)
+  + the final task user prompt.
+- Python-repr formatting of lists/dicts inside prompts ({fields},
+  {labels}, {output_format}) is replicated exactly ("['a', 'b']",
+  "{'f': '..'}").
+- The data-URL base64 payload (tasks.py:98-105 get_image_encoding_type +
+  encode_image) needs file bytes; this sandbox has none, so the url
+  carries a deterministic unresolved-ref marker. At deployment, join the
+  media table and base64() the binary column in the same expression.
+
+Output: (ds_name, task, sample_id, messages) with messages a JSON string
+parse-equal to the reference's json.dumps(messages).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# configs/benchmark.yaml:121-146 default templates
+TEMPLATES = {
+    "KIE": {
+        "system_prompt": "You are a helpful assistant that extracts "
+                         "information from a document.",
+        "page_sep": "Page {n}",
+        "user_prompt": "Extract the following {fields} from the above "
+                       "document. If a field is not present, return ''. "
+                       "Return the output in a valid JSON format as "
+                       "{output_format}.",
+    },
+    "OCR": {
+        "system_prompt": (
+            'You are an OCR model. Your task is to extract all visible and '
+            'legible text from images with high accuracy and fidelity.\\n\\n'
+            'Output only the text that appears in the image.\\n\\nPreserve '
+            'the natural reading order (e.g., top-to-bottom, left-to-right) '
+            'as much as possible.\\n\\nDo not infer, summarize, or add '
+            'information not explicitly visible in the image.\\n\\nIf the '
+            'text is partially visible, extract as much as can be '
+            'confidently read.\\n\\nMaintain original formatting when '
+            'reasonable (e.g., line breaks, spacing).\\n\\nIf there is no '
+            'readable text, respond with: ""\\n\\nYour primary goal is to '
+            'be accurate, consistent, and faithful to the image content.'),
+        "user_prompt": "Extract the text from the above document. Do not "
+                       "give any explanation. Just return the text.",
+    },
+    "VQA": {
+        "system_prompt": (
+            "You are a helpful and intelligent Vision-Language Model (VLM). "
+            "When a user shares an image, your primary task is to extract "
+            "relevant visual and textual information from the image and "
+            "answer the user's questions accurately based on the image "
+            "content. If the user asks a question that cannot be answered "
+            "from the image alone, return ''. Always ground your answers in "
+            "the image content unless otherwise specified."),
+        "page_sep": "Page {n}",
+        "user_prompt": "Answer the following question based on the images "
+                       "shared: {question}. Do not give any explanation. "
+                       "Just return the answer. If the answer is a number, "
+                       "return it as a number and not a string (eg. Return "
+                       "3 instead of Three).",
+    },
+    "CLASSIFICATION": {
+        "system_prompt": "You are a helpful assistant that classifies "
+                         "documents into one of the following categories: "
+                         "{labels}. Your task is to classify the document "
+                         "based on the content of the document.",
+        "page_sep": "Page {n}",
+        "user_prompt": "Classify the following document into one of the "
+                       "following categories: {labels}. Do not give any "
+                       "explanation. Just return the category.",
+    },
+    "TABLE": {
+        "system_prompt": "You are a helpful assistant that Tables from a "
+                         "document.",
+        "page_sep": "Page {n}",
+        "user_prompt": "Extract the following columns {columns} from the "
+                       "above document. If a cell is not present, return "
+                       "''. Return a valid JSON object in the following "
+                       "format (row-wise): {output_format}",
+    },
+}
+
+
+def pyrepr_list(arr: Column) -> Column:
+    """str(list_of_strings) — "['a', 'b']" — as a native expression."""
+    return F.when(F.size(arr) == 0, F.lit("[]")).otherwise(
+        F.concat(F.lit("['"), F.array_join(arr, "', '"), F.lit("']")))
+
+
+def pyrepr_dict_const(arr: Column, value: str) -> Column:
+    """str({k: value for k in keys}) — "{'f': '..'}" — native."""
+    return F.when(F.size(arr) == 0, F.lit("{}")).otherwise(
+        F.concat(F.lit("{'"),
+                 F.array_join(arr, f"': '{value}', '"),
+                 F.lit(f"': '{value}'}}")))
+
+
+def _msg(role: str, content: Column) -> Column:
+    """One {"role": ..., "content": <string>} message as JSON."""
+    return F.to_json(F.struct(F.lit(role).alias("role"),
+                              content.alias("content")))
+
+
+def _image_url(ref: Column) -> Column:
+    # deployment: base64(media.payload) joined by ref; see module docstring
+    return F.concat(F.lit("data:image/png;base64,<unresolved:"), ref,
+                    F.lit(">"))
+
+
+def _page_messages(refs: Column, page_sep: str | None) -> Column:
+    """One user message per page. page_sep=None → image item only (OCR)."""
+    def one(ref, i):
+        img = F.to_json(F.struct(
+            F.lit("image_url").alias("type"),
+            F.struct(_image_url(ref).alias("url")).alias("image_url")))
+        if page_sep is None:
+            content = F.concat(F.lit("["), img, F.lit("]"))
+        else:
+            txt = F.to_json(F.struct(
+                F.lit("text").alias("type"),
+                F.concat(F.lit(page_sep.split("{n}")[0]),
+                         (i + 1).cast("string")).alias("text")))
+            content = F.concat(F.lit("["), txt, F.lit(","), img, F.lit("]"))
+        return F.concat(F.lit('{"role": "user", "content": '), content,
+                        F.lit("}"))
+    return F.array_join(F.transform(refs, one), ", ")
+
+
+def benchmark_messages(bench: DataFrame) -> DataFrame:
+    """Loader frame → (ds_name, task, sample_id, messages JSON)."""
+    t = TEMPLATES
+    field_names = F.transform("fields", lambda f: f["label"])
+    table_cols = F.map_keys(F.element_at(
+        F.from_json("table_json", "array<map<string,string>>"), 1))
+
+    kie_user = F.concat(
+        F.lit("Extract the following "), pyrepr_list(field_names),
+        F.lit(" from the above document. If a field is not present, return "
+              "''. Return the output in a valid JSON format as "),
+        pyrepr_dict_const(field_names, ".."), F.lit("."))
+    cls_user = F.concat(
+        F.lit("Classify the following document into one of the following "
+              "categories: "), pyrepr_list(F.col("class_labels")),
+        F.lit(". Do not give any explanation. Just return the category."))
+    cls_system = F.concat(
+        F.lit("You are a helpful assistant that classifies documents into "
+              "one of the following categories: "),
+        pyrepr_list(F.col("class_labels")),
+        F.lit(". Your task is to classify the document based on the "
+              "content of the document."))
+    vqa_user = F.concat(
+        F.lit("Answer the following question based on the images shared: "),
+        F.col("question"),
+        F.lit(". Do not give any explanation. Just return the answer. If "
+              "the answer is a number, return it as a number and not a "
+              "string (eg. Return 3 instead of Three)."))
+    tbl_user = F.concat(
+        F.lit("Extract the following columns "), pyrepr_list(table_cols),
+        F.lit(" from the above document. If a cell is not present, return "
+              "''. Return a valid JSON object in the following format "
+              "(row-wise): ["), pyrepr_dict_const(table_cols, ""),
+        F.lit("]"))
+
+    system = (F.when(F.col("task") == "CLASSIFICATION", cls_system)
+              .otherwise(F.create_map(
+                  *[x for task in ("KIE", "OCR", "VQA", "TABLE")
+                    for x in (F.lit(task),
+                              F.lit(t[task]["system_prompt"]))])
+                  [F.col("task")]))
+    user = (F.when(F.col("task") == "KIE", kie_user)
+            .when(F.col("task") == "CLASSIFICATION", cls_user)
+            .when(F.col("task") == "VQA", vqa_user)
+            .when(F.col("task") == "TABLE", tbl_user)
+            .otherwise(F.lit(t["OCR"]["user_prompt"])))
+    pages = (F.when(F.col("task") == "OCR",
+                    _page_messages(F.col("image_refs"), None))
+             .otherwise(_page_messages(F.col("image_refs"), "Page {n}")))
+
+    messages = F.concat(F.lit("["), _msg("system", system), F.lit(", "),
+                        pages, F.lit(", "), _msg("user", user), F.lit("]"))
+    return bench.select("ds_name", "task", "sample_id",
+                        messages.alias("messages"))
