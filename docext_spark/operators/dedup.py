@@ -209,6 +209,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.select(F.col("u").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         nbr_min = (edges.join(labels.withColumnRenamed("node", "u"), "u")
                    .groupBy(F.col("v").alias("node"))
@@ -222,9 +223,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
                    .join(labels, "node")
                    .filter(F.col("new_lbl") != F.col("lbl")).count())
+        labels.unpersist()  # previous round's checkpoint blocks
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would return WRONG components (labels not
+        # yet propagated across long paths) — fail loudly instead; real
+        # dedup components are near-cliques, so hitting this means the
+        # input is not a near-dup pair list (or max_iter was lowered)
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in max_iter={max_iter} "
+            "rounds (component diameter exceeds max_iter); raise max_iter")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"),
                          (F.col("node") == F.col("lbl")).alias("is_keeper"))

@@ -53,3 +53,15 @@ def test_curate_funnel(spark):
                       "2_exact_dedup": 3, "3_fuzzy_dedup": 2}
     row = {r["doc_id"]: r for r in result["corpus"].collect()}[1]
     assert row["_lang"] == "en" and row["_n_tokens"] > 10
+
+
+def test_curate_all_filtered_is_total(spark):
+    """Every doc failing the quality gate → empty corpus, funnel intact,
+    no stage errors on empty inputs."""
+    junk = spark.createDataFrame(
+        [(1, "zzz"), (2, ""), (3, None)], "doc_id int, text string")
+    result = curate(junk)
+    assert result["corpus"].count() == 0
+    funnel = {r["stage"]: r["n_docs"] for r in result["funnel"].collect()}
+    assert funnel == {"0_input": 3, "1_quality_gate": 0,
+                      "2_exact_dedup": 0, "3_fuzzy_dedup": 0}

@@ -274,6 +274,20 @@ def test_duplicate_clusters_connected_components(spark):
                    33: (30, False), 34: (30, False)}
 
 
+def test_duplicate_clusters_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must FAIL, not return
+    silently-wrong half-propagated labels."""
+    from docext_spark.operators.dedup import duplicate_clusters
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)],
+                                  "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iter=5)
+    # and with enough rounds the same chain is one component rooted at 0
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(chain, max_iter=15).collect()}
+    assert set(out.values()) == {0}
+
+
 def test_duplicate_clusters_matches_union_find_twin(spark):
     """Seeded random graphs vs a pure-Python union-find: the distributed
     min-label propagation must produce identical components."""
