@@ -107,6 +107,31 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", "inter", "union", "jaccard"))
 
 
+def jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given candidate (id_a, id_b)
+    pairs — the verify stage after LSH. Per-doc shingle sets are built
+    map-side (array_distinct over the shingle expression, no shuffle,
+    bounded by document length) and joined to the pair list, so the cost
+    is O(|pairs|), never the full shingle self-join (which would make the
+    verify step as expensive as the thing LSH exists to avoid)."""
+    from docext_spark.operators.textops import normalized
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(normalized(F.col(text_col)), n,
+                                       pre_normalized=True)).alias("sh"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    return (pairs.select("id_a", "id_b").join(sa, "id_a").join(sb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+            .withColumn("union",
+                        F.size("sha") + F.size("shb") - F.col("inter"))
+            .withColumn("jaccard", F.round(F.col("inter") / F.col("union"), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "inter", "union", "jaccard"))
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_hashes: int = 16,
                        n: int = 3, engine: str = "sha256") -> DataFrame:
@@ -203,9 +228,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     PAIR list (tiny next to the corpus — only docs that dedup at all appear
     here), and labels are localCheckpoint'ed per round so the iterative
     plan never accumulates lineage."""
+    # the pair list is re-joined every round — materialize it ONCE (it is
+    # tiny next to the corpus), or each round would re-execute the entire
+    # upstream pair-generation plan (LSH + jaccard verify in the curate
+    # path) through the lazy lineage
     edges = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
              .union(pairs.select(F.col(id_b).alias("u"),
-                                 F.col(id_a).alias("v"))))
+                                 F.col(id_a).alias("v")))
+             .localCheckpoint(eager=True))
     labels = (edges.select(F.col("u").alias("node")).distinct()
               .withColumn("lbl", F.col("node"))
               .localCheckpoint(eager=True))

@@ -92,6 +92,23 @@ TEMPLATES = {
 }
 
 
+def fmt(template: str, **parts: Column) -> Column:
+    """str.format as a native expression: split the template on its
+    {placeholder}s and interleave the literal fragments with the given
+    columns — the TEMPLATES strings stay the single source of truth (no
+    re-typed prompt literals to drift)."""
+    import re
+    tokens = re.split(r"\{(\w+)\}", template)
+    cols: list[Column] = []
+    for i, tok in enumerate(tokens):
+        if i % 2 == 0:
+            if tok:
+                cols.append(F.lit(tok))
+        else:
+            cols.append(parts[tok])
+    return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+
 def pyrepr_list(arr: Column) -> Column:
     """str(list_of_strings) — "['a', 'b']" — as a native expression."""
     return F.when(F.size(arr) == 0, F.lit("[]")).otherwise(
@@ -144,33 +161,19 @@ def benchmark_messages(bench: DataFrame) -> DataFrame:
     table_cols = F.map_keys(F.element_at(
         F.from_json("table_json", "array<map<string,string>>"), 1))
 
-    kie_user = F.concat(
-        F.lit("Extract the following "), pyrepr_list(field_names),
-        F.lit(" from the above document. If a field is not present, return "
-              "''. Return the output in a valid JSON format as "),
-        pyrepr_dict_const(field_names, ".."), F.lit("."))
-    cls_user = F.concat(
-        F.lit("Classify the following document into one of the following "
-              "categories: "), pyrepr_list(F.col("class_labels")),
-        F.lit(". Do not give any explanation. Just return the category."))
-    cls_system = F.concat(
-        F.lit("You are a helpful assistant that classifies documents into "
-              "one of the following categories: "),
-        pyrepr_list(F.col("class_labels")),
-        F.lit(". Your task is to classify the document based on the "
-              "content of the document."))
-    vqa_user = F.concat(
-        F.lit("Answer the following question based on the images shared: "),
-        F.col("question"),
-        F.lit(". Do not give any explanation. Just return the answer. If "
-              "the answer is a number, return it as a number and not a "
-              "string (eg. Return 3 instead of Three)."))
-    tbl_user = F.concat(
-        F.lit("Extract the following columns "), pyrepr_list(table_cols),
-        F.lit(" from the above document. If a cell is not present, return "
-              "''. Return a valid JSON object in the following format "
-              "(row-wise): ["), pyrepr_dict_const(table_cols, ""),
-        F.lit("]"))
+    kie_user = fmt(t["KIE"]["user_prompt"],
+                   fields=pyrepr_list(field_names),
+                   output_format=pyrepr_dict_const(field_names, ".."))
+    cls_user = fmt(t["CLASSIFICATION"]["user_prompt"],
+                   labels=pyrepr_list(F.col("class_labels")))
+    cls_system = fmt(t["CLASSIFICATION"]["system_prompt"],
+                     labels=pyrepr_list(F.col("class_labels")))
+    vqa_user = fmt(t["VQA"]["user_prompt"], question=F.col("question"))
+    tbl_user = fmt(t["TABLE"]["user_prompt"],
+                   columns=pyrepr_list(table_cols),
+                   output_format=F.concat(
+                       F.lit("["), pyrepr_dict_const(table_cols, ""),
+                       F.lit("]")))
 
     system = (F.when(F.col("task") == "CLASSIFICATION", cls_system)
               .otherwise(F.create_map(
@@ -183,11 +186,16 @@ def benchmark_messages(bench: DataFrame) -> DataFrame:
             .when(F.col("task") == "VQA", vqa_user)
             .when(F.col("task") == "TABLE", tbl_user)
             .otherwise(F.lit(t["OCR"]["user_prompt"])))
-    pages = (F.when(F.col("task") == "OCR",
-                    _page_messages(F.col("image_refs"), None))
-             .otherwise(_page_messages(F.col("image_refs"), "Page {n}")))
+    refs = F.coalesce(F.col("image_refs"), F.array().cast("array<string>"))
+    pages = (F.when(F.col("task") == "OCR", _page_messages(refs, None))
+             .otherwise(_page_messages(refs, "Page {n}")))
+    # empty/null image_refs must not leave a dangling ", ," — drop the page
+    # segment entirely (concat_ws skips NULLs, not empty strings)
+    pages = F.when(F.size(refs) > 0, pages)
 
-    messages = F.concat(F.lit("["), _msg("system", system), F.lit(", "),
-                        pages, F.lit(", "), _msg("user", user), F.lit("]"))
+    messages = F.concat(
+        F.lit("["),
+        F.concat_ws(", ", _msg("system", system), pages, _msg("user", user)),
+        F.lit("]"))
     return bench.select("ds_name", "task", "sample_id",
                         messages.alias("messages"))

@@ -55,6 +55,26 @@ def _dim_guard(vec: Column, dim: int) -> Column:
     return F.when(ok.isNull(), vec)
 
 
+def banded_signatures(df: DataFrame, col: str, dim: int, n_planes: int,
+                      n_tables: int) -> DataFrame:
+    """(… original columns …, bucket) — one row per (row, table): the
+    multi-table hyperplane bucket assignment shared by embedding_near_dups
+    and lsh_topk (single source for the seed scheme / bucket format, so the
+    two paths cannot drift)."""
+    sigs = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 hyperplane_signature(
+                     F.col(col),
+                     deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
+                 .alias("sig"))
+        for t in range(n_tables)])
+    return (df.withColumn("b", F.explode(sigs))
+              .withColumn("bucket",
+                          F.concat_ws(":", F.col("b.tbl").cast("string"),
+                                      F.col("b.sig")))
+              .drop("b"))
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         exact: bool = False, n_planes: int = 8,
@@ -89,16 +109,8 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                     .filter(F.col("cos_sim") >= threshold)
                     .select("id_a", "id_b", "cos_sim").distinct())
     v = v.withColumn("vec", _dim_guard(F.col("vec"), dim))
-    sigs = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 hyperplane_signature(
-                     F.col("vec"),
-                     deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
-                 .alias("sig"))
-        for t in range(n_tables)])
-    banded = (v.select("id", F.explode(sigs).alias("b"))
-               .select("id", F.concat_ws(":", F.col("b.tbl").cast("string"),
-                                         F.col("b.sig")).alias("bucket")))
+    banded = banded_signatures(v, "vec", dim, n_planes, n_tables) \
+        .select("id", "bucket")
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     cand = (a.join(b, "bucket")
@@ -215,21 +227,8 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     cosine re-rank inside the union of buckets. A candidate colliding in
     several tables is deduped before scoring (max_by keeps one row per
     (qid, vec_id)), so amplification raises recall without rescoring."""
-    def banded(df: DataFrame, col: str) -> DataFrame:
-        sigs = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     hyperplane_signature(
-                         F.col(col),
-                         deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
-                     .alias("sig"))
-            for t in range(n_tables)])
-        return (df.withColumn("b", F.explode(sigs))
-                  .withColumn("bucket",
-                              F.concat_ws(":", F.col("b.tbl").cast("string"),
-                                          F.col("b.sig")))
-                  .drop("b"))
-    v = banded(vectors, vec_col)
-    q = banded(queries, qvec_col)
+    v = banded_signatures(vectors, vec_col, dim, n_planes, n_tables)
+    q = banded_signatures(queries, qvec_col, dim, n_planes, n_tables)
     scored = (v.join(F.broadcast(q), "bucket")
               .select(F.col(qid_col), F.col(id_col),
                       F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)

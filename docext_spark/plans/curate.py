@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from docext_spark.operators.dedup import (duplicate_clusters,
-                                          jaccard_pairs,
+                                          jaccard_for_pairs,
                                           lsh_candidate_pairs)
 from docext_spark.operators.textops import (fingerprint, lang_id,
                                             quality_score, token_count)
@@ -61,17 +61,21 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
                            num_hashes: int = 8, bands: int = 4,
                            jaccard_threshold: float = 0.5,
-                           engine: str = "xxhash64") -> DataFrame:
-    """LSH candidates → exact Jaccard verification → connected components
-    → drop every non-keeper. The verify step bounds false positives (LSH
-    alone admits banding collisions); components merge transitive dup
-    chains so A~B~C keeps exactly one document."""
+                           engine: str = "xxhash64",
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """LSH candidates → exact Jaccard verification FOR THOSE PAIRS ONLY
+    (jaccard_for_pairs; the verify cost is O(|candidates|), never a full
+    shingle self-join — otherwise verification would cost exactly what LSH
+    exists to avoid) → connected components → drop every non-keeper.
+    Components merge transitive dup chains so A~B~C keeps one document.
+    ``max_bucket_size`` forwards to the LSH flood guard; run exact dedup
+    first (curate() ordering) so identical docs never reach this stage."""
     cands = lsh_candidate_pairs(docs, id_col, text_col,
                                 num_hashes=num_hashes, bands=bands, n=n,
-                                engine=engine)
-    verified = (jaccard_pairs(docs, id_col, text_col, n=n,
-                              threshold=jaccard_threshold)
-                .join(cands, ["id_a", "id_b"], "left_semi"))
+                                engine=engine,
+                                max_bucket_size=max_bucket_size)
+    verified = jaccard_for_pairs(docs, cands, id_col, text_col, n=n,
+                                 threshold=jaccard_threshold)
     losers = (duplicate_clusters(verified)
               .filter(~F.col("is_keeper"))
               .select(F.col("doc_id").alias(id_col)))
@@ -81,13 +85,24 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", fuzzy_kwargs: dict | None = None,
            **quality_kwargs) -> dict:
-    """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame}
-    — funnel is the per-stage survivorship count (the metric a curation
-    job publishes alongside the output table)."""
-    gated = quality_gate(docs, text_col, **quality_kwargs)
-    exact = exact_dedup_keep_first(gated, id_col, text_col)
+    """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame,
+    "unpersist": callable} — funnel is the per-stage survivorship count
+    (the metric a curation job publishes alongside the output table).
+
+    Stage frames are persisted (memory-and-disk): the corpus write plus
+    the funnel counts consume each stage several times, and without
+    persistence every consumer re-runs the pipeline prefix (the quality
+    scan would run ~5x, the LSH verify plan 2-3x). The caller releases
+    storage via result["unpersist"]() once its consumers are materialized
+    (job.py does)."""
+    from pyspark import StorageLevel
+    gated = quality_gate(docs, text_col, **quality_kwargs) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    exact = exact_dedup_keep_first(gated, id_col, text_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     fuzzy = fuzzy_dedup_keep_first(exact, id_col, text_col,
-                                   **(fuzzy_kwargs or {}))
+                                   **(fuzzy_kwargs or {})) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     corpus = fuzzy.select(id_col, text_col, "_n_tokens", "_quality", "_lang")
     funnel = (docs.select(F.lit("0_input").alias("stage"),
                           F.count(F.lit(1)).alias("n_docs"))
@@ -97,4 +112,9 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                                         F.count(F.lit(1)).alias("n_docs")))
               .unionByName(fuzzy.select(F.lit("3_fuzzy_dedup").alias("stage"),
                                         F.count(F.lit(1)).alias("n_docs"))))
-    return {"corpus": corpus, "funnel": funnel}
+
+    def unpersist():
+        for frame in (gated, exact, fuzzy):
+            frame.unpersist()
+
+    return {"corpus": corpus, "funnel": funnel, "unpersist": unpersist}

@@ -72,13 +72,20 @@ class CheckpointedResults:
     def commit(self, df: DataFrame) -> int:
         """Write one batch and commit it atomically. Returns rows written.
 
-        The row count comes from the upstream plan (callers persist the
-        expensive stage, so this is a cached count), not a re-read of the
-        files just written — one scan per commit, not two."""
+        The manifest row count must describe the FILES just written: when
+        the upstream is cached (the pipeline persists the expensive stage)
+        df.count() is a cheap cache read and provably equals the write;
+        when it is NOT cached, re-counting the plan could diverge from the
+        written data (nondeterministic stages) and would re-run it — so
+        the freshly written batch directory is counted instead (metadata-
+        cheap: parquet row-count comes from footers)."""
         batch = f"batch-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.root, batch)
         df.write.mode("error").parquet(path)
-        n = df.count()
+        if df.is_cached:
+            n = df.count()
+        else:
+            n = df.sparkSession.read.parquet(path).count()
         self._append_commit(batch, n)
         return n
 

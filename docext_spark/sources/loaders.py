@@ -85,13 +85,25 @@ def load_docile(raw: DataFrame) -> DataFrame:
                    F.array_sort(F.collect_list(F.struct("rn", "text")))
                     .alias("vs"),
                    F.min_by("bbox_abs", "rn").alias("bbox"),
-                   F.min_by("page", "rn").alias("page")))
+                   F.min_by("page", "rn").alias("page"),
+                   # first-occurrence position of this fieldtype within the
+                   # document — the cross-field ordering key
+                   F.min("seq").alias("first_rn")))
+    # fields in FIRST-OCCURRENCE order (the reference's dict insertion
+    # order, docile.py:108-119): collect_list alone is partition-order
+    # dependent — sort by each field's first annotation index, then strip
+    # the key, so downstream prompts are deterministic
     fields = (folded.groupBy("doc_id")
               .agg(F.first("image_refs").alias("image_refs"),
-                   F.collect_list(F.struct(
-                       F.col("fieldtype").alias("label"),
-                       F.transform("vs", lambda s: s["text"]).alias("values"),
-                       F.col("bbox"), F.col("page"))).alias("fields"))
+                   F.transform(
+                       F.array_sort(F.collect_list(F.struct(
+                           F.col("first_rn").alias("ord"),
+                           F.struct(
+                               F.col("fieldtype").alias("label"),
+                               F.transform("vs", lambda s: s["text"])
+                                .alias("values"),
+                               F.col("bbox"), F.col("page")).alias("f")))),
+                       lambda s: s["f"]).alias("fields"))
               .withColumnRenamed("doc_id", "sample_id"))
     return _bench_frame(fields, "docile", "KIE", "field",
                         image_refs=F.col("image_refs"),

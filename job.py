@@ -52,9 +52,14 @@ def main():
         t0 = time.time()
         res = curate(docs)
         res["corpus"].write.mode("overwrite").parquet(args.output)
-        funnel = {r["stage"]: r["n_docs"] for r in res["funnel"].collect()}
+        # evaluate the funnel ONCE (4 rows); re-materialize for the
+        # metrics sink from the collected rows, not the pipeline
+        funnel_rows = res["funnel"].collect()
+        funnel = {r["stage"]: r["n_docs"] for r in funnel_rows}
         if args.metrics:
-            res["funnel"].write.mode("overwrite").parquet(args.metrics)
+            spark.createDataFrame(funnel_rows) \
+                .write.mode("overwrite").parquet(args.metrics)
+        res["unpersist"]()
         print(json.dumps({"funnel": funnel,
                           "sec": round(time.time() - t0, 2)}))
         spark.stop()

@@ -83,3 +83,34 @@ def test_messages_cover_every_loader_row(spark):
     msgs = benchmark_messages(bench)
     assert msgs.count() == bench.count()
     assert msgs.filter("messages IS NULL").count() == 0
+
+
+def test_messages_empty_or_null_image_refs_valid_json(spark):
+    """Rows with no resolvable media must still yield VALID JSON (system +
+    final user message, no dangling separator) — not '[{...}, , {...}]' or
+    NULL."""
+    from pyspark.sql import functions as F
+    bench = (L.load_all(spark, n_per_ds=2)
+             .filter("ds_name = 'docvqa'")
+             .withColumn("image_refs",
+                         F.when(F.col("sample_id") == 0,
+                                F.array().cast("array<string>"))))
+    out = {r["sample_id"]: r["messages"]
+           for r in benchmark_messages(bench).collect()}
+    for sid, raw in out.items():
+        msgs = json.loads(raw)            # must parse
+        assert [m["role"] for m in msgs] == ["system", "user"]
+
+
+def test_templates_are_the_source_of_truth(spark):
+    """Editing a TEMPLATES prompt must change the emitted messages (the
+    expressions are derived from the templates, not re-typed copies)."""
+    orig = TEMPLATES["VQA"]["user_prompt"]
+    try:
+        TEMPLATES["VQA"]["user_prompt"] = "Q: {question} -- answer tersely."
+        bench = L.load_all(spark, n_per_ds=1).filter("ds_name = 'docvqa'")
+        out = json.loads(
+            benchmark_messages(bench).collect()[0]["messages"])
+        assert out[-1]["content"] == "Q: Question 0? -- answer tersely."
+    finally:
+        TEMPLATES["VQA"]["user_prompt"] = orig
