@@ -163,17 +163,28 @@ def factored_2dmss_full(true_grid: list[list], pred_grid: list[list],
     return f, prec, rec, upper_bound
 
 
-# Executor-protection bound: factored 2D-MSS is O((r·c)²); a pathological
-# (or adversarial) 10k-row table must not hang a task. Grids are truncated
-# to this many rows/cols — far above any real document table.
+# Executor-protection bound: factored 2D-MSS is O((r·c)²) in time AND the
+# dense reward tensor is (r·c)²·8 bytes — the bound must cap the grid AREA,
+# not rows/cols independently (a 200×60 "within-bounds" pair would allocate
+# a 1.07 GiB tensor and run ~1.4e8 Python loop iterations, hanging the very
+# executor the bound claims to protect). MAX_GRID_AREA=2400 keeps the
+# worst-case tensor at 2400²·8 ≈ 46 MB / ~6M reward calls — generous for any
+# real document table (an 80-row × 30-col table is area 2400).
 MAX_GRID_ROWS = 200
 MAX_GRID_COLS = 60
+MAX_GRID_AREA = 2400
 
 
 def _bound(grid: list[list[str]]) -> list[list[str]]:
-    if len(grid) > MAX_GRID_ROWS or (grid and len(grid[0]) > MAX_GRID_COLS):
-        return [row[:MAX_GRID_COLS] for row in grid[:MAX_GRID_ROWS]]
-    return grid
+    rows = len(grid)
+    cols = len(grid[0]) if grid else 0
+    keep_cols = min(cols, MAX_GRID_COLS)
+    keep_rows = min(rows, MAX_GRID_ROWS)
+    if keep_cols > 0:
+        keep_rows = min(keep_rows, max(1, MAX_GRID_AREA // keep_cols))
+    if keep_rows == rows and keep_cols == cols:
+        return grid
+    return [row[:keep_cols] for row in grid[:keep_rows]]
 
 
 def grits_con_from_html(true_html: str, pred_html: str) -> float:

@@ -136,8 +136,15 @@ class _Extractor:
                 attrs_raw = m.group(2) or ""
                 handle_starttag_raw(tag, attrs_raw)
                 # XML-style self-closing tag: emit the matching end event so
-                # subtree state (drop depth, table capture) can't leak open
-                if attrs_raw.rstrip().endswith("/") and tag not in _VOID:
+                # subtree state (drop depth, table capture) can't leak open.
+                # Only when the '/' stands alone ('<br/>', '<x a="1"/>') —
+                # an unquoted attribute value ending in '/' (e.g.
+                # href=http://x.com/) is part of the VALUE per the HTML5
+                # tokenizer, not a self-close
+                stripped = attrs_raw.rstrip()
+                if (stripped.endswith("/") and tag not in _VOID
+                        and (len(stripped) == 1
+                             or stripped[-2] in " \t\n\"'")):
                     handle_endtag(tag)
         if pos < len(raw):
             data = raw[pos:]
@@ -198,9 +205,13 @@ class _Extractor:
                 self._table_depth += 1
             elif tag == "tr":
                 if self._table_depth == 1:
+                    # </td> and </tr> are optional per the HTML spec — a
+                    # sibling start implicitly closes the open cell
+                    self._close_tcell()
                     self._trows.append([])
             elif tag in ("td", "th"):
                 if self._table_depth == 1:
+                    self._close_tcell()
                     ad = dict(attrs)
                     self._tcell = []
                     self._tcell_meta = (tag, span_int(ad.get("rowspan")),
@@ -278,15 +289,11 @@ class _Extractor:
             if tag == "table":
                 self._table_depth -= 1
                 if self._table_depth == 0:
+                    self._close_tcell()  # unclosed trailing cell
                     self._emit_table()
-            elif (tag in ("td", "th") and self._table_depth == 1
-                  and self._tcell is not None):
-                t, rs, cs = self._tcell_meta
-                txt = _WS_RE.sub(" ", "".join(self._tcell)).strip()
-                if not self._trows:
-                    self._trows.append([])
-                self._trows[-1].append((t, rs, cs, txt))
-                self._tcell = None
+            elif tag in ("td", "th", "tr") and self._table_depth == 1:
+                # </tr> also closes an open cell whose </td> was omitted
+                self._close_tcell()
             return
         if tag == "a":
             self._link_depth = max(0, self._link_depth - 1)
@@ -320,6 +327,19 @@ class _Extractor:
         if self._link_depth > 0:
             self._cur.link_chars += len(data.strip())
         self._cur.end = self._data_end
+
+    def _close_tcell(self):
+        """Flush the open table cell (explicit </td>, or implied by a
+        sibling <td>/<tr>, </tr>, or </table> — the HTML-optional-close
+        rules real pages rely on)."""
+        if self._tcell is None:
+            return
+        t, rs, cs = self._tcell_meta
+        txt = _WS_RE.sub(" ", "".join(self._tcell)).strip()
+        if not self._trows:
+            self._trows.append([])
+        self._trows[-1].append((t, rs, cs, txt))
+        self._tcell = None
 
     def _emit_table(self):
         rows_html = []

@@ -22,7 +22,55 @@ import re
 _FENCE_RE = re.compile(r"^\s*```(?:json)?\s*|\s*```\s*$")
 _TRAILING_COMMA_RE = re.compile(r",(\s*[}\]])")
 _UNQUOTED_KEY_RE = re.compile(r"([{,]\s*)([A-Za-z_][A-Za-z0-9_\- ]*?)(\s*:)")
-_SINGLE_QUOTED_RE = re.compile(r"'((?:[^'\\]|\\.)*)'")
+
+
+def _requote_single_quoted(s: str) -> str:
+    """Convert single-quoted strings to double-quoted, CONTEXT-AWARE: a
+    linear scan that skips over double-quoted strings, so an apostrophe
+    inside "don't" is never mistaken for a delimiter (a regex pass would
+    pair the apostrophes of neighbouring contractions and mangle the
+    payload)."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == '"':  # copy a double-quoted string verbatim
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    j += 1
+                    break
+                j += 1
+            out.append(s[i:j])
+            i = j
+        elif c == "'":  # convert a single-quoted string
+            j = i + 1
+            buf: list[str] = []
+            closed = False
+            while j < n:
+                if s[j] == "\\" and j + 1 < n:
+                    buf.append(s[j + 1] if s[j + 1] in "'\"" else s[j:j + 2])
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    closed = True
+                    j += 1
+                    break
+                buf.append(s[j])
+                j += 1
+            if closed:
+                out.append(json.dumps("".join(buf)))
+                i = j
+            else:  # unterminated — copy as-is, let json.loads reject it
+                out.append(s[i:])
+                i = n
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def repair_json(text: str):
@@ -36,8 +84,7 @@ def repair_json(text: str):
         return json.loads(s)
     except Exception:
         pass
-    fixed = _SINGLE_QUOTED_RE.sub(
-        lambda m: json.dumps(m.group(1).replace('\\"', '"').replace("\\'", "'")), s)
+    fixed = _requote_single_quoted(s)
     fixed = _UNQUOTED_KEY_RE.sub(lambda m: m.group(1) + json.dumps(m.group(2)) + m.group(3), fixed)
     fixed = _TRAILING_COMMA_RE.sub(r"\1", fixed)
     try:

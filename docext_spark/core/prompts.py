@@ -16,9 +16,9 @@ in operators/messages.py).
 """
 from __future__ import annotations
 
-
-def normalize_field(field: str) -> str:
-    return field.replace(" ", "_").lower()
+# ONE implementation of the P1 rule — prompt construction and field
+# extraction must agree on normalized names or extraction misses fields
+from docext_spark.core.fields import normalize_field_name as normalize_field
 
 
 def name_desc_prompt(fields: list[str], descriptions: list[str]) -> str:

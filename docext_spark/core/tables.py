@@ -91,9 +91,15 @@ def html_table_to_cells(table_html: str) -> list[dict]:
     pos = 0
 
     def _close_cell():
-        nonlocal cell_meta, cell_text
+        nonlocal cell_meta, cell_text, current_row
         if cell_meta is None:
             return
+        # a <td> with no preceding <tr> (model output does this) would emit
+        # row_nums=[-1] and crash every grid builder downstream — clamp to
+        # an implicit row 0. (The reference ET walker has the same -1 hole
+        # and crashes in cells_to_grid; our kernels must be total.)
+        if current_row < 0:
+            current_row = 0
         rowspan, colspan, is_th = cell_meta
         row_nums = list(range(current_row, current_row + rowspan))
         occ = occupied.setdefault(current_row, set())

@@ -27,6 +27,19 @@ from pyspark.sql import functions as F
 SEGMENT_SIZE = 1024
 
 
+def _segment(base: DataFrame, segment_size: int) -> DataFrame:
+    """Phase 1 shared by both reassembly paths: (conv_id, seg,
+    part=array<struct<turn_idx, md>> sorted within the segment). A change
+    to segment semantics must hit the chunked and unchunked paths together
+    or their asserted byte-equality breaks."""
+    return (base
+            .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
+                        .cast("long"))
+            .groupBy("conv_id", "seg")
+            .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
+                  .alias("part")))
+
+
 def _with_header(arr_col):
     """array<struct<turn_idx, md>> (sorted) → conversation markdown with the
     reference's per-page header format (pdf2md.py:126-135)."""
@@ -55,13 +68,7 @@ def reassemble_conversations_chunked(turns: DataFrame,
     """
     from pyspark.sql import Window
     base = turns.select("conv_id", "turn_idx", "md")
-    seg = (base
-           .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
-                       .cast("long"))
-           .groupBy("conv_id", "seg")
-           .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
-                 .alias("part")))
-    chunks = (seg
+    chunks = (_segment(base, segment_size)
               .withColumn("chunk", (F.col("seg") / F.lit(segments_per_chunk))
                           .cast("long"))
               .groupBy("conv_id", "chunk")
@@ -69,19 +76,25 @@ def reassemble_conversations_chunked(turns: DataFrame,
                   F.transform(
                       F.array_sort(F.collect_list(F.struct("seg", "part"))),
                       lambda s: s["part"])).alias("parts")))
+    # window stats run over a SLIM (conv_id, chunk, chunk_turns) projection
+    # — partitioning by conv_id over rows that carry the multi-GB parts
+    # payload would funnel the whole conversation through one reducer,
+    # exactly the bottleneck the chunked path exists to avoid. The heavy
+    # rows rejoin on (conv_id, chunk) afterwards.
     w_conv = Window.partitionBy("conv_id")
     w_prev = (Window.partitionBy("conv_id").orderBy("chunk")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_rank = Window.partitionBy("conv_id").orderBy("chunk")
-    chunks = (chunks
-              .withColumn("chunk_turns", F.size("parts"))
-              .withColumn("offset",
-                          F.coalesce(F.sum("chunk_turns").over(w_prev),
-                                     F.lit(0)))
-              .withColumn("n_turns", F.sum("chunk_turns").over(w_conv))
-              .withColumn("n_parts", F.count(F.lit(1)).over(w_conv))
-              .withColumn("part_idx",
-                          (F.row_number().over(w_rank) - 1).cast("long")))
+    stats = (chunks.select("conv_id", "chunk", F.size("parts").alias("chunk_turns"))
+             .withColumn("offset",
+                         F.coalesce(F.sum("chunk_turns").over(w_prev),
+                                    F.lit(0)))
+             .withColumn("n_turns", F.sum("chunk_turns").over(w_conv))
+             .withColumn("n_parts", F.count(F.lit(1)).over(w_conv))
+             .withColumn("part_idx",
+                         (F.row_number().over(w_rank) - 1).cast("long"))
+             .drop("chunk_turns"))
+    chunks = chunks.join(stats, ["conv_id", "chunk"])
     total = F.col("n_turns")
     offset = F.col("offset")
     md = F.array_join(
@@ -104,12 +117,7 @@ def reassemble_conversations(turns: DataFrame, segmented: bool = True,
     """
     base = turns.select("conv_id", "turn_idx", "md")
     if segmented:
-        seg = (base
-               .withColumn("seg", (F.col("turn_idx") / F.lit(segment_size))
-                           .cast("long"))
-               .groupBy("conv_id", "seg")
-               .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "md")))
-                     .alias("part")))
+        seg = _segment(base, segment_size)
         # segments are disjoint ordered ranges: sorting S segment rows then
         # flattening yields the fully ordered turn array without re-sorting
         merged = (seg.groupBy("conv_id")

@@ -47,6 +47,11 @@ def run_metrics_feed(spark: SparkSession, input_dir: str, output_dir: str,
     out = spark.sql("select * from docext_metrics_feed")
     # complete-mode emits CUMULATIVE totals — overwrite keeps the output a
     # current-snapshot table (appending would double-count prior files on
-    # every rerun)
+    # every rerun). When NO micro-batch ran (rerun with no new files) the
+    # in-memory table is empty — overwriting then would WIPE the previously
+    # accumulated snapshot, so keep the existing output instead.
+    import os
+    if query.lastProgress is None and os.path.isdir(output_dir):
+        return spark.read.parquet(output_dir)
     out.write.mode("overwrite").parquet(output_dir)
     return out

@@ -17,6 +17,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -55,7 +56,9 @@ def conversation_sessions_stream(spark: SparkSession, input_dir: str,
     kind) rows landing as parquet files. Session updates append to
     ``output_dir`` via foreachBatch (memory sinks cannot recover from a
     checkpoint); rerunning with the same checkpoint resumes the accumulated
-    per-key state — the latest row per conv_id is the current summary."""
+    per-key state. Each appended row carries its ``batch_id``, so the
+    current summary per conv_id is the max-batch_id row — parquet preserves
+    no ordering, so "latest" must be an explicit column."""
     stream = (spark.readStream.schema(schema).parquet(input_dir)
               .select("conv_id", "turn_idx", "kind"))
     tracked = (stream.groupBy("conv_id")
@@ -63,8 +66,9 @@ def conversation_sessions_stream(spark: SparkSession, input_dir: str,
                                        "update",
                                        GroupStateTimeout.NoTimeout))
 
-    def _sink(batch_df, _batch_id):
-        batch_df.write.mode("append").parquet(output_dir)
+    def _sink(batch_df, batch_id):
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(output_dir))
 
     q = (tracked.writeStream.foreachBatch(_sink)
          .outputMode("update")

@@ -133,3 +133,33 @@ def test_garbage_rowspan_does_not_collapse_document():
 def test_deterministic():
     html = "<div><p>x</p><nav><a href='/'>l</a></nav></div>"
     assert html_to_markdown(html) == html_to_markdown(html)
+
+
+def test_unclosed_table_cells_keep_text():
+    """</td> and </tr> are optional per the HTML spec — implied closes must
+    not lose cell text (real pages omit them constantly)."""
+    from docext_spark.core.html2md import html_to_markdown
+    r = html_to_markdown("<table><tr><td>a<td>b</tr><tr><td>c</table>")
+    assert r["md"] == ("<table><tr><td>a</td><td>b</td></tr>"
+                       "<tr><td>c</td></tr></table>")
+
+
+def test_unquoted_url_trailing_slash_is_not_self_close():
+    """href=http://x.com/ must not synthesize </a> — the anchor text must
+    still count as link chars for the boilerplate filter."""
+    from docext_spark.core.html2md import html_to_markdown
+    r = html_to_markdown(
+        '<p><a href=http://example.com/>nav nav nav nav nav</a></p>'
+        '<p>body text here with many words to keep</p>')
+    assert r["blocks_dropped"] == 1  # the link farm IS dropped
+    # while a genuine self-close still closes ('<div/>' emits the end event)
+    assert html_to_markdown('<div/>x<br/>y')["md"] == "x y"
+
+
+def test_td_without_tr_is_total():
+    from docext_spark.core.grits import grits_con_from_html
+    from docext_spark.core.tables import html_table_to_cells
+    cells = html_table_to_cells("<table><td>a</td><td>b</td></table>")
+    assert [c["row_nums"] for c in cells] == [[0], [0]]
+    assert grits_con_from_html("<table><td>a</td></table>",
+                               "<table><tr><td>a</td></tr></table>") == 1.0

@@ -193,3 +193,26 @@ def test_turn_to_markdown_broken_json_fallback():
     out = turn_to_markdown("{totally broken ][")
     assert out["parse_ok"] is False
     assert out["md"]  # error stub keeps the payload, never raises
+
+
+def test_repair_json_apostrophes_in_double_quotes():
+    """Apostrophes inside double-quoted values must not be mistaken for
+    single-quote string delimiters (context-aware requoting)."""
+    from docext_spark.core.jsonrepair import repair_json
+    assert repair_json("{'q': \"don't\", 'r': \"can't\"}") == \
+        {"q": "don't", "r": "can't"}
+    assert repair_json('{"x": "it\'s fine", \'y\': 2}') == \
+        {"x": "it's fine", "y": 2}
+    assert repair_json("{'esc': 'a\\'b'}") == {"esc": "a'b"}
+    assert repair_json("{'open") is None  # unterminated stays None
+
+
+def test_grits_grid_bound_caps_area():
+    """A 200x60 'within row/col bounds' grid must still be truncated: the
+    dense reward tensor is (r*c)^2*8 bytes — area is the binding budget."""
+    from docext_spark.core.grits import MAX_GRID_AREA, _bound
+    big = [["x"] * 60 for _ in range(200)]
+    out = _bound(big)
+    assert len(out) * len(out[0]) <= MAX_GRID_AREA
+    small = [["a", "b"], ["c", "d"]]
+    assert _bound(small) is small  # untouched when inside the budget

@@ -13,9 +13,11 @@ IN_SCHEMA = T.StructType([
 
 
 def _latest(rows):
+    # current summary = max batch_id per conv (the explicit ordering column
+    # the sink writes; n_turns fallback kept for monotone sanity)
     out = {}
-    for r in rows:  # latest = highest n_turns per conv (monotone counter)
-        if r["conv_id"] not in out or r["n_turns"] > out[r["conv_id"]]["n_turns"]:
+    for r in rows:
+        if r["conv_id"] not in out or r["batch_id"] > out[r["conv_id"]]["batch_id"]:
             out[r["conv_id"]] = r
     return out
 
