@@ -1614,8 +1614,11 @@ def _curate_funnel(spark, sf_dir):
     pinned cross-engine."""
     from docext_spark.plans.curate import curate
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    out = curate(d, fuzzy_kwargs={"engine": "sha256",
-                                  "jaccard_threshold": 0.5})
+    # persist=False: the harness evaluates the funnel once and has no
+    # unpersist hook — staged frames would leak for the session otherwise
+    out = curate(d, persist=False,
+                 fuzzy_kwargs={"engine": "sha256",
+                               "jaccard_threshold": 0.5})
     return out["funnel"]
 
 

@@ -144,7 +144,7 @@ class _Extractor:
                 stripped = attrs_raw.rstrip()
                 if (stripped.endswith("/") and tag not in _VOID
                         and (len(stripped) == 1
-                             or stripped[-2] in " \t\n\"'")):
+                             or stripped[-2] in " \t\n\r\f\"'")):
                     handle_endtag(tag)
         if pos < len(raw):
             data = raw[pos:]

@@ -117,9 +117,15 @@ def jaccard_for_pairs(df: DataFrame, pairs: DataFrame,
     is O(|pairs|), never the full shingle self-join (which would make the
     verify step as expensive as the thing LSH exists to avoid)."""
     from docext_spark.operators.textops import normalized
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(normalized(F.col(text_col)), n,
+    # project the normalization ONCE before the higher-order shingle
+    # expression (Catalyst does not CSE the regex through HOFs — the
+    # measured 3x rule in word_shingles' docstring, same pattern as
+    # shingle_table)
+    pre = df.select(F.col(id_col).alias("id"),
+                    normalized(F.col(text_col)).alias("_norm"))
+    sets = pre.select(
+        "id",
+        F.array_distinct(word_shingles(F.col("_norm"), n,
                                        pre_normalized=True)).alias("sh"))
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
@@ -253,7 +259,10 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
                    .join(labels, "node")
                    .filter(F.col("new_lbl") != F.col("lbl")).count())
-        labels.unpersist()  # previous round's checkpoint blocks
+        # note: localCheckpoint blocks are owned by the block manager, not
+        # the cache manager — dropping the reference here lets the
+        # ContextCleaner reclaim the previous round's blocks (an explicit
+        # unpersist() would be a silent no-op on a checkpointed frame)
         labels = new_labels
         if changed == 0:
             converged = True

@@ -76,16 +76,23 @@ def reassemble_conversations_chunked(turns: DataFrame,
                   F.transform(
                       F.array_sort(F.collect_list(F.struct("seg", "part"))),
                       lambda s: s["part"])).alias("parts")))
-    # window stats run over a SLIM (conv_id, chunk, chunk_turns) projection
-    # — partitioning by conv_id over rows that carry the multi-GB parts
-    # payload would funnel the whole conversation through one reducer,
-    # exactly the bottleneck the chunked path exists to avoid. The heavy
-    # rows rejoin on (conv_id, chunk) afterwards.
+    # window stats run over a SLIM (conv_id, chunk, chunk_turns) frame
+    # derived straight from the BASE table (a count aggregation — the
+    # payload never enters it): partitioning by conv_id over rows carrying
+    # the multi-GB parts would funnel whole conversations through one
+    # reducer, and deriving stats from `chunks` would re-execute the heavy
+    # collect/flatten a second time. The heavy rows rejoin on
+    # (conv_id, chunk), so the expensive aggregation runs exactly once.
     w_conv = Window.partitionBy("conv_id")
     w_prev = (Window.partitionBy("conv_id").orderBy("chunk")
               .rowsBetween(Window.unboundedPreceding, -1))
     w_rank = Window.partitionBy("conv_id").orderBy("chunk")
-    stats = (chunks.select("conv_id", "chunk", F.size("parts").alias("chunk_turns"))
+    per_chunk = segment_size * segments_per_chunk
+    stats = (base
+             .withColumn("chunk", (F.col("turn_idx") / F.lit(per_chunk))
+                         .cast("long"))
+             .groupBy("conv_id", "chunk")
+             .agg(F.count(F.lit(1)).alias("chunk_turns"))
              .withColumn("offset",
                          F.coalesce(F.sum("chunk_turns").over(w_prev),
                                     F.lit(0)))

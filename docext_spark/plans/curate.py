@@ -62,7 +62,8 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 8, bands: int = 4,
                            jaccard_threshold: float = 0.5,
                            engine: str = "xxhash64",
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = None,
+                           cluster_max_iter: int = 20) -> DataFrame:
     """LSH candidates → exact Jaccard verification FOR THOSE PAIRS ONLY
     (jaccard_for_pairs; the verify cost is O(|candidates|), never a full
     shingle self-join — otherwise verification would cost exactly what LSH
@@ -76,7 +77,10 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                                 max_bucket_size=max_bucket_size)
     verified = jaccard_for_pairs(docs, cands, id_col, text_col, n=n,
                                  threshold=jaccard_threshold)
-    losers = (duplicate_clusters(verified)
+    # cluster_max_iter is surfaced so a long dup-chain corpus (diameter >
+    # 20) can be accommodated instead of hard-failing the whole job on
+    # duplicate_clusters' non-convergence guard
+    losers = (duplicate_clusters(verified, max_iter=cluster_max_iter)
               .filter(~F.col("is_keeper"))
               .select(F.col("doc_id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
@@ -84,7 +88,7 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
 
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", fuzzy_kwargs: dict | None = None,
-           **quality_kwargs) -> dict:
+           persist: bool = True, **quality_kwargs) -> dict:
     """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame,
     "unpersist": callable} — funnel is the per-stage survivorship count
     (the metric a curation job publishes alongside the output table).
@@ -94,15 +98,20 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
     persistence every consumer re-runs the pipeline prefix (the quality
     scan would run ~5x, the LSH verify plan 2-3x). The caller releases
     storage via result["unpersist"]() once its consumers are materialized
-    (job.py does)."""
+    (job.py does). ``persist=False`` skips staging entirely — for callers
+    that evaluate the result exactly once and cannot call unpersist (e.g.
+    the oracle-parity harness), where leaked cached frames would outlive
+    the query."""
     from pyspark import StorageLevel
-    gated = quality_gate(docs, text_col, **quality_kwargs) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    exact = exact_dedup_keep_first(gated, id_col, text_col) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    fuzzy = fuzzy_dedup_keep_first(exact, id_col, text_col,
-                                   **(fuzzy_kwargs or {})) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def stage(frame):
+        return frame.persist(StorageLevel.MEMORY_AND_DISK) if persist \
+            else frame
+
+    gated = stage(quality_gate(docs, text_col, **quality_kwargs))
+    exact = stage(exact_dedup_keep_first(gated, id_col, text_col))
+    fuzzy = stage(fuzzy_dedup_keep_first(exact, id_col, text_col,
+                                         **(fuzzy_kwargs or {})))
     corpus = fuzzy.select(id_col, text_col, "_n_tokens", "_quality", "_lang")
     funnel = (docs.select(F.lit("0_input").alias("stage"),
                           F.count(F.lit(1)).alias("n_docs"))
@@ -114,7 +123,8 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                                         F.count(F.lit(1)).alias("n_docs"))))
 
     def unpersist():
-        for frame in (gated, exact, fuzzy):
-            frame.unpersist()
+        if persist:
+            for frame in (gated, exact, fuzzy):
+                frame.unpersist()
 
     return {"corpus": corpus, "funnel": funnel, "unpersist": unpersist}

@@ -402,7 +402,13 @@ def _synth_rows(name: str, n: int) -> tuple[list, str]:
     if name == "docile":
         rows = []
         for i in r:
-            for (ft, seq) in [("invoice_no", 0), ("total", 0), ("total", 1)]:
+            # seq = DOCUMENT-GLOBAL annotation index (the loader's
+            # first-occurrence ordering key). Odd docs list 'total' before
+            # 'invoice_no' so insertion order ≠ alphabetical — pins that
+            # the loader preserves annotation order, not label order.
+            fts = (["invoice_no", "total", "total"] if i % 2 == 0
+                   else ["total", "total", "invoice_no"])
+            for seq, ft in enumerate(fts):
                 rows.append((i, 0, ft, f"{ft}-{i}-{seq}",
                              [0.1, 0.2, 0.5, 0.4], 1700.0, 2200.0,
                              [f"pdf_{i}_p0.jpeg"], seq))

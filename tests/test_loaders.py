@@ -14,16 +14,20 @@ from docext_spark.sources import loaders as L
 def test_docile_bbox_denorm_and_multivalue_fold(spark):
     out = L.load_docile(L.synth_raw(spark, "docile", 3)).collect()
     assert len(out) == 3
-    row = {r["sample_id"]: r for r in out}[1]
-    fields = {f["label"]: f for f in row["fields"]}
+    rows = {r["sample_id"]: r for r in out}
+    fields = {f["label"]: f for f in rows[1]["fields"]}
     # relative [0.1, 0.2, 0.5, 0.4] on 1700x2200 → [170, 440, 850, 880]
     # (docile.py:90-102: rel * page_size, int cast)
     assert list(fields["invoice_no"]["bbox"]) == [170, 440, 850, 880]
     # repeated 'total' folds values in annotation order, first bbox kept
-    # (docile.py:108-119)
+    # (docile.py:108-119); odd docs list total at seq 0,1, invoice_no at 2
     assert list(fields["total"]["values"]) == ["total-1-0", "total-1-1"]
-    assert list(fields["invoice_no"]["values"]) == ["invoice_no-1-0"]
-    assert row["extraction_type"] == "field" and row["task"] == "KIE"
+    assert list(fields["invoice_no"]["values"]) == ["invoice_no-1-2"]
+    assert rows[1]["extraction_type"] == "field" and rows[1]["task"] == "KIE"
+    # field ORDER is first-occurrence (annotation) order, not label order:
+    # doc 0 lists invoice_no first, doc 1 lists total first
+    assert [f["label"] for f in rows[0]["fields"]] == ["invoice_no", "total"]
+    assert [f["label"] for f in rows[1]["fields"]] == ["total", "invoice_no"]
 
 
 def test_nanonets_cls_classwise_cap_and_sorted_labels(spark):
