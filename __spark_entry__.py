@@ -923,6 +923,112 @@ def _dedup_lsh_pairs_fast(spark, sf_dir):
                                n=3, engine="xxhash64")
 
 
+def _dedup_lsh_flood_guard(spark, sf_dir):
+    """Planted near-identical flood vs the DEFAULT LSH config: 1500 docs
+    stamped from ONE template (distinct 'v{i}' prefix — near-identical, not
+    byte-identical, so exact dedup can't remove them; the template's
+    shingles dominate every MinHash min, so the flood collapses into a few
+    signature buckets). With lsh_candidate_pairs' DEFAULT
+    max_bucket_size=1000 the hot buckets are dropped: kept candidates stay
+    ~O(base corpus) while the dropped bucket-pair mass is ~10^6 — the
+    bound a naive caller now gets without setting any flag. Oracle replays
+    the banding, the bucket-size cap, and both stat aggregates in DuckDB."""
+    from docext_spark.operators.dedup import lsh_banded, lsh_candidate_pairs
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    template = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
+                .select(F.col("text").alias("_tpl")))
+    flood = (spark.range(1500).crossJoin(F.broadcast(template))
+             .select((F.col("id") + 1000000).alias("doc_id"),
+                     F.concat(F.lit("v"), F.col("id").cast("string"),
+                              F.lit(" "), F.col("_tpl")).alias("text")))
+    docs = base.unionByName(flood)
+    # DEFAULT config: no max_bucket_size argument — the guard must engage
+    # on its own (the whole point of this query)
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
+                                num_hashes=8, bands=4, n=3)
+    banded = lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3)
+    hot = (banded.groupBy("band", "key")
+           .agg(F.count(F.lit(1)).alias("sz"))
+           .filter(F.col("sz") > 1000))
+    hot_stats = hot.agg(
+        F.count(F.lit(1)).alias("n_hot_buckets"),
+        F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0))
+         .cast("long").alias("n_bucket_pairs_dropped"))
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_kept"),
+        F.coalesce(F.sum(((F.col("id_a") >= 1000000)
+                          & (F.col("id_b") >= 1000000)).cast("long")),
+                   F.lit(0)).alias("n_flood_pairs_kept"))
+    return pair_stats.crossJoin(hot_stats)
+
+
+_LSH_FLOOD_SQL = """
+WITH tpl AS (SELECT text AS t FROM documents WHERE doc_id = 0),
+flood AS (
+  SELECT 1000000 + i AS doc_id, 'v' || i::VARCHAR || ' ' || tpl.t AS text
+  FROM generate_series(0, 1499) s(i), tpl
+),
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM flood
+),
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+  FROM docs
+), sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 3 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+2], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 2)]
+  END) AS shingle
+  FROM norm
+), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sigs AS (
+  SELECT doc_id,
+         min(substr(sha256('0|' || shingle), 1, 8))  AS s0,
+         min(substr(sha256('0|' || shingle), 9, 8))  AS s1,
+         min(substr(sha256('0|' || shingle), 17, 8)) AS s2,
+         min(substr(sha256('0|' || shingle), 25, 8)) AS s3,
+         min(substr(sha256('0|' || shingle), 33, 8)) AS s4,
+         min(substr(sha256('0|' || shingle), 41, 8)) AS s5,
+         min(substr(sha256('0|' || shingle), 49, 8)) AS s6,
+         min(substr(sha256('0|' || shingle), 57, 8)) AS s7
+  FROM dsh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band, key FROM (
+    SELECT doc_id, 0 AS band, sha256(s0 || '|' || s1) AS key FROM sigs
+    UNION ALL SELECT doc_id, 1, sha256(s2 || '|' || s3) FROM sigs
+    UNION ALL SELECT doc_id, 2, sha256(s4 || '|' || s5) FROM sigs
+    UNION ALL SELECT doc_id, 3, sha256(s6 || '|' || s7) FROM sigs)
+),
+szs AS (SELECT band, key, count(*) AS sz FROM banded GROUP BY band, key),
+hot AS (SELECT band, key, sz FROM szs WHERE sz > 1000),
+kept AS (
+  SELECT b.doc_id, b.band, b.key FROM banded b
+  ANTI JOIN hot h ON b.band = h.band AND b.key = h.key
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+),
+hot_stats AS (
+  SELECT count(*) AS n_hot_buckets,
+         coalesce(sum(sz * (sz - 1) // 2), 0)::BIGINT AS n_bucket_pairs_dropped
+  FROM hot
+),
+pair_stats AS (
+  SELECT count(*) AS n_pairs_kept,
+         coalesce(sum(CASE WHEN id_a >= 1000000 AND id_b >= 1000000
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_flood_pairs_kept
+  FROM pairs
+)
+SELECT n_pairs_kept, n_flood_pairs_kept, n_hot_buckets, n_bucket_pairs_dropped
+FROM pair_stats, hot_stats
+"""
+
+
 _LSH_SQL = _SHINGLE_SQL_BASE + """
 , sigs AS (
   SELECT doc_id,
@@ -1836,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_posexplode_pages": _s2_posexplode_pages,
         "simhash_signatures": _simhash_signatures,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
+        "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -1893,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "simhash_signatures": _simhash_sql(),
         "dedup_winnow_pairs": _winnow_sql(),
+        "dedup_lsh_flood_guard": _LSH_FLOOD_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

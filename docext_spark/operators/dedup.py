@@ -65,20 +65,27 @@ def capped_shingle_table(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+DEFAULT_MAX_DOC_FREQ = 1000
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
 def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3,
                   threshold: float = 0.5,
-                  max_doc_freq: int | None = None) -> DataFrame:
+                  max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
     Returns (id_a, id_b, inter, union, jaccard) with id_a < id_b.
     ``max_doc_freq`` caps hot shingles: shingles present in more than that
     many docs are dropped before the self-join AND excluded from the set
     sizes, i.e. the result is exact Jaccard over the non-ubiquitous
-    shingles. Uncapped, per-doc set sizes are computed map-side from the
-    base table (size(array_distinct(...)) — no shuffle, no cache of the
-    exploded shingle table, which at 100TB is ~10x the input and must never
-    be persisted)."""
+    shingles. The cap is ON BY DEFAULT (a shingle in >1000 docs is
+    boilerplate, and uncapped it is a quadratic candidate bucket at 100TB);
+    pass ``max_doc_freq=None`` to explicitly opt out. Uncapped, per-doc set
+    sizes are computed map-side from the base table
+    (size(array_distinct(...)) — no shuffle, no cache of the exploded
+    shingle table, which at 100TB is ~10x the input and must never be
+    persisted)."""
     sh = shingle_table(df, id_col, text_col, n)
     if max_doc_freq is not None:
         sh = capped_shingle_table(sh, max_doc_freq)
@@ -166,26 +173,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", num_hashes: int = 16,
-                        bands: int = 4, n: int = 3,
-                        engine: str = "sha256",
-                        max_bucket_size: int | None = None) -> DataFrame:
-    """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
-    bucket join on (band, band_key). Returns distinct (id_a, id_b).
-
-    The band key is hashed with the same engine as the signature: one
-    xxhash64 over the band's components in the production path (long key —
-    narrower shuffle than the 64-char hex), sha256-of-concat in the oracle
-    path (replayable in SQL).
-
-    ``max_bucket_size`` guards the remaining skew vector at 100TB: a bucket
-    of B identical-signature docs yields B²/2 candidate pairs, so one
-    1M-member bucket (mass-duplicated boilerplate) is 5·10^11 pairs on one
-    key. Oversized buckets are dropped via the same broadcast-anti shape as
-    the hot-shingle cap. Run EXACT dedup first (plans/curate.py ordering) so
-    byte-identical docs never reach this stage — the cap then only trims
-    pathological near-identical floods, not legitimate recall."""
+def lsh_banded(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", num_hashes: int = 16,
+               bands: int = 4, n: int = 3,
+               engine: str = "sha256") -> DataFrame:
+    """(id, band, key) bucket assignments — the LSH table before the
+    candidate self-join. Exposed so flood diagnostics (bucket-size
+    histograms, hot-bucket audits) share the exact banding scheme with
+    lsh_candidate_pairs and cannot drift from it."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}) "
@@ -198,14 +193,42 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         key = (F.xxhash64(*cols) if engine == "xxhash64"
                else F.sha2(F.concat_ws("|", *cols), 256))
         band_cols.append(F.struct(F.lit(b).alias("band"), key.alias("key")))
-    return _banded_pairs(sigs, band_cols, max_bucket_size)
+    return (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+                .select("id", F.col("bk.band").alias("band"),
+                        F.col("bk.key").alias("key")))
 
 
-def _banded_pairs(sigs: DataFrame, band_cols: list,
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, n: int = 3,
+                        engine: str = "sha256",
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+                        ) -> DataFrame:
+    """MinHash-LSH candidate pairs: signature → bands of rows=k/bands →
+    bucket join on (band, band_key). Returns distinct (id_a, id_b).
+
+    The band key is hashed with the same engine as the signature: one
+    xxhash64 over the band's components in the production path (long key —
+    narrower shuffle than the 64-char hex), sha256-of-concat in the oracle
+    path (replayable in SQL).
+
+    ``max_bucket_size`` guards the remaining skew vector at 100TB: a bucket
+    of B identical-signature docs yields B²/2 candidate pairs, so one
+    1M-member bucket (mass-duplicated boilerplate) is 5·10^11 pairs on one
+    key. Oversized buckets are dropped via the same broadcast-anti shape as
+    the hot-shingle cap. The guard is ON BY DEFAULT (pass
+    ``max_bucket_size=None`` to explicitly opt out): a bucket of >1000
+    near-identical docs is a flood, not recall — the default config must
+    survive templated floods without a config flag. Run EXACT dedup first
+    (plans/curate.py ordering) so byte-identical docs never reach this
+    stage — the cap then only trims pathological near-identical floods."""
+    return _banded_pairs(
+        lsh_banded(df, id_col, text_col, num_hashes, bands, n, engine),
+        max_bucket_size)
+
+
+def _banded_pairs(banded: DataFrame,
                   max_bucket_size: int | None) -> DataFrame:
-    banded = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-                  .select("id", F.col("bk.band").alias("band"),
-                          F.col("bk.key").alias("key")))
     if max_bucket_size is not None:
         hot = (banded.groupBy("band", "key")
                .agg(F.count(F.lit(1)).alias("sz"))
@@ -250,21 +273,28 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         nbr_min = (edges.join(labels.withColumnRenamed("node", "u"), "u")
                    .groupBy(F.col("v").alias("node"))
                    .agg(F.min("lbl").alias("nbr_lbl")))
+        # the convergence flag is folded into the SAME frame that carries
+        # the new labels, and the checkpoint is LAZY: the single
+        # any(_chg) aggregation below is the action that materializes the
+        # checkpoint blocks AND returns the convergence signal — one Spark
+        # job per round instead of a materialize-job plus a compare-job
         new_labels = (labels.join(nbr_min, "node", "left")
-                      .select("node",
+                      .select("node", F.col("lbl").alias("_old"),
                               F.least(F.col("lbl"),
                                       F.coalesce("nbr_lbl", "lbl"))
                                .alias("lbl"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.withColumnRenamed("lbl", "new_lbl")
-                   .join(labels, "node")
-                   .filter(F.col("new_lbl") != F.col("lbl")).count())
+                      .withColumn("_chg", F.col("lbl") != F.col("_old"))
+                      .drop("_old")
+                      .localCheckpoint(eager=False))
+        changed = new_labels.agg(F.max("_chg")).first()[0]
         # note: localCheckpoint blocks are owned by the block manager, not
         # the cache manager — dropping the reference here lets the
         # ContextCleaner reclaim the previous round's blocks (an explicit
-        # unpersist() would be a silent no-op on a checkpointed frame)
-        labels = new_labels
-        if changed == 0:
+        # unpersist() would be a silent no-op on a checkpointed frame).
+        # The narrow _chg projection below is computed from the
+        # checkpointed blocks, never by re-running the join.
+        labels = new_labels.select("node", "lbl")
+        if not changed:
             converged = True
             break
     if not converged:

@@ -159,31 +159,113 @@ def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
                               F.explode(F.transform(nearest, lambda s: s["cid"])))
 
 
+def centroids_to_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(cid, cvec) centroid table for the broadcast assignment path — built
+    via Arrow (pandas) so the local relation stays JVM-side."""
+    import pandas as pd
+    pdf = pd.DataFrame({"cid": [c for c, _ in centroids],
+                        "cvec": [[float(x) for x in v] for _, v in centroids]})
+    return spark.createDataFrame(pdf, "cid int, cvec array<double>")
+
+
+def ivf_assign_broadcast(vectors: DataFrame, cdf: DataFrame,
+                         vec_col: str = "embedding",
+                         probe: int = 1) -> DataFrame:
+    """IVF assignment against a BROADCAST centroid table — the real-k
+    quantizer shape (k=4096 × dim=64 inlined literals would bloat every
+    plan that embeds the assignment; as a broadcast relation the centroids
+    ship to executors once). The plan is a BroadcastNestedLoopJoin — the
+    correct shape for nearest-centroid: every row must score ALL k
+    centroids, so there is no equi-key to hash on; the follow-up
+    probed-list join in ivf_topk is the BroadcastHashJoin.
+
+    probe=1 (the corpus side, the billion-row side) aggregates with a
+    struct-min groupBy: partial aggregation collapses the k-way expansion
+    map-side, so the shuffle carries ONE row per vector, not k. probe>1
+    (the query side — small by construction) keeps the sorted-slice
+    explode. Tie-break matches ivf_assign exactly (lowest cid), asserted
+    equal in tests. Rows must be distinct (carry an id column) — the
+    groupBy is over all input columns."""
+    cols = vectors.columns
+    scored = (vectors.crossJoin(F.broadcast(cdf))
+              .select(*cols,
+                      F.struct((-cosine(F.col(vec_col), F.col("cvec")))
+                               .alias("negsim"),
+                               F.col("cid").alias("cid")).alias("_s")))
+    if probe == 1:
+        return (scored.groupBy(*cols).agg(F.min("_s").alias("_m"))
+                .select(*cols, F.col("_m.cid").alias("ivf_list")))
+    nearest = F.slice(F.array_sort(F.collect_list("_s")), 1, probe)
+    return (scored.groupBy(*cols).agg(nearest.alias("_near"))
+            .select(*cols,
+                    F.explode(F.transform(F.col("_near"), lambda s: s["cid"]))
+                     .alias("ivf_list")))
+
+
 def deterministic_centroids(vectors: DataFrame, n_lists: int = 8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Seeded centroid init: the n_lists lowest-id vectors (deterministic;
-    kmeans_fit refines them with Lloyd's iterations)."""
+    kmeans_fit refines them with Lloyd's iterations). SQL-replayable (the
+    ann_ivf_topk oracle pins it), but collapses when low ids are co-located
+    — prefer farthest_point_centroids for a real quantizer fit."""
     rows = (vectors.orderBy(id_col).limit(n_lists)
             .select(vec_col).collect())
     return [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)]
 
 
+def farthest_point_centroids(vectors: DataFrame, n_lists: int = 8,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic kmeans++-style farthest-point init: start from the
+    lowest-id vector, then repeatedly take the vector maximizing the
+    cosine distance to its nearest already-chosen centroid (ties broken by
+    lowest id). Unlike lowest-id init this cannot collapse when low ids
+    are co-located in one region (the adversarial-ordering failure mode).
+    Each selection is one TakeOrderedAndProject job — k-1 passes over the
+    data, driver materializes k rows total; for the k≈8-256 coarse
+    quantizers IVF uses, that is config-scale."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
+    first = v.orderBy("id").limit(1).collect()[0]
+    cents = [[float(x) for x in first["vec"]]]
+    for _ in range(n_lists - 1):
+        dists = [1 - cosine(F.col("vec"),
+                            F.array(*[F.lit(x) for x in c])) for c in cents]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        row = (v.select("id", "vec", mind.alias("_d"))
+                .orderBy(F.desc("_d"), "id").limit(1).collect()[0])
+        cents.append([float(x) for x in row["vec"]])
+    return list(enumerate(cents))
+
+
 def kmeans_fit(vectors: DataFrame, dim: int, n_lists: int = 8,
                iters: int = 5, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+               vec_col: str = "embedding",
+               init: str = "farthest") -> list[tuple[int, list[float]]]:
     """Distributed Lloyd's k-means over the embedding column (cosine
     assignment, mean update) — a real IVF coarse-quantizer fit, pure
     DataFrame ops. Each iteration is one pass: assign every vector to its
-    nearest centroid (centroids are inlined literals — config-scale, the
-    same shape a broadcast would have) and re-aggregate per-dimension
-    means map-side. The only driver materialization is k centroid rows per
-    iteration. Empty clusters keep their previous centroid. Deterministic
-    (seeded init, no sampling)."""
-    cents = deterministic_centroids(vectors, n_lists, id_col, vec_col)
-    v = vectors.select(F.col(vec_col).cast("array<double>").alias("vec"))
+    nearest centroid via the BROADCAST centroid table (real-k safe — no
+    k×dim literals in the plan) and re-aggregate per-dimension means
+    map-side. The only driver materialization is k centroid rows per
+    iteration. Empty clusters keep their previous centroid. Deterministic:
+    ``init='farthest'`` (default) is farthest-point seeding —
+    lowest-id init (``init='lowest'``) collapses clusters when low ids are
+    co-located; no sampling anywhere."""
+    if init == "farthest":
+        cents = farthest_point_centroids(vectors, n_lists, id_col, vec_col)
+    elif init == "lowest":
+        cents = deterministic_centroids(vectors, n_lists, id_col, vec_col)
+    else:
+        raise ValueError(f"unknown init: {init!r} (farthest | lowest)")
+    # keep the id in the frame: ivf_assign_broadcast groups by all columns,
+    # and duplicate vectors must each contribute to their cluster's mean
+    v = vectors.select(F.col(id_col).alias("_kid"),
+                       F.col(vec_col).cast("array<double>").alias("vec"))
     for _ in range(iters):
-        assigned = ivf_assign(v, cents, "vec", probe=1)
+        cdf = centroids_to_df(vectors.sparkSession, cents)
+        assigned = ivf_assign_broadcast(v, cdf, "vec", probe=1)
         means = (assigned.groupBy("ivf_list")
                  .agg(F.count(F.lit(1)).alias("n"),
                       *[F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"c{i}")
@@ -203,12 +285,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     centroid; a query scans only its `probe` nearest lists. At 100TB the
     corpus is written bucketed by ivf_list so a query prunes to
     probe/n_lists of the data. Pass ``centroids`` from kmeans_fit for a
-    trained quantizer; default is the seeded init (lowest-id vectors)."""
+    trained quantizer; default is the seeded init (lowest-id vectors).
+
+    Assignment runs against the BROADCAST centroid table (real-k safe; see
+    ivf_assign_broadcast) — the plan is BroadcastNestedLoopJoin for the
+    all-centroids scoring plus a BroadcastHashJoin for the probed-list
+    corpus×query join below."""
     cents = centroids or deterministic_centroids(vectors, n_lists,
                                                  id_col, vec_col)
-    v = ivf_assign(vectors, cents, vec_col, probe=1)
-    q = ivf_assign(queries.withColumnRenamed(qvec_col, "_qv"), cents,
-                   "_qv", probe=probe).withColumnRenamed("_qv", qvec_col)
+    cdf = centroids_to_df(vectors.sparkSession, cents)
+    v = ivf_assign_broadcast(vectors, cdf, vec_col, probe=1)
+    q = ivf_assign_broadcast(queries.withColumnRenamed(qvec_col, "_qv"), cdf,
+                             "_qv", probe=probe).withColumnRenamed("_qv", qvec_col)
     scored = (v.join(F.broadcast(q), "ivf_list")
               .select(F.col(qid_col), F.col(id_col),
                       F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)

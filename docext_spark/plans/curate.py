@@ -62,15 +62,18 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 8, bands: int = 4,
                            jaccard_threshold: float = 0.5,
                            engine: str = "xxhash64",
-                           max_bucket_size: int | None = None,
+                           max_bucket_size: int | None = 1000,
                            cluster_max_iter: int = 20) -> DataFrame:
     """LSH candidates → exact Jaccard verification FOR THOSE PAIRS ONLY
     (jaccard_for_pairs; the verify cost is O(|candidates|), never a full
     shingle self-join — otherwise verification would cost exactly what LSH
     exists to avoid) → connected components → drop every non-keeper.
     Components merge transitive dup chains so A~B~C keeps one document.
-    ``max_bucket_size`` forwards to the LSH flood guard; run exact dedup
-    first (curate() ordering) so identical docs never reach this stage."""
+    ``max_bucket_size`` forwards to the LSH flood guard and is ON BY
+    DEFAULT (``None`` is the explicit opt-out): a templated near-identical
+    flood — the common 100TB reality — sails past exact dedup and would
+    otherwise turn one LSH bucket into B²/2 candidate pairs; run exact
+    dedup first (curate() ordering) so the cap only ever trims floods."""
     cands = lsh_candidate_pairs(docs, id_col, text_col,
                                 num_hashes=num_hashes, bands=bands, n=n,
                                 engine=engine,

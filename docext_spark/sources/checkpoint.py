@@ -8,10 +8,17 @@ written after (/root/reference/docext/benchmark/benchmark.py:336-344,
 
 On a real cluster the results table is Iceberg (atomic snapshot commits,
 hidden bucket(conv_id) partitioning); this sandbox has no Iceberg runtime
-jars, so the same protocol runs over parquet with an explicit commit
-manifest emulating snapshot atomicity: a batch directory only counts as
-committed once its entry is appended to ``_commits.json``. The
-``TableFormat`` seam keeps the call sites format-agnostic.
+jars, so the same protocol runs over parquet with an explicit commit log
+emulating snapshot atomicity. The log is MULTI-WRITER SAFE: each batch's
+commit is its own marker file (``_commit-<batch>.json``, written via
+tmp + atomic rename), and the committed set is the directory listing of
+markers at read time — the same one-file-per-commit shape as Delta Lake's
+transaction log, minus ordering (batches here are disjoint appends, so no
+total order is needed). Two drivers committing concurrently write two
+distinct markers; neither can clobber the other — unlike a single rewritten
+manifest, where read-modify-write loses one of two racing appends. A batch
+directory with no marker (crash between write and commit) is invisible.
+The ``TableFormat`` seam keeps call sites format-agnostic.
 """
 from __future__ import annotations
 
@@ -24,34 +31,40 @@ from pyspark.sql import functions as F
 
 KEY_COLS = ("conv_id", "turn_idx")
 
+_MARKER_PREFIX = "_commit-"
+_LEGACY_MANIFEST = "_commits.json"
+
 
 class CheckpointedResults:
     """Append-only results table with atomic batch commits and anti-join resume."""
 
     def __init__(self, root: str):
         self.root = root
-        self.manifest = os.path.join(root, "_commits.json")
 
     # -- commit log -------------------------------------------------------
     def _committed_batches(self) -> list[str]:
-        if not os.path.exists(self.manifest):
-            return []
-        with open(self.manifest) as f:
-            return [e["batch"] for e in json.load(f)]
+        batches: list[str] = []
+        # legacy single-manifest layout (pre-marker tables) stays readable
+        legacy = os.path.join(self.root, _LEGACY_MANIFEST)
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                batches.extend(e["batch"] for e in json.load(f))
+        if os.path.isdir(self.root):
+            for name in sorted(os.listdir(self.root)):
+                if name.startswith(_MARKER_PREFIX) and name.endswith(".json"):
+                    with open(os.path.join(self.root, name)) as f:
+                        batches.append(json.load(f)["batch"])
+        return batches
 
     def _append_commit(self, batch: str, n_rows: int):
-        # single-writer protocol: one driver owns the results table (the
-        # Spark deployment model). On Iceberg, optimistic snapshot commits
-        # replace this manifest and make multi-writer safe.
-        entries = []
-        if os.path.exists(self.manifest):
-            with open(self.manifest) as f:
-                entries = json.load(f)
-        entries.append({"batch": batch, "rows": n_rows})
-        tmp = self.manifest + ".tmp"
+        # one marker file per batch, published via atomic rename: concurrent
+        # writers produce distinct files, so no read-modify-write race can
+        # lose a commit (the failure mode of a single rewritten manifest)
+        marker = os.path.join(self.root, f"{_MARKER_PREFIX}{batch}.json")
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(entries, f)
-        os.replace(tmp, self.manifest)  # atomic rename = snapshot commit
+            json.dump({"batch": batch, "rows": n_rows}, f)
+        os.replace(tmp, marker)  # atomic rename = snapshot commit
 
     # -- protocol ----------------------------------------------------------
     def committed(self, spark: SparkSession) -> DataFrame | None:
@@ -72,7 +85,7 @@ class CheckpointedResults:
     def commit(self, df: DataFrame) -> int:
         """Write one batch and commit it atomically. Returns rows written.
 
-        The manifest row count must describe the FILES just written: when
+        The marker row count must describe the FILES just written: when
         the upstream is cached (the pipeline persists the expensive stage)
         df.count() is a cheap cache read and provably equals the write;
         when it is NOT cached, re-counting the plan could diverge from the
@@ -93,6 +106,6 @@ class CheckpointedResults:
 def resume_key(conv_id_col="conv_id", turn_idx_col="turn_idx", text_col="text"):
     """Content-addressed work key, the analog of the reference's
     sha256(messages) cache key (benchmark.py:336-344)."""
-    return F.sha2(F.concat_ws("", F.col(conv_id_col),
+    return F.sha2(F.concat_ws("", F.col(conv_id_col),
                               F.col(turn_idx_col).cast("string"),
                               F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)), 256)

@@ -64,3 +64,61 @@ def test_uncommitted_batch_is_invisible(spark, tmp_path):
     # a real commit then excludes exactly the committed keys
     ckpt.commit(src.limit(1))
     assert ckpt.remaining(spark, src).count() == 1
+
+
+def test_concurrent_commits_lose_nothing(spark, tmp_path):
+    """VERDICT r2 #4: two drivers committing at once must both land — the
+    per-batch marker-file log cannot lose a commit the way a read-modify-
+    write of one shared manifest can. 8 threads × 1 batch each, barrier-
+    released so the commits genuinely overlap."""
+    import threading
+
+    root = str(tmp_path / "results")
+    ckpt = CheckpointedResults(root)
+    n_writers = 8
+    barrier = threading.Barrier(n_writers)
+    errors = []
+
+    def writer(i):
+        df = spark.createDataFrame(
+            [(f"c{i}", t, f"text {i}/{t}") for t in range(3)],
+            "conv_id string, turn_idx int, md string")
+        barrier.wait()
+        try:
+            ckpt.commit(df)
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,))
+               for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    final = ckpt.committed(spark)
+    assert final.count() == n_writers * 3
+    assert final.select("conv_id").distinct().count() == n_writers
+    # every marker describes its own batch exactly
+    assert len(ckpt._committed_batches()) == n_writers
+
+
+def test_legacy_manifest_still_readable(spark, tmp_path):
+    """Tables committed under the pre-marker single-manifest layout keep
+    resuming: the reader unions legacy manifest entries with markers."""
+    import json
+    import os
+
+    root = str(tmp_path / "results")
+    ckpt = CheckpointedResults(root)
+    src = spark.createDataFrame(
+        [("c1", 0, "a"), ("c2", 0, "b")],
+        "conv_id string, turn_idx int, md string")
+    os.makedirs(root, exist_ok=True)
+    src.limit(1).write.parquet(os.path.join(root, "batch-legacy"))
+    with open(os.path.join(root, "_commits.json"), "w") as f:
+        json.dump([{"batch": "batch-legacy", "rows": 1}], f)
+    assert ckpt.committed(spark).count() == 1
+    ckpt.commit(src.join(ckpt.committed(spark).select("conv_id"),
+                         "conv_id", "left_anti"))
+    assert ckpt.committed(spark).count() == 2

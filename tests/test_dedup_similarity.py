@@ -408,3 +408,120 @@ def test_lsh_topk_multi_table_recall(spark, vectors):
                        n_planes=2).collect()}
     assert amplified.issubset(exact)
     assert single.issubset(amplified)  # OR-amplification only adds candidates
+
+
+def test_flood_guards_are_default_on(spark):
+    """VERDICT r2 #1: a naive caller with the DEFAULT config must survive a
+    templated near-identical flood — max_bucket_size/max_doc_freq default to
+    1000 and ``None`` is the explicit opt-out."""
+    import inspect
+
+    import pandas as pd
+
+    from docext_spark.plans.curate import fuzzy_dedup_keep_first
+
+    assert inspect.signature(lsh_candidate_pairs) \
+        .parameters["max_bucket_size"].default == 1000
+    assert inspect.signature(jaccard_pairs) \
+        .parameters["max_doc_freq"].default == 1000
+    assert inspect.signature(fuzzy_dedup_keep_first) \
+        .parameters["max_bucket_size"].default == 1000
+
+    # 3000 docs so EVERY band bucket exceeds the 1000 cap (each doc's
+    # distinct 'v{i}' prefix perturbs ~1 of ~28 shingles, so a few percent
+    # of docs deviate per band — a marginal flood would leave sub-cap
+    # buckets and their quadratic pairs; see the explicit-cap test above
+    # for the capped-vs-uncapped contrast)
+    template = ("the quick brown fox jumps over the lazy dog "
+                "pack my box with five dozen liquor jugs ") * 3
+    pdf = pd.DataFrame({"doc_id": list(range(3000)),
+                        "text": [f"v{i} {template}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf, "doc_id long, text string")
+    # DEFAULT config: the >1000-member signature buckets are dropped, so
+    # candidates stay far below the ~4.5M the flood would otherwise emit
+    n_default = lsh_candidate_pairs(df, num_hashes=8, bands=4).count()
+    assert n_default < 3000
+    # jaccard default: the template shingles (doc-freq 3000 > 1000) are
+    # dropped, so the flood yields no above-threshold pairs by default
+    n_jac = jaccard_pairs(df, threshold=0.5).count()
+    assert n_jac < 3000
+
+
+def test_ivf_assign_broadcast_matches_literal_at_k256(spark):
+    """VERDICT r2 #3: assignment against a broadcast centroid TABLE must
+    equal the inlined-literal path bit-for-bit (same cosine math, same
+    lowest-cid tie-break) — at k=256 the literal path is 2048 plan
+    literals, which is exactly why the broadcast path is the default."""
+    import random
+
+    from docext_spark.operators.similarity import (centroids_to_df,
+                                                   deterministic_centroids,
+                                                   ivf_assign,
+                                                   ivf_assign_broadcast)
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = deterministic_centroids(df, n_lists=256)
+    assert len(cents) == 256
+    cdf = centroids_to_df(spark, cents)
+    for probe in (1, 2):
+        lit = {(r["vec_id"], r["ivf_list"])
+               for r in ivf_assign(df, cents, probe=probe)
+               .select("vec_id", "ivf_list").collect()}
+        bc = {(r["vec_id"], r["ivf_list"])
+              for r in ivf_assign_broadcast(df, cdf, probe=probe)
+              .select("vec_id", "ivf_list").collect()}
+        assert bc == lit and len(bc) == 400 * probe
+    # the broadcast path's plan ships centroids via a broadcast exchange
+    # (BroadcastNestedLoopJoin: no equi-key exists for all-centroid scoring)
+    plan = ivf_assign_broadcast(df, cdf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_farthest_point_init_survives_adversarial_id_order(spark):
+    """VERDICT r2 #7: all low ids co-located in one blob — lowest-id init
+    seeds every centroid inside blob 0 and Lloyd's cannot split the other
+    blobs apart; farthest-point seeding (the default) spreads the seeds and
+    separates all three blobs."""
+    import random
+
+    from docext_spark.operators.similarity import (centroids_to_df,
+                                                   farthest_point_centroids,
+                                                   ivf_assign_broadcast,
+                                                   kmeans_fit)
+    rng = random.Random(7)
+    dirs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    # ids 0..19 are ALL blob 0; 20..39 blob 1; 40..59 blob 2
+    rows = [(i, [x + rng.gauss(0, 0.05) for x in dirs[i // 20]])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    # seeding alone: one seed per blob
+    seeds = farthest_point_centroids(df, n_lists=3)
+    seed_blobs = {max(range(3), key=lambda b: sum(c * d for c, d in
+                                                  zip(vec, dirs[b])))
+                  for _, vec in seeds}
+    assert seed_blobs == {0, 1, 2}
+
+    def blob_lists(cents):
+        cdf = centroids_to_df(spark, cents)
+        assigned = ivf_assign_broadcast(df, cdf) \
+            .select("vec_id", "ivf_list").collect()
+        out = {}
+        for r in assigned:
+            out.setdefault(r["vec_id"] // 20, set()).add(r["ivf_list"])
+        return out
+
+    good = blob_lists(kmeans_fit(df, dim=4, n_lists=3, iters=4))
+    assert all(len(s) == 1 for s in good.values())
+    assert len(set.union(*good.values())) == 3
+    # and the hazard is real at the seeding level: lowest-id init puts ALL
+    # three seeds inside blob 0 (whether Lloyd's later escapes depends on
+    # jitter luck — the seeding is what must not start collapsed)
+    from docext_spark.operators.similarity import deterministic_centroids
+    low = deterministic_centroids(df, n_lists=3)
+    low_blobs = {max(range(3), key=lambda b: sum(c * d for c, d in
+                                                 zip(vec, dirs[b])))
+                 for _, vec in low}
+    assert low_blobs == {0}
