@@ -645,23 +645,57 @@ FROM feat GROUP BY source
 """
 
 
+def _png_payload_hex(width_col, height_col):
+    """Hex string of a real PNG header (signature + IHDR) with the given
+    dims — built natively so F.unhex() yields genuine payload BYTES that
+    the decoders then re-parse (the decode is what's under test, not the
+    synthesis)."""
+    whex = F.lpad(F.conv(width_col.cast("string"), 10, 16), 8, "0")
+    hhex = F.lpad(F.conv(height_col.cast("string"), 10, 16), 8, "0")
+    return F.concat(F.lit("89504E470D0A1A0A" "0000000D49484452"),
+                    whex, hhex, F.lit("080600000000000000"))
+
+
 def _s5_resize_dims(spark, sf_dir):
     """Image resize planning (reference core/utils.py:49-53 semantics:
-    bound to a 2048 square preserving aspect ratio, never upscale).
-    Synthetic dims derived from part columns."""
-    from docext_spark.operators.multimodal import resize_dims
+    bound to a 2048 square preserving aspect ratio, never upscale) over
+    dims DECODED FROM REAL PNG BYTES: payloads are planted PNG headers
+    (unhex of signature+IHDR), and width/height come out of
+    png_dims_native — substring-on-binary → hex → conv, pure JVM
+    whole-stage-codegen scan-time decode, no Python worker. The oracle
+    re-parses the same header hex at the same fixed offsets."""
+    from docext_spark.operators.multimodal import png_dims_native, resize_dims
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
-    media = p.select(F.col("p_partkey").alias("media_id"),
-                     (F.col("p_size") * 150).cast("int").alias("width"),
-                     (F.col("p_size") * 90 + 400).cast("int").alias("height"))
-    return resize_dims(media, max_size=2048)
+    media = p.select(
+        F.col("p_partkey").alias("media_id"),
+        F.unhex(_png_payload_hex((F.col("p_size") * 150).cast("int"),
+                                 (F.col("p_size") * 90 + 400).cast("int")))
+         .alias("payload"))
+    dims = media.select(
+        "media_id",
+        png_dims_native(F.col("payload")).alias("_d")) \
+        .select("media_id", F.col("_d.width").alias("width"),
+                F.col("_d.height").alias("height"))
+    return resize_dims(dims, max_size=2048)
 
 
 _S5_SQL = """
-WITH m AS (
-  SELECT p_partkey AS media_id, (p_size * 150)::INT AS width,
-         (p_size * 90 + 400)::INT AS height
+WITH hx AS (
+  SELECT p_partkey AS media_id,
+         '89504E470D0A1A0A0000000D49484452'
+           || lpad(hex((p_size * 150)::INT), 8, '0')
+           || lpad(hex((p_size * 90 + 400)::INT), 8, '0')
+           || '080600000000000000' AS h
   FROM part WHERE p_partkey <= 1000
+), m AS (
+  -- re-parse the planted header at the IHDR offsets (bytes 16/20 =
+  -- hex chars 33/41), mirroring the binary decode
+  SELECT media_id,
+         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substr(h, 33, 8))::INT END AS width,
+         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substr(h, 41, 8))::INT END AS height
+  FROM hx
 )
 SELECT media_id, width, height,
        floor(width * CASE WHEN greatest(width, height) > 2048
@@ -1700,15 +1734,79 @@ def _vlm_messages(spark, sf_dir):
 
 
 def _multimodal_features(spark, sf_dir):
+    """Perception over REAL payload bytes (round-2 'what's missing' #1):
+    payloads are genuine PNG headers (even ids) and JPEG SOI+APP0+SOF0
+    marker streams (odd ids) with sha256-of-text filler; the mapInPandas
+    decoder (core/imagehdr.py) sniffs the container from magic bytes and
+    walks the real structures for dims — nothing is read from metadata
+    columns. Oracle-paired: DuckDB builds the identical header hex and
+    re-parses it at the container-mandated offsets (PNG IHDR bytes 16/20;
+    the planted fixed-length APP0 puts the JPEG SOF0 dims at bytes 25/27
+    — the Spark side still discovers that offset by walking the markers)."""
     from docext_spark.operators.multimodal import extract_features
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    width = (F.lit(200) + F.col("doc_id") % 1800).cast("int")
+    height = (F.lit(150) + (F.col("doc_id") * 7) % 1200).cast("int")
+    whex16 = F.lpad(F.conv(width.cast("string"), 10, 16), 4, "0")
+    hhex16 = F.lpad(F.conv(height.cast("string"), 10, 16), 4, "0")
+    jpeg_hex = F.concat(
+        F.lit("FFD8" "FFE000104A46494600010100000100010000"  # SOI + APP0
+              "FFC0000B08"),                                 # SOF0 ... prec
+        hhex16, whex16, F.lit("01011100"))                   # 1-comp tail
+    filler = F.upper(F.sha2(F.coalesce(F.col("text"), F.lit("")), 256))
+    payload_hex = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, _png_payload_hex(width, height))
+         .otherwise(jpeg_hex),
+        filler)
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.lit("image").alias("kind"),
-                     F.col("text").cast("binary").alias("payload"))
+                     F.unhex(payload_hex).alias("payload"))
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes",
-                        F.round(F.element_at("feature", 1), 6).alias("f0"),
-                        F.round(F.element_at("feature", 8), 6).alias("f7"))
+    # cast float32 storage back to double BEFORE rounding: the raw f32
+    # value prints as 0.323076993…, the 6dp round restores oracle parity
+    return feats.select("media_id", "kind", "format", "width", "height",
+                        "n_bytes",
+                        F.round(F.element_at("feature", 1).cast("double"), 6)
+                         .alias("f0"))
+
+
+_MULTIMODAL_SQL = """
+WITH hx AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '89504E470D0A1A0A0000000D49484452'
+                   || lpad(hex((200 + doc_id % 1800)::INT), 8, '0')
+                   || lpad(hex((150 + (doc_id * 7) % 1200)::INT), 8, '0')
+                   || '080600000000000000'
+              ELSE 'FFD8FFE000104A46494600010100000100010000FFC0000B08'
+                   || lpad(hex((150 + (doc_id * 7) % 1200)::INT), 4, '0')
+                   || lpad(hex((200 + doc_id % 1800)::INT), 4, '0')
+                   || '01011100'
+         END || upper(sha256(coalesce(text, ''))) AS h
+  FROM documents WHERE doc_id < 500
+), parsed AS (
+  -- re-parse the planted bytes: PNG IHDR dims at hex chars 33/41;
+  -- JPEG SOF0 height/width at hex chars 51/55 (SOI 2B + APP0 18B + marker
+  -- 2B + len 2B + precision 1B)
+  SELECT media_id, 'image' AS kind,
+         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+              WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg' END AS format,
+         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substr(h, 33, 8))::INT
+              ELSE ('0x' || substr(h, 55, 4))::INT END AS width,
+         CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+              THEN ('0x' || substr(h, 41, 8))::INT
+              ELSE ('0x' || substr(h, 51, 4))::INT END AS height,
+         (length(h) / 2)::INT AS n_bytes,
+         -- f0 = fraction of payload bytes with value < 32, i.e. whose
+         -- first hex nibble is 0 or 1
+         round(len([i for i in generate_series(1, length(h) // 2)
+                    if substr(h, i * 2 - 1, 1) IN ('0', '1')])
+               / (length(h) / 2.0), 6) AS f0
+  FROM hx
+)
+SELECT media_id, kind, format, width, height, n_bytes, f0 FROM parsed
+"""
 
 
 def _curate_funnel(spark, sf_dir):
@@ -1943,12 +2041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": _simhash_signatures,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
         "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
+        "multimodal_features": _multimodal_features,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
         "grits_similarity": _grits_similarity,
-        "multimodal_features": _multimodal_features,
         "vlm_messages": _vlm_messages,
         "dedup_lsh_pairs_fast": _dedup_lsh_pairs_fast,
     }
@@ -2001,6 +2099,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_sql(),
         "dedup_winnow_pairs": _winnow_sql(),
         "dedup_lsh_flood_guard": _LSH_FLOOD_SQL,
+        "multimodal_features": _MULTIMODAL_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

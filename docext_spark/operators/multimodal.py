@@ -1,21 +1,27 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real (schema, mapInPandas batch shape, metadata
-projection); the codec step is stubbed behind a deterministic fake because
-the image/audio libraries are not in this container — swap `_decode_stub`
-for a real decoder (PIL/torchaudio) on a cluster with the libs installed.
+projection), and so is the header-level decode: container sniff + pixel
+dims are parsed from the REAL payload bytes (core/imagehdr.py — pure
+Python, no PIL needed). Only the pixel resample / waveform decode remains
+stubbed (the imaging/audio libraries are not in this container); the
+byte-histogram feature stands in for content features behind the same
+mapInPandas seam a real extractor would use.
 
 Reference analog: page images are opaque payloads resized/encoded before
-send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210).
+send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210), decoded with
+PIL/pdf2image (core/utils.py:84-96).
 """
 from __future__ import annotations
 
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from docext_spark.core import imagehdr
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -30,19 +36,19 @@ MEDIA_SCHEMA = T.StructType([
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),
+    T.StructField("format", T.StringType(), True),     # sniffed container
+    T.StructField("width", T.IntegerType(), True),     # decoded from bytes
+    T.StructField("height", T.IntegerType(), True),
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
 ])
 
 
-def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """Deterministic fake feature extraction (real decode needs PIL etc.).
-
-    Produces an 8-dim byte-histogram feature — stable, testable plumbing.
-    Replace with a real decode (NotImplementedError guard kept explicit).
-    """
-    if kind not in ("image", "audio", "video"):
-        raise NotImplementedError(f"unknown media kind: {kind}")
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Deterministic 8-bin byte histogram — the stand-in content feature
+    (a real extractor would decode pixels/waveforms here; the libs are not
+    in this container, so the seam is exercised with a feature that is
+    cheap, stable, and testable)."""
     buckets = [0] * 8
     for b in payload or b"":
         buckets[b >> 5] += 1
@@ -50,20 +56,48 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
     return [round(c / total, 6) for c in buckets]
 
 
+def _decode(payload: bytes, kind: str):
+    """Header-level decode on real bytes: (format, width, height). Unknown
+    media kinds fail loudly; undecodable payloads yield nulls (a 100TB
+    scan must never die on one corrupt blob — filter on format IS NULL)."""
+    if kind not in ("image", "audio", "video"):
+        raise NotImplementedError(f"unknown media kind: {kind}")
+    parsed = imagehdr.parse_dims(payload)
+    return parsed if parsed else (None, None, None)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: Arrow batches of binary payloads in,
-    fixed-width float features out. Partition-parallel, no shuffle."""
+    """mapInPandas perception: Arrow batches of binary payloads in; sniffed
+    format + dims decoded from the real header bytes + fixed-width features
+    out. Partition-parallel, no shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            decoded = [_decode(p, k)
+                       for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
+                "format": [d[0] for d in decoded],
+                "width": pd.array([d[1] for d in decoded], dtype="Int32"),
+                "height": pd.array([d[2] for d in decoded], dtype="Int32"),
                 "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                "feature": [_decode_stub(p, k)
-                            for p, k in zip(pdf["payload"], pdf["kind"])],
+                "feature": [_byte_histogram(p) for p in pdf["payload"]],
             })
     cols = media.select("media_id", "kind", "payload")
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def png_dims_native(payload: Column) -> Column:
+    """struct<width int, height int> decoded from PNG bytes with NATIVE
+    expressions only (substring on binary → hex → base-16 conv): the
+    scan-time hot path stays inside whole-stage codegen, no Python worker.
+    PNG mandates IHDR first, so width/height are big-endian u32 at fixed
+    offsets 16/20 (1-based 17/21). Non-PNG payloads decode to null."""
+    is_png = F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A"
+    def be_u32(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("int")
+    return F.when(is_png, F.struct(be_u32(17).alias("width"),
+                                   be_u32(21).alias("height")))
 
 
 def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:
