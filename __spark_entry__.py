@@ -726,6 +726,122 @@ FROM documents
 """
 
 
+def _t_redact_pii(spark, sf_dir):
+    """Training-corpus PII scrub with deterministic planted PII (the raw
+    synthetic docs carry none — an unplanted oracle would be vacuous):
+    every doc gets an email/phone/IP/card suffix derived from its id, and
+    the query returns per-kind counts plus the fully redacted text. Both
+    engines run the identical RE2-safe pattern chain in the same order."""
+    from docext_spark.operators.textops import pii_counts, redact_pii
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(" card 4111111111111111"))
+    counts = pii_counts(planted)
+    return d.select("doc_id",
+                    counts["email"].alias("n_emails"),
+                    counts["ip"].alias("n_ips"),
+                    counts["number"].alias("n_numbers"),
+                    counts["phone"].alias("n_phones"),
+                    redact_pii(planted).alias("redacted"))
+
+
+def _redact_sql():
+    from docext_spark.operators.textops import PII_PATTERNS
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact user' || doc_id
+           || '@example.com or +1 (555) 010-'
+           || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           || ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 200)
+           || ' card 4111111111111111' AS t
+  FROM documents WHERE doc_id < 500
+)"""
+    prev = "s0"
+    for i, (kind, pat, tag) in enumerate(PII_PATTERNS, 1):
+        sql += f""",
+s{i} AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{pat}')) AS n_{kind}s,
+         regexp_replace(t, '{pat}', '{tag}', 'g') AS t
+  FROM {prev}
+)"""
+        prev = f"s{i}"
+    counts = ", ".join(f"s{i}.n_{kind}s"
+                       for i, (kind, _, _) in enumerate(PII_PATTERNS, 1))
+    joins = " ".join(f"JOIN s{i} USING (doc_id)"
+                     for i in range(2, len(PII_PATTERNS)))
+    n = len(PII_PATTERNS)
+    return sql + f"""
+SELECT doc_id, {counts}, s{n}.t AS redacted
+FROM s1 {joins} JOIN s{n} USING (doc_id)
+"""
+
+
+def _t_repetition(spark, sf_dir):
+    """Gopher-style repetition signals over planted multi-line docs (the
+    synthetic docs are single-line, so duplicate-line fractions would be
+    identically zero unplanted): 4 constructed lines yield dup_line_frac
+    ∈ {0, .25, .5} keyed off doc_id, and max_token_frac runs on the
+    constructed text. repetition_gate is the composite keep-predicate."""
+    from docext_spark.operators.textops import (dup_line_frac,
+                                                max_token_frac,
+                                                repetition_gate)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    ml = F.concat_ws(
+        "\n", text, F.lit("boilerplate footer line"),
+        F.when(F.col("doc_id") % 2 == 0, text)
+         .otherwise(F.concat(F.lit("unique line "),
+                             F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("boilerplate footer line"))
+         .otherwise(F.concat(F.lit("tail "),
+                             F.col("doc_id").cast("string"))))
+    return d.select("doc_id",
+                    F.round(dup_line_frac(ml), 6).alias("dup_line_frac"),
+                    F.round(max_token_frac(ml), 6).alias("max_token_frac"),
+                    repetition_gate(ml).alias("keep"))
+
+
+_REPETITION_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         coalesce(text, '') || chr(10) || 'boilerplate footer line'
+           || chr(10)
+           || CASE WHEN doc_id % 2 = 0 THEN coalesce(text, '')
+                   ELSE 'unique line ' || doc_id END
+           || chr(10)
+           || CASE WHEN doc_id % 3 = 0 THEN 'boilerplate footer line'
+                   ELSE 'tail ' || doc_id END AS t
+  FROM documents WHERE doc_id < 500
+), feat AS (
+  SELECT doc_id,
+         string_split(t, chr(10)) AS ls,
+         CASE WHEN trim(t) = '' THEN []::VARCHAR[]
+              ELSE list_transform(regexp_split_to_array(trim(t), '\s+'),
+                                  x -> lower(x)) END AS toks
+  FROM planted
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE 1 - len(list_distinct(ls)) * 1.0 / len(ls) END AS dlf,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_max([len(list_filter(toks, y -> y = x))
+                             for x in list_distinct(toks)]) * 1.0 / len(toks)
+         END AS mtf
+  FROM feat
+)
+SELECT doc_id, round(dlf, 6) AS dup_line_frac, round(mtf, 6) AS max_token_frac,
+       dlf <= 0.3 AND mtf <= 0.2 AS keep
+FROM m
+"""
+
+
 def _t_quality_filter(spark, sf_dir):
     """C4/Gopher-style training-data filter: keep docs that pass language,
     length, and quality gates — the composite the individual text ops feed."""
@@ -1969,14 +2085,14 @@ SELECT * FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 60 queries carry an oracle_sql
-    twin; the 10 overflow pairs (positions 51-60, all previously green /
-    full-sweep-verified — see CORRECTNESS_FULL_r2.md) and the 6 rows-only
-    tail entries are checkable any time via tools/check_oracle.py. The
-    rows-only ones are genuinely non-SQL-replayable: HLL sketch, perception
-    pUDFs (byte-pinned by pytest goldens), the stubbed multimodal codec,
-    and the xxhash64 LSH variant (pytest parity-gated vs the sha256
-    oracle path)."""
+    driver's 50-entry correctness window. 64 queries carry an oracle_sql
+    twin; the 14 overflow pairs (positions 51-64, full-sweep-verified —
+    see CORRECTNESS_FULL_r3.md) and the 6 rows-only tail entries are
+    checkable any time via tools/check_oracle.py. The rows-only ones are
+    genuinely non-SQL-replayable: HLL sketch, perception pUDFs
+    (byte-pinned by pytest goldens), GRITS, VLM message assembly, and the
+    xxhash64 LSH variant (pytest parity-gated vs the sha256 oracle
+    path)."""
     return {
         # -- oracle-paired, window positions 1-50 --------------------------
         "q1_pricing_summary": _q1_pricing_summary,
@@ -2042,6 +2158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_pairs": _dedup_winnow_pairs,
         "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
         "multimodal_features": _multimodal_features,
+        "t_redact_pii": _t_redact_pii,
+        "t_repetition": _t_repetition,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2100,6 +2218,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_pairs": _winnow_sql(),
         "dedup_lsh_flood_guard": _LSH_FLOOD_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "t_redact_pii": _redact_sql(),
+        "t_repetition": _REPETITION_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

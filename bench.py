@@ -29,9 +29,14 @@ HEADLINE = [
     "dedup_lsh_pairs",        # sha256 oracle-parity hash (DuckDB-replayable)
     "dedup_lsh_pairs_fast",   # xxhash64 production hash (the 100TB path)
     "dedup_jaccard_capped",   # hot-shingle cap under planted skew
+    "dedup_lsh_flood_guard",  # DEFAULT-config guard vs a planted 1500-doc flood
     "ann_cosine_topk",
+    "ann_ivf_topk",           # broadcast-centroid assignment path
     "x4_kie_fields",
 ]
+
+N_RUNS = 3  # median-of-N per query: kills the ±30% cold-run swing that made
+            # round-over-round comparisons of sub-second queries meaningless
 
 
 def main():
@@ -61,13 +66,18 @@ def main():
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop sink: full materialization of every column (count() would let
-        # Catalyst prune deterministic pUDF columns), result stays distributed
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop sink: full materialization of every column (count() would
+            # let Catalyst prune deterministic pUDF columns), result stays
+            # distributed
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[N_RUNS // 2], 3)
+        print(f"# {name}: median {timings[name]}s of "
+              f"{[round(r, 3) for r in runs]}", file=sys.stderr)
 
     # north metric: per-turn extraction throughput on the transcript shape
     from docext_spark.plans.pipeline import run_extraction
@@ -76,9 +86,12 @@ def main():
     tdf = transcripts_df(spark, n_convs=n_convs, median_turns=8,
                          hot_factor=50, partitions=int(cpus) * 2).cache()
     n_turns = tdf.count()  # materialize synth cost outside the timing
-    t0 = time.time()
-    run_extraction(tdf).write.mode("overwrite").format("noop").save()
-    extract_sec = time.time() - t0
+    extract_runs = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        run_extraction(tdf).write.mode("overwrite").format("noop").save()
+        extract_runs.append(time.time() - t0)
+    extract_sec = sorted(extract_runs)[N_RUNS // 2]
     timings["flagship_turn_extraction"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
 
@@ -92,6 +105,7 @@ def main():
         "turns_per_sec": turns_per_sec,
         "n_turns": n_turns,
         "cpus": int(cpus),
+        "runs_per_query": N_RUNS,
     }))
     spark.stop()
 

@@ -112,6 +112,74 @@ def word_shingles(col: Column, n: int = 3,
             .otherwise(F.when(cnt < n, full).otherwise(grams))
 
 
+# PII redaction patterns, applied IN ORDER (emails before phones so the
+# phone pattern cannot eat an address's digits; long card/account digit
+# runs before phones for the same reason). RE2-safe (no backrefs /
+# lookaround) so the DuckDB oracle replays them verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("number", r"\b[0-9]{12,19}\b", "<NUMBER>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-corpus PII scrub: emails, IPv4s, card/account digit runs,
+    phone numbers → typed tags. Chained native regexp_replace — map-only,
+    whole-stage codegen, zero Python."""
+    out = F.coalesce(col, F.lit(""))
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind match counts BEFORE redaction (audit metric). Counted on
+    the progressively redacted text exactly like redact_pii applies it, so
+    kinds never double-count each other's spans."""
+    out = F.coalesce(col, F.lit(""))
+    counts = {}
+    for kind, pat, tag in PII_PATTERNS:
+        counts[kind] = F.regexp_count(out, F.lit(pat))
+        out = F.regexp_replace(out, pat, tag)
+    return counts
+
+
+def lines(col: Column) -> Column:
+    return F.split(F.coalesce(col, F.lit("")), r"\n")
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Gopher repetition signal: fraction of lines that are repeats of an
+    earlier line (1 - distinct/total). Per-row native expression."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(n == 0, F.lit(0.0)) \
+            .otherwise(1.0 - F.size(F.array_distinct(ls)) / n)
+
+
+def max_token_frac(col: Column) -> Column:
+    """Gopher repetition signal: frequency of the most common token over
+    the token count. Nested higher-order expression (count per distinct
+    token) — O(tokens · distinct) per row, fine for document-sized rows;
+    still map-only JVM code, no shuffle, no Python."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    counts = F.transform(F.array_distinct(toks),
+                         lambda t: F.size(F.filter(toks, lambda x: x == t)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)) \
+            .otherwise(F.array_max(counts) / n)
+
+
+def repetition_gate(col: Column, max_dup_line_frac: float = 0.3,
+                    max_tok_frac: float = 0.2) -> Column:
+    """Boolean keep-predicate combining the repetition signals (the Gopher
+    repetition filter shape)."""
+    return ((dup_line_frac(col) <= max_dup_line_frac)
+            & (max_token_frac(col) <= max_tok_frac))
+
+
 def minhash_component(shingle: Column, seed: int,
                       engine: str = "sha256") -> Column:
     """One MinHash permutation component.
