@@ -144,10 +144,12 @@ def deterministic_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[li
 
 def ivf_assign(vectors: DataFrame, centroids: list[tuple[int, list[float]]],
                vec_col: str = "embedding", probe: int = 1) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest
-    centroid(s). Centroids are a small seeded constant (inlined literals —
-    at real scale, a broadcast k-means result). probe>1 assigns each vector
-    to its `probe` nearest lists for higher recall."""
+    """IVF coarse quantization with INLINED centroid literals — kept for
+    tiny k (SQL-oracle documentation shape) and as the parity twin for
+    ivf_assign_broadcast, which is the production default used by ivf_topk
+    and kmeans_fit (a k=4096×dim=64 quantizer inlined here would bloat
+    every plan that embeds the assignment). probe>1 assigns each vector to
+    its `probe` nearest lists for higher recall."""
     dists = F.array(*[
         F.struct(
             (-cosine(F.col(vec_col),

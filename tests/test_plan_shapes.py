@@ -62,3 +62,39 @@ def test_q5_dims_broadcast(spark):
     import __spark_entry__ as entry
     plan = _plan(entry.queries()["q5_revenue_by_nation"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_lsh_default_bucket_cap_is_broadcast_anti(spark):
+    """The DEFAULT lsh_candidate_pairs plan must carry the flood guard as a
+    broadcast anti-join on (band, key) — never a shuffle of the banded
+    table — and the explicit opt-out must remove it entirely."""
+    from docext_spark.operators.dedup import lsh_candidate_pairs
+    guarded = _plan(lsh_candidate_pairs(_docs(spark), num_hashes=8, bands=4))
+    assert "LeftAnti" in guarded and "BroadcastHashJoin" in guarded
+    off = _plan(lsh_candidate_pairs(_docs(spark), num_hashes=8, bands=4,
+                                    max_bucket_size=None))
+    assert "LeftAnti" not in off
+
+
+def test_s5_native_png_decode_has_no_python_worker(spark):
+    """s5 consumes dims decoded from PNG bytes via native expressions —
+    the plan must contain no Python/Arrow eval node."""
+    import __spark_entry__ as entry
+    plan = _plan(entry.queries()["s5_resize_dims"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_ivf_topk_broadcasts_centroids_and_probed_queries(spark):
+    """ivf_topk's assignment ships the centroid table via a broadcast
+    (BroadcastNestedLoopJoin: all-centroid scoring has no equi-key) and the
+    probed-list corpus×query join is a BroadcastHashJoin."""
+    from docext_spark.operators.similarity import ivf_topk
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = (emb.filter(F.col("vec_id") < 2)
+         .select(F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qvec")))
+    plan = _plan(ivf_topk(emb, q, k=3, n_lists=4, probe=2))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
