@@ -2145,7 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        # -- oracle-paired overflow (51-58) ---------------------------------
+        # -- oracle-paired overflow (positions 51-64) ------------------------
         "w4_topn": _w4_topn,
         "j5_table_pairing": _j5_table_pairing,
         "p5_strip_normalize": _p5_strip_normalize,

@@ -27,22 +27,37 @@ from docext_spark.operators.dedup import (duplicate_clusters,
                                           jaccard_for_pairs,
                                           lsh_candidate_pairs)
 from docext_spark.operators.textops import (fingerprint, lang_id,
-                                            quality_score, token_count)
+                                            quality_score, redact_pii,
+                                            token_count)
+
+
+def _redacted(text_col: str):
+    return redact_pii(F.col(text_col))
 
 
 def quality_gate(docs: DataFrame, text_col: str = "text",
                  min_tokens: int = 5, min_quality: float = 0.3,
-                 langs: tuple[str, ...] = ("en",)) -> DataFrame:
+                 langs: tuple[str, ...] = ("en",),
+                 max_dup_line_frac: float | None = None,
+                 max_tok_frac: float | None = None) -> DataFrame:
     """C4-style keep predicate: minimum length, composite quality score,
-    language allowlist. Pure native expressions — evaluated inside the
-    scan's whole-stage codegen, nothing shuffles."""
+    language allowlist; optional Gopher repetition gates
+    (``max_dup_line_frac`` / ``max_tok_frac``, off by default so the
+    pinned funnel oracle is unchanged). Pure native expressions —
+    evaluated inside the scan's whole-stage codegen, nothing shuffles."""
+    from docext_spark.operators.textops import dup_line_frac, max_token_frac
+    keep = ((token_count(F.col(text_col)) >= min_tokens)
+            & (F.round(quality_score(F.col(text_col)), 6) >= min_quality)
+            & lang_id(F.col(text_col)).isin(*langs))
+    if max_dup_line_frac is not None:
+        keep = keep & (dup_line_frac(F.col(text_col)) <= max_dup_line_frac)
+    if max_tok_frac is not None:
+        keep = keep & (max_token_frac(F.col(text_col)) <= max_tok_frac)
     return (docs
             .withColumn("_n_tokens", token_count(F.col(text_col)))
             .withColumn("_quality", F.round(quality_score(F.col(text_col)), 6))
             .withColumn("_lang", lang_id(F.col(text_col)))
-            .filter((F.col("_n_tokens") >= min_tokens)
-                    & (F.col("_quality") >= min_quality)
-                    & F.col("_lang").isin(*langs)))
+            .filter(keep))
 
 
 def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
@@ -91,7 +106,8 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
 
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", fuzzy_kwargs: dict | None = None,
-           persist: bool = True, **quality_kwargs) -> dict:
+           persist: bool = True, redact: bool = False,
+           **quality_kwargs) -> dict:
     """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame,
     "unpersist": callable} — funnel is the per-stage survivorship count
     (the metric a curation job publishes alongside the output table).
@@ -115,7 +131,12 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
     exact = stage(exact_dedup_keep_first(gated, id_col, text_col))
     fuzzy = stage(fuzzy_dedup_keep_first(exact, id_col, text_col,
                                          **(fuzzy_kwargs or {})))
-    corpus = fuzzy.select(id_col, text_col, "_n_tokens", "_quality", "_lang")
+    # PII scrub on the OUTPUT text only (dedup keys must see the original
+    # bytes — scrubbing first would alias distinct docs whose PII differs)
+    text_out = (F.col(text_col) if not redact else
+                _redacted(text_col))
+    corpus = fuzzy.select(id_col, text_out.alias(text_col),
+                          "_n_tokens", "_quality", "_lang")
     funnel = (docs.select(F.lit("0_input").alias("stage"),
                           F.count(F.lit(1)).alias("n_docs"))
               .unionByName(gated.select(F.lit("1_quality_gate").alias("stage"),

@@ -38,6 +38,12 @@ def main():
                     choices=["extract", "curate"],
                     help="extract = flagship transcript pipeline; "
                          "curate = corpus curation over a documents table")
+    ap.add_argument("--redact", action="store_true",
+                    help="curate mode: PII-scrub the output corpus text "
+                         "(dedup still keys on the original bytes)")
+    ap.add_argument("--repetition-gate", action="store_true",
+                    help="curate mode: add Gopher repetition gates to the "
+                         "quality stage (dup-line frac 0.3, top-token frac 0.2)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,7 +56,10 @@ def main():
             ap.error("--mode curate requires --input (a documents table)")
         docs = spark.read.parquet(args.input)
         t0 = time.time()
-        res = curate(docs)
+        gates = {}
+        if args.repetition_gate:
+            gates = {"max_dup_line_frac": 0.3, "max_tok_frac": 0.2}
+        res = curate(docs, redact=args.redact, **gates)
         res["corpus"].write.mode("overwrite").parquet(args.output)
         # evaluate the funnel ONCE (4 rows); re-materialize for the
         # metrics sink from the collected rows, not the pipeline

@@ -93,3 +93,27 @@ def test_textstats_total(s):
     assert len(sig) == 3
     h = ts.simhash64(s)
     assert -(1 << 63) <= h < (1 << 63)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_imagehdr_parse_total(payload):
+    """parse_dims must be total on arbitrary bytes (a 100TB scan cannot die
+    on one corrupt blob): never raises, and any result is a positive-dim
+    triple whose format matches the sniff."""
+    from docext_spark.core import imagehdr as ih
+    out = ih.parse_dims(payload)
+    if out is not None:
+        fmt, w, h = out
+        assert fmt in ("png", "jpeg", "gif")
+        assert w > 0 and h > 0
+        assert ih.sniff_format(payload) == fmt
+
+
+@given(st.integers(1, 65535), st.integers(1, 65535), st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_imagehdr_builders_roundtrip(w, h, filler):
+    from docext_spark.core import imagehdr as ih
+    assert ih.parse_dims(ih.make_png(w, h, filler)) == ("png", w, h)
+    assert ih.parse_dims(ih.make_jpeg(w, h, filler)) == ("jpeg", w, h)
+    assert ih.parse_dims(ih.make_gif(w, h, filler)) == ("gif", w, h)
