@@ -179,6 +179,58 @@ def _q6_forecast_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the trimmed synthetic schema — no
+    l_commitdate, so the EXISTS predicate is 'some line shipped >60 days
+    after the order date'): equi-key LEFT SEMI join with an extra non-equi
+    condition, then priority counts. The semi join never duplicates orders
+    however many lines match — the plan property Q4 exists to test."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = ((o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 60)))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("o_orderpriority"))
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def _q12_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape (no l_shipmode in the trimmed schema, so lines are
+    classed by linestatus instead): fact-side join + CASE aggregation —
+    conditional sums computed in ONE pass, map-side partials, no
+    per-class re-scan."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
 _Q6_SQL = """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
 FROM lineitem
@@ -2160,6 +2212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "t_redact_pii": _t_redact_pii,
         "t_repetition": _t_repetition,
+        "q4_order_priority": _q4_order_priority,
+        "q12_priority_class": _q12_priority_class,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2220,6 +2274,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),
         "t_repetition": _REPETITION_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q12_priority_class": _Q12_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

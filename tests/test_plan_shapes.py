@@ -98,3 +98,46 @@ def test_ivf_topk_broadcasts_centroids_and_probed_queries(spark):
     plan = _plan(ivf_topk(emb, q, k=3, n_lists=4, probe=2))
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_planted_skew_join(spark):
+    """Runtime skew posture: a 95%-hot-key fact×dim SortMergeJoin must come
+    out of AQE with the hot partition SPLIT (SortMergeJoin(skew=true)).
+    The probe aggregates over the payload length so column pruning cannot
+    strip the shuffle down to bare keys — a bare-key shuffle has no bytes
+    to be skewed, and AQE would (correctly) just coalesce it."""
+    import re
+
+    # these are runtime SQL confs — set on the shared session, restore after
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1"}
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        pay = F.concat(*[F.sha2(F.concat(F.col("id").cast("string"),
+                                         F.lit(str(i))), 256)
+                         for i in range(4)])
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+             .otherwise(F.col("id") % 1000).alias("k"),
+            pay.alias("v"))
+        dim = spark.range(1000).select(F.col("id").alias("k"),
+                                       F.sha2(F.col("id").cast("string"), 256)
+                                        .alias("dv"))
+        q = (fact.join(dim, "k")
+             .select(F.sum(F.length("v") + F.length("dv")).alias("s")))
+        [row] = q.collect()
+        assert row["s"] == 400_000 * (4 * 64 + 64)  # 4 sha256 hex + 1
+        final = q._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"SortMergeJoin\(skew=true\)", final)
+        assert "skewed" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
