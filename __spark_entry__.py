@@ -980,9 +980,15 @@ WITH norm AS (
 
 
 def _dedup_jaccard(spark, sf_dir):
+    # max_doc_freq=None: this oracle's SQL replays PLAIN Jaccard with no
+    # doc-frequency cap, so the fixture must pin the uncapped path
+    # explicitly — otherwise the operator's default cap would make parity
+    # scale-dependent (green only while no shingle tops 1000 docs).
+    # The capped semantics have their own pair: dedup_jaccard_capped.
     from docext_spark.operators.dedup import jaccard_pairs
     d = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+    return jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                         max_doc_freq=None)
 
 
 _JACCARD_SQL = _SHINGLE_SQL_BASE + """
@@ -1005,7 +1011,9 @@ def _dedup_clusters(spark, sf_dir):
     transitive closure over the same pair list."""
     from docext_spark.operators.dedup import duplicate_clusters, jaccard_pairs
     d = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3)
+    # uncapped explicitly — the recursive-CTE oracle replays uncapped pairs
+    pairs = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
+                          max_doc_freq=None)
     return duplicate_clusters(pairs)
 
 
@@ -1108,9 +1116,13 @@ FROM dsh GROUP BY doc_id
 
 
 def _dedup_lsh_pairs(spark, sf_dir):
+    # max_bucket_size=None explicitly: _LSH_SQL replays uncapped banding,
+    # so this pair must not inherit the operator's default flood guard
+    # (which has its own capped oracle, dedup_lsh_flood_guard)
     from docext_spark.operators.dedup import lsh_candidate_pairs
     d = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4, n=3)
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4,
+                               n=3, max_bucket_size=None)
 
 
 def _dedup_lsh_pairs_fast(spark, sf_dir):
@@ -1121,8 +1133,9 @@ def _dedup_lsh_pairs_fast(spark, sf_dir):
     path a 100TB job would actually run."""
     from docext_spark.operators.dedup import lsh_candidate_pairs
     d = _t(spark, sf_dir, "documents")
+    # uncapped to stay pair-for-pair comparable with dedup_lsh_pairs
     return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=8, bands=4,
-                               n=3, engine="xxhash64")
+                               n=3, engine="xxhash64", max_bucket_size=None)
 
 
 def _dedup_lsh_flood_guard(spark, sf_dir):
@@ -1988,9 +2001,13 @@ def _curate_funnel(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     # persist=False: the harness evaluates the funnel once and has no
     # unpersist hook — staged frames would leak for the session otherwise
+    # max_bucket_size=None: the DuckDB funnel replay has no bucket cap, so
+    # the fixture pins the uncapped path (parity must not depend on no
+    # bucket happening to top 1000 members at a given SF)
     out = curate(d, persist=False,
                  fuzzy_kwargs={"engine": "sha256",
-                               "jaccard_threshold": 0.5})
+                               "jaccard_threshold": 0.5,
+                               "max_bucket_size": None})
     return out["funnel"]
 
 
@@ -2137,8 +2154,8 @@ SELECT * FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 64 queries carry an oracle_sql
-    twin; the 14 overflow pairs (positions 51-64, full-sweep-verified —
+    driver's 50-entry correctness window. 66 queries carry an oracle_sql
+    twin; the 16 overflow pairs (positions 51-66, full-sweep-verified —
     see CORRECTNESS_FULL_r3.md) and the 6 rows-only tail entries are
     checkable any time via tools/check_oracle.py. The rows-only ones are
     genuinely non-SQL-replayable: HLL sketch, perception pUDFs

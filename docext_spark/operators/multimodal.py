@@ -93,11 +93,16 @@ def png_dims_native(payload: Column) -> Column:
     scan-time hot path stays inside whole-stage codegen, no Python worker.
     PNG mandates IHDR first, so width/height are big-endian u32 at fixed
     offsets 16/20 (1-based 17/21). Non-PNG payloads decode to null."""
-    is_png = F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A"
+    # full twin of core.imagehdr.png_dims: signature AND IHDR-first-chunk
+    # AND positive dims — a PNG-signature payload with a junk first chunk
+    # must decode to null, not to whatever u32s sit at the offsets
+    is_png = ((F.hex(F.substring(payload, 1, 8)) == "89504E470D0A1A0A")
+              & (F.hex(F.substring(payload, 13, 4)) == "49484452"))
     def be_u32(pos: int) -> Column:
         return F.conv(F.hex(F.substring(payload, pos, 4)), 16, 10).cast("int")
-    return F.when(is_png, F.struct(be_u32(17).alias("width"),
-                                   be_u32(21).alias("height")))
+    w, h = be_u32(17), be_u32(21)
+    return F.when(is_png & (w > 0) & (h > 0),
+                  F.struct(w.alias("width"), h.alias("height")))
 
 
 def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:

@@ -220,24 +220,47 @@ def farthest_point_centroids(vectors: DataFrame, n_lists: int = 8,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Deterministic kmeans++-style farthest-point init: start from the
-    lowest-id vector, then repeatedly take the vector maximizing the
-    cosine distance to its nearest already-chosen centroid (ties broken by
-    lowest id). Unlike lowest-id init this cannot collapse when low ids
-    are co-located in one region (the adversarial-ordering failure mode).
-    Each selection is one TakeOrderedAndProject job — k-1 passes over the
-    data, driver materializes k rows total; for the k≈8-256 coarse
-    quantizers IVF uses, that is config-scale."""
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("vec"))
-    first = v.orderBy("id").limit(1).collect()[0]
-    cents = [[float(x) for x in first["vec"]]]
+    lowest-id NON-ZERO vector, then repeatedly take the not-yet-chosen
+    vector maximizing the cosine distance to its nearest already-chosen
+    centroid (ties broken by lowest id). Unlike lowest-id init this cannot
+    collapse when low ids are co-located in one region (the
+    adversarial-ordering failure mode).
+
+    Robustness (code-review findings): zero-norm vectors are EXCLUDED —
+    cosine carries no direction for them, a zero seed would sit at
+    distance 1 from everything including itself and the tie-break would
+    re-pick it forever; chosen ids are excluded explicitly so no vector
+    can seed twice. Distances are computed against the BROADCAST
+    chosen-centroid table (no k×dim plan literals). Still O(n_lists)
+    sequential passes — a coarse-quantizer init (k up to a few hundred);
+    for larger k this raises rather than silently running k full scans
+    (use init='lowest' or supply trained centroids). Returns fewer than
+    n_lists centroids if the corpus has fewer distinct non-zero vectors."""
+    if n_lists > 512:
+        raise ValueError(
+            f"farthest-point seeding is {n_lists} sequential corpus passes "
+            "at n_lists=" f"{n_lists} — use init='lowest' or pass "
+            "precomputed centroids for quantizers this large")
+    v = (vectors.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("vec"))
+         .filter(norm(F.col("vec")) > 0))
+    first = v.orderBy("id").limit(1).collect()
+    if not first:
+        raise ValueError("no non-zero vectors to seed from")
+    cents = [[float(x) for x in first[0]["vec"]]]
+    chosen_ids = [first[0]["id"]]
     for _ in range(n_lists - 1):
-        dists = [1 - cosine(F.col("vec"),
-                            F.array(*[F.lit(x) for x in c])) for c in cents]
-        mind = dists[0] if len(dists) == 1 else F.least(*dists)
-        row = (v.select("id", "vec", mind.alias("_d"))
-                .orderBy(F.desc("_d"), "id").limit(1).collect()[0])
-        cents.append([float(x) for x in row["vec"]])
+        cdf = centroids_to_df(vectors.sparkSession, list(enumerate(cents)))
+        rows = (v.filter(~F.col("id").isin(chosen_ids))
+                .crossJoin(F.broadcast(cdf))
+                .groupBy("id", "vec")
+                .agg(F.min(1 - cosine(F.col("vec"), F.col("cvec")))
+                      .alias("_d"))
+                .orderBy(F.desc("_d"), "id").limit(1).collect())
+        if not rows:
+            break
+        cents.append([float(x) for x in rows[0]["vec"]])
+        chosen_ids.append(rows[0]["id"])
     return list(enumerate(cents))
 
 

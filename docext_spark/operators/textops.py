@@ -116,11 +116,23 @@ def word_shingles(col: Column, n: int = 3,
 # phone pattern cannot eat an address's digits; long card/account digit
 # runs before phones for the same reason). RE2-safe (no backrefs /
 # lookaround) so the DuckDB oracle replays them verbatim.
+#
+# The phone pattern is deliberately precision-first — it requires a
+# phone-like ANCHOR (+country prefix, (area) parentheses, or the dashed
+# d3-d3/4-d4 form) rather than "any long digit-ish run": a training corpus
+# is full of dates, decimals, and numeric tables, and an unanchored
+# pattern redacts all of them (measured: '2026-08-16', '3.14159265', and
+# whole number columns became <PHONE> under the naive \+?\d[\d\s().-]{6,}\d
+# form). Unanchored bare numbers are data, not PII.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("number", r"\b[0-9]{12,19}\b", "<NUMBER>"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{6,}[0-9]", "<PHONE>"),
+    ("phone",
+     r"\+[0-9]{1,3}[\s.-]?\(?[0-9]{1,4}\)?([\s.-][0-9]{2,4}){1,3}"
+     r"|\([0-9]{2,4}\)[\s.-]?[0-9]{2,4}([\s.-][0-9]{2,4}){1,2}"
+     r"|\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b",
+     "<PHONE>"),
 )
 
 

@@ -23,16 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docext_spark.operators.dedup import (duplicate_clusters,
+from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
+                                          duplicate_clusters,
                                           jaccard_for_pairs,
                                           lsh_candidate_pairs)
-from docext_spark.operators.textops import (fingerprint, lang_id,
+from docext_spark.operators.textops import (dup_line_frac, fingerprint,
+                                            lang_id, max_token_frac,
                                             quality_score, redact_pii,
                                             token_count)
-
-
-def _redacted(text_col: str):
-    return redact_pii(F.col(text_col))
 
 
 def quality_gate(docs: DataFrame, text_col: str = "text",
@@ -45,10 +43,9 @@ def quality_gate(docs: DataFrame, text_col: str = "text",
     (``max_dup_line_frac`` / ``max_tok_frac``, off by default so the
     pinned funnel oracle is unchanged). Pure native expressions —
     evaluated inside the scan's whole-stage codegen, nothing shuffles."""
-    from docext_spark.operators.textops import dup_line_frac, max_token_frac
-    keep = ((token_count(F.col(text_col)) >= min_tokens)
-            & (F.round(quality_score(F.col(text_col)), 6) >= min_quality)
-            & lang_id(F.col(text_col)).isin(*langs))
+    keep = ((F.col("_n_tokens") >= min_tokens)
+            & (F.col("_quality") >= min_quality)
+            & F.col("_lang").isin(*langs))
     if max_dup_line_frac is not None:
         keep = keep & (dup_line_frac(F.col(text_col)) <= max_dup_line_frac)
     if max_tok_frac is not None:
@@ -77,7 +74,7 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                            num_hashes: int = 8, bands: int = 4,
                            jaccard_threshold: float = 0.5,
                            engine: str = "xxhash64",
-                           max_bucket_size: int | None = 1000,
+                           max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
                            cluster_max_iter: int = 20) -> DataFrame:
     """LSH candidates → exact Jaccard verification FOR THOSE PAIRS ONLY
     (jaccard_for_pairs; the verify cost is O(|candidates|), never a full
@@ -133,8 +130,7 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                                          **(fuzzy_kwargs or {})))
     # PII scrub on the OUTPUT text only (dedup keys must see the original
     # bytes — scrubbing first would alias distinct docs whose PII differs)
-    text_out = (F.col(text_col) if not redact else
-                _redacted(text_col))
+    text_out = redact_pii(F.col(text_col)) if redact else F.col(text_col)
     corpus = fuzzy.select(id_col, text_out.alias(text_col),
                           "_n_tokens", "_quality", "_lang")
     funnel = (docs.select(F.lit("0_input").alias("stage"),

@@ -418,14 +418,17 @@ def test_flood_guards_are_default_on(spark):
 
     import pandas as pd
 
+    from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
+                                              DEFAULT_MAX_DOC_FREQ)
     from docext_spark.plans.curate import fuzzy_dedup_keep_first
 
+    assert DEFAULT_MAX_BUCKET_SIZE == 1000 and DEFAULT_MAX_DOC_FREQ == 1000
     assert inspect.signature(lsh_candidate_pairs) \
-        .parameters["max_bucket_size"].default == 1000
+        .parameters["max_bucket_size"].default is DEFAULT_MAX_BUCKET_SIZE
     assert inspect.signature(jaccard_pairs) \
-        .parameters["max_doc_freq"].default == 1000
+        .parameters["max_doc_freq"].default is DEFAULT_MAX_DOC_FREQ
     assert inspect.signature(fuzzy_dedup_keep_first) \
-        .parameters["max_bucket_size"].default == 1000
+        .parameters["max_bucket_size"].default is DEFAULT_MAX_BUCKET_SIZE
 
     # 3000 docs so EVERY band bucket exceeds the 1000 cap (each doc's
     # distinct 'v{i}' prefix perturbs ~1 of ~28 shingles, so a few percent
@@ -525,3 +528,26 @@ def test_farthest_point_init_survives_adversarial_id_order(spark):
                                                  zip(vec, dirs[b])))
                  for _, vec in low}
     assert low_blobs == {0}
+
+
+def test_farthest_point_skips_zero_vectors_and_never_repicks(spark):
+    """Code-review regression: a zero-norm lowest-id vector sits at cosine
+    distance 1 from everything INCLUDING itself — naive argmax would pick
+    it for every seed and collapse the quantizer. Zero vectors are
+    excluded and chosen ids can't repeat."""
+    from docext_spark.operators.similarity import farthest_point_centroids
+    rows = [(0, [0.0, 0.0, 0.0]),           # zero vector, lowest id
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = farthest_point_centroids(df, n_lists=3)
+    assert len(cents) == 3
+    assert all(any(abs(x) > 0 for x in vec) for _, vec in cents)
+    assert len({tuple(vec) for _, vec in cents}) == 3  # all distinct
+    # corpus smaller than n_lists: returns what exists, never duplicates
+    small = farthest_point_centroids(df, n_lists=8)
+    assert len(small) == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        farthest_point_centroids(df, n_lists=513)

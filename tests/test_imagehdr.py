@@ -76,6 +76,10 @@ def test_png_dims_native_matches_python_decoder(spark):
     rows = [(i, ih.make_png(100 + i * 37, 9000 + i, b"f" * i))
             for i in range(20)]
     rows.append((99, ih.make_jpeg(10, 10)))
+    # malformed-but-PNG-signature payloads must decode to null, matching
+    # the python twin (signature + IHDR + positive-dim checks all enforced)
+    rows.append((98, ih.PNG_SIG + b"\x00" * 16))   # junk first chunk
+    rows.append((97, ih.make_png(0, 10)))          # zero width invalid
     df = spark.createDataFrame(rows, "media_id int, payload binary")
     out = {r["media_id"]: r["d"] for r in
            df.select("media_id",

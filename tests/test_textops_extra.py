@@ -29,6 +29,27 @@ def test_redact_pii_no_false_positives_on_prose(spark):
     assert _one(spark, text, redact_pii) == text
 
 
+def test_redact_pii_preserves_dates_decimals_and_number_tables(spark):
+    """Code-review regression: an unanchored phone pattern ate dates,
+    decimals, and numeric table rows — all of which are DATA in a training
+    corpus. The anchored pattern must leave them alone while still catching
+    +country, (area), and dashed phone forms."""
+    keep = ["released 2026-08-16 deadline",
+            "pi is 3.14159265 exactly",
+            "scores 10 20 30 40 end",
+            "rows 7 2020 2021 2022 done",
+            "ISBN 978-0-13-468599 ok"]
+    for text in keep:
+        assert _one(spark, text, redact_pii) == text, text
+    for text in ["call +44 20 7946 0958 now",
+                 "dial (020) 7946 0958 today",
+                 "fax 555-010-4242 works",
+                 "intl +1 (555) 010-4242 line"]:
+        got = _one(spark, text, redact_pii)
+        assert "<PHONE>" in got, (text, got)
+        assert not any(ch.isdigit() for ch in got), (text, got)
+
+
 def test_repetition_signals(spark):
     assert _one(spark, "a\nb\na\nb", dup_line_frac) == 0.5
     assert _one(spark, "a\nb\nc\nd", dup_line_frac) == 0.0
