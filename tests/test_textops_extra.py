@@ -57,3 +57,21 @@ def test_repetition_signals(spark):
     assert _one(spark, "spam " * 50 + "eggs", repetition_gate) is False
     assert _one(spark, "all tokens here are fully distinct words",
                 repetition_gate) is True
+
+
+def test_redact_pii_is_streaming_safe(spark, tmp_path):
+    """The scrub is a pure projection, so it must run unchanged inside a
+    Structured Streaming query (the ingest-time redaction shape: scrub
+    before anything lands in the lake)."""
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(
+        [(1, "write to a@b.io now"), (2, "clean row")],
+        "doc_id int, text string").coalesce(1).write.parquet(in_dir)
+    stream = (spark.readStream.schema("doc_id int, text string")
+              .parquet(in_dir)
+              .select("doc_id", redact_pii(F.col("text")).alias("text")))
+    (stream.writeStream.format("parquet").option("path", out_dir)
+     .option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {1: "write to <EMAIL> now", 2: "clean row"}
