@@ -894,6 +894,108 @@ FROM m
 """
 
 
+def _sample_split(spark, sf_dir):
+    """Content-addressed train/val split (sampling.split_by_hash): one
+    hash evaluation decides both sides, so membership is disjoint,
+    exhaustive, and rerun-stable. Oracle replays the sha256 unit-interval
+    construction (13 hex chars = 52 bits, exactly double-precise) and pins
+    per-side id-sums — not just counts — so the exact membership set is
+    what's verified."""
+    from docext_spark.operators.sampling import split_by_hash
+    d = _t(spark, sf_dir, "documents")
+    train, val = split_by_hash(d, val_frac=0.1, engine="sha256")
+    def side(df, name):
+        return df.agg(F.lit(name).alias("side"),
+                      F.count(F.lit(1)).alias("n_docs"),
+                      F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"))
+    return side(train, "train").unionByName(side(val, "val"))
+
+
+_SAMPLE_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(sha256('0|' || doc_id), 1, 13))::UBIGINT
+           / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT CASE WHEN u < 0.1 THEN 'val' ELSE 'train' END AS side,
+       count(*) AS n_docs, coalesce(sum(doc_id), 0)::BIGINT AS id_sum
+FROM u GROUP BY 1
+"""
+
+
+def _sample_token_budget(spark, sf_dir):
+    """Token-budget corpus sampling (sampling.sample_to_token_budget):
+    measure total tokens (one map-side-partial aggregate), then keep the
+    content-addressed budget/total fraction — NO global running-total sort
+    (that is a one-task window at 100TB; the fraction form is map-only,
+    accurate to ~1/sqrt(n)). Oracle recomputes the total, the fraction,
+    and the selection hash in SQL."""
+    from docext_spark.operators.sampling import sample_to_token_budget
+    from docext_spark.operators.textops import token_count
+    d = _t(spark, sf_dir, "documents")
+    sel = sample_to_token_budget(d, budget_tokens=8000, engine="sha256")
+    return sel.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.coalesce(F.sum(token_count(F.col("text"))), F.lit(0))
+                    .alias("tokens_selected"),
+                   F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"))
+
+
+_SAMPLE_BUDGET_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+  FROM documents
+), tot AS (SELECT sum(nt) AS total FROM tok),
+sel AS (
+  SELECT doc_id, nt FROM tok, tot
+  WHERE total > 8000
+    AND ('0x' || substr(sha256('0|' || doc_id), 1, 13))::UBIGINT
+        / 4503599627370496.0 < 8000.0 / total
+  UNION ALL
+  SELECT doc_id, nt FROM tok, tot WHERE total <= 8000
+)
+SELECT count(*) AS n_docs,
+       coalesce(sum(nt), 0)::BIGINT AS tokens_selected,
+       coalesce(sum(doc_id), 0)::BIGINT AS id_sum
+FROM sel
+"""
+
+
+def _mixture_sources(spark, sf_dir):
+    """Weighted corpus mixture (sampling.mixture): three sources drawn at
+    fractions 1.0 / 0.5 / 0.25 with independent per-source seeds, tagged
+    with provenance and unioned. Oracle replays each source's seeded draw
+    and pins per-source counts + id-sums."""
+    from docext_spark.operators.sampling import mixture
+    d = _t(spark, sf_dir, "documents")
+    srcs = {name: (d.filter(F.col("source") == name), frac)
+            for name, frac in (("src0", 1.0), ("src1", 0.5),
+                               ("src2", 0.25))}
+    mixed = mixture(srcs, engine="sha256")
+    return (mixed.groupBy("mix_source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
+_MIXTURE_SQL = """
+WITH draws AS (
+  SELECT doc_id, source,
+         ('0x' || substr(sha256(s.seed || '|' || doc_id), 1, 13))::UBIGINT
+           / 4503599627370496.0 AS u,
+         s.frac
+  FROM documents
+  JOIN (VALUES ('src0', '0', 1.0), ('src1', '7919', 0.5),
+               ('src2', '15838', 0.25)) AS s(src, seed, frac)
+    ON source = s.src
+)
+SELECT source AS mix_source, count(*) AS n_docs,
+       sum(doc_id)::BIGINT AS id_sum
+FROM draws WHERE u < frac GROUP BY 1
+"""
+
+
 def _t_quality_filter(spark, sf_dir):
     """C4/Gopher-style training-data filter: keep docs that pass language,
     length, and quality gates — the composite the individual text ops feed."""
@@ -2231,6 +2333,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": _t_repetition,
         "q4_order_priority": _q4_order_priority,
         "q12_priority_class": _q12_priority_class,
+        "sample_split": _sample_split,
+        "sample_token_budget": _sample_token_budget,
+        "mixture_sources": _mixture_sources,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2293,6 +2398,9 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition": _REPETITION_SQL,
         "q4_order_priority": _Q4_SQL,
         "q12_priority_class": _Q12_SQL,
+        "sample_split": _SAMPLE_SPLIT_SQL,
+        "sample_token_budget": _SAMPLE_BUDGET_SQL,
+        "mixture_sources": _MIXTURE_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

@@ -1,0 +1,103 @@
+"""Deterministic sampling / splitting / mixing for training-corpus
+assembly — the last mile after curation: pick WHAT goes into a run.
+
+Everything here is content-addressed (seeded xxhash64 of the id), never
+RNG-state-dependent: the same document lands on the same side of every
+split on every run, on any cluster size, under any partitioning — the
+property that makes train/val splits reproducible and leakage-auditable
+at 100TB. All map-only native expressions except the one aggregate that
+measures corpus size for budget targeting.
+
+The reference has no sampling surface (single-document tool); this is
+part of the beyond-parity training-data family (SURVEY §2 extras).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# xxhash64 returns a signed 64-bit long; shifting into [0, 1) needs the
+# unsigned reading of it
+_U64 = float(1 << 64)
+_HALF = float(1 << 63)
+_HEX13 = float(1 << 52)  # 13 hex digits = 52 bits, exactly double-precise
+
+
+def hash_unit(col, seed: int = 0, engine: str = "xxhash64"):
+    """Deterministic uniform-ish u ∈ [0, 1) from a column value. The same
+    (value, seed) always yields the same u — sampling by `u < p` is a
+    content-addressed Bernoulli draw.
+
+    engine='xxhash64' (production): native seeded XXH64 mapped from signed
+    int64 to the unit interval — the 100TB path. engine='sha256' (oracle):
+    13 hex chars (52 bits, exactly representable in a double) of
+    sha256('{seed}|{value}') — replayable verbatim in DuckDB, same dual-
+    engine pattern as minhash_component."""
+    if engine == "xxhash64":
+        h = F.xxhash64(F.lit(seed), col)
+        return (h.cast("double") + _HALF) / _U64
+    if engine != "sha256":
+        raise ValueError(f"unknown hash_unit engine: {engine!r}")
+    digest = F.sha2(F.concat_ws("|", F.lit(str(seed)),
+                                col.cast("string")), 256)
+    return F.conv(F.substring(digest, 1, 13), 16, 10).cast("double") / _HEX13
+
+
+def sample_fraction(df: DataFrame, p: float, id_col: str = "doc_id",
+                    seed: int = 0, engine: str = "xxhash64") -> DataFrame:
+    """Keep a deterministic p-fraction by id hash. Unlike df.sample(),
+    membership is a pure function of (id, seed): stable across reruns,
+    repartitions, and cluster sizes, and two samples with the same seed
+    NEST (p1 ⊂ p2 when p1 ≤ p2) — so growing a subsample never churns
+    the previously selected set."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {p}")
+    return df.filter(hash_unit(F.col(id_col), seed, engine) < p)
+
+
+def split_by_hash(df: DataFrame, val_frac: float = 0.01,
+                  id_col: str = "doc_id", seed: int = 0,
+                  engine: str = "xxhash64") -> tuple[DataFrame, DataFrame]:
+    """(train, val) with disjoint, exhaustive, content-addressed
+    membership — one hash evaluation decides both sides, so no document
+    can leak across the boundary between runs."""
+    u = hash_unit(F.col(id_col), seed, engine)
+    return df.filter(u >= val_frac), df.filter(u < val_frac)
+
+
+def sample_to_token_budget(df: DataFrame, budget_tokens: int,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           seed: int = 0,
+                           engine: str = "xxhash64") -> DataFrame:
+    """Approximately ``budget_tokens`` worth of documents, chosen by the
+    content-addressed fraction budget/total. Two passes: one aggregate to
+    measure the corpus (map-side partial sum, one scalar to the driver),
+    then a map-only hash filter — NO global sort / running-total window
+    (an exact running-total cut is a single-partition window over the
+    whole corpus, which at 100TB funnels everything through one task;
+    the fraction form is the scale-safe shape, accurate to sampling noise
+    ~1/sqrt(n_docs))."""
+    from docext_spark.operators.textops import token_count
+    total = df.agg(F.sum(token_count(F.col(text_col)))).first()[0] or 0
+    if total <= budget_tokens:
+        return df
+    return sample_fraction(df, budget_tokens / total, id_col, seed, engine)
+
+
+def mixture(sources: dict[str, tuple[DataFrame, float]],
+            id_col: str = "doc_id", seed: int = 0,
+            engine: str = "xxhash64") -> DataFrame:
+    """Weighted corpus mixture: for each named source, keep the given
+    fraction (content-addressed, per-source seed offset so the same id
+    appearing in two corpora draws independently), tag provenance, and
+    union. weights are FRACTIONS of each source (0..1], not relative
+    ratios — callers that want ratio semantics normalize first."""
+    out = None
+    for i, (name, (df, frac)) in enumerate(sorted(sources.items())):
+        part = (sample_fraction(df, frac, id_col, seed + 7919 * i, engine)
+                .withColumn("mix_source", F.lit(name)))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError("mixture() needs at least one source")
+    return out
