@@ -2256,8 +2256,8 @@ SELECT * FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 66 queries carry an oracle_sql
-    twin; the 16 overflow pairs (positions 51-66, full-sweep-verified —
+    driver's 50-entry correctness window. 69 queries carry an oracle_sql
+    twin; the 19 overflow pairs (positions 51-69, full-sweep-verified —
     see CORRECTNESS_FULL_r3.md) and the 6 rows-only tail entries are
     checkable any time via tools/check_oracle.py. The rows-only ones are
     genuinely non-SQL-replayable: HLL sketch, perception pUDFs

@@ -173,6 +173,27 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return sh.groupBy("id").agg(*aggs)
 
 
+def lsh_plan(threshold: float, num_hashes: int = 16) -> dict:
+    """Pick (bands, rows) for a target Jaccard threshold: a pair with
+    similarity s collides with probability 1-(1-s^r)^b, an S-curve whose
+    inflection sits near (1/b)^(1/r) — choose the divisor pair of
+    num_hashes whose curve threshold is closest to the target (the
+    standard MinHash-LSH tuning rule; see Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets §3.4). Pure driver-side arithmetic."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        t = (1.0 / b) ** (1.0 / r)
+        if best is None or abs(t - threshold) < abs(best[2] - threshold):
+            best = (b, r, t)
+    return {"bands": best[0], "rows_per_band": best[1],
+            "curve_threshold": round(best[2], 4)}
+
+
 def lsh_banded(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", num_hashes: int = 16,
                bands: int = 4, n: int = 3,

@@ -551,3 +551,19 @@ def test_farthest_point_skips_zero_vectors_and_never_repicks(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         farthest_point_centroids(df, n_lists=513)
+
+
+def test_lsh_plan_picks_curve_matched_bands():
+    """Standard MMDS tuning rule: the chosen (bands, rows) divisor pair's
+    S-curve threshold (1/b)^(1/r) must be the closest to the target."""
+    from docext_spark.operators.dedup import lsh_plan
+    p = lsh_plan(0.5, num_hashes=16)
+    assert (p["bands"], p["rows_per_band"]) == (8, 2)   # t=0.354 beats 0.707
+    p = lsh_plan(0.8, num_hashes=16)
+    assert (p["bands"], p["rows_per_band"]) == (4, 4)   # t=0.707
+    p = lsh_plan(0.95, num_hashes=16)
+    assert (p["bands"], p["rows_per_band"]) == (2, 8)   # t=0.917
+    assert lsh_plan(0.5, 8)["bands"] * lsh_plan(0.5, 8)["rows_per_band"] == 8
+    import pytest as _p
+    with _p.raises(ValueError):
+        lsh_plan(1.5)
