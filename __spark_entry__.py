@@ -908,13 +908,17 @@ def _sample_split(spark, sf_dir):
         return df.agg(F.lit(name).alias("side"),
                       F.count(F.lit(1)).alias("n_docs"),
                       F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum"))
-    return side(train, "train").unionByName(side(val, "val"))
+    # drop empty sides: the oracle's GROUP BY emits only non-empty groups,
+    # and a per-side agg on an empty frame still yields one zero row
+    return (side(train, "train").unionByName(side(val, "val"))
+            .filter(F.col("n_docs") > 0))
 
 
 _SAMPLE_SPLIT_SQL = """
 WITH u AS (
   SELECT doc_id,
-         ('0x' || substr(sha256('0|' || doc_id), 1, 13))::UBIGINT
+         ('0x' || substr(sha256('0|' || coalesce(doc_id::VARCHAR, '')),
+                         1, 13))::UBIGINT
            / 4503599627370496.0 AS u
   FROM documents
 )
@@ -951,7 +955,8 @@ WITH tok AS (
 sel AS (
   SELECT doc_id, nt FROM tok, tot
   WHERE total > 8000
-    AND ('0x' || substr(sha256('0|' || doc_id), 1, 13))::UBIGINT
+    AND ('0x' || substr(sha256('0|' || coalesce(doc_id::VARCHAR, '')),
+                        1, 13))::UBIGINT
         / 4503599627370496.0 < 8000.0 / total
   UNION ALL
   SELECT doc_id, nt FROM tok, tot WHERE total <= 8000
@@ -979,15 +984,23 @@ def _mixture_sources(spark, sf_dir):
                  F.sum("doc_id").alias("id_sum")))
 
 
-_MIXTURE_SQL = """
+def _mixture_sql():
+    # seeds come from the SAME name-derived helper the operator uses, so
+    # the oracle cannot drift from the seeding scheme
+    from docext_spark.operators.sampling import source_seed
+    values = ", ".join(
+        f"('{name}', '{source_seed(name)}', {frac})"
+        for name, frac in (("src0", 1.0), ("src1", 0.5), ("src2", 0.25)))
+    return f"""
 WITH draws AS (
   SELECT doc_id, source,
-         ('0x' || substr(sha256(s.seed || '|' || doc_id), 1, 13))::UBIGINT
+         ('0x' || substr(sha256(s.seed || '|'
+                                || coalesce(doc_id::VARCHAR, '')),
+                         1, 13))::UBIGINT
            / 4503599627370496.0 AS u,
          s.frac
   FROM documents
-  JOIN (VALUES ('src0', '0', 1.0), ('src1', '7919', 0.5),
-               ('src2', '15838', 0.25)) AS s(src, seed, frac)
+  JOIN (VALUES {values}) AS s(src, seed, frac)
     ON source = s.src
 )
 SELECT source AS mix_source, count(*) AS n_docs,
@@ -2400,7 +2413,7 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_class": _Q12_SQL,
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_token_budget": _SAMPLE_BUDGET_SQL,
-        "mixture_sources": _MIXTURE_SQL,
+        "mixture_sources": _mixture_sql(),
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,

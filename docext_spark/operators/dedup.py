@@ -182,6 +182,8 @@ def lsh_plan(threshold: float, num_hashes: int = 16) -> dict:
     Mining of Massive Datasets §3.4). Pure driver-side arithmetic."""
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     best = None
     for b in range(1, num_hashes + 1):
         if num_hashes % b:

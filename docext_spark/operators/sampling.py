@@ -16,30 +16,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# xxhash64 returns a signed 64-bit long; shifting into [0, 1) needs the
-# unsigned reading of it
-_U64 = float(1 << 64)
-_HALF = float(1 << 63)
 _HEX13 = float(1 << 52)  # 13 hex digits = 52 bits, exactly double-precise
 
 
 def hash_unit(col, seed: int = 0, engine: str = "xxhash64"):
     """Deterministic uniform-ish u ∈ [0, 1) from a column value. The same
     (value, seed) always yields the same u — sampling by `u < p` is a
-    content-addressed Bernoulli draw.
+    content-addressed Bernoulli draw. Corollary the caller must own: rows
+    sharing an id (duplicates, or all-NULL ids) share ONE draw — they land
+    entirely in or entirely out. That is the point for dedup-stable
+    sampling; it means ids should be unique and non-null.
 
-    engine='xxhash64' (production): native seeded XXH64 mapped from signed
-    int64 to the unit interval — the 100TB path. engine='sha256' (oracle):
-    13 hex chars (52 bits, exactly representable in a double) of
-    sha256('{seed}|{value}') — replayable verbatim in DuckDB, same dual-
-    engine pattern as minhash_component."""
+    engine='xxhash64' (production): native seeded XXH64, top 52 bits
+    shifted into the unit interval (52 bits are exactly double-precise, so
+    u < 1.0 strictly — a raw 64-bit cast rounds values near 2^63 UP and
+    can emit exactly 1.0, which would drop rows at fraction 1.0).
+    engine='sha256' (oracle): 13 hex chars (52 bits) of
+    sha256('{seed}|{value}'), NULL value hashed as '' — replayable
+    verbatim in DuckDB via coalesce, same dual-engine pattern as
+    minhash_component."""
     if engine == "xxhash64":
-        h = F.xxhash64(F.lit(seed), col)
-        return (h.cast("double") + _HALF) / _U64
+        h = F.shiftright(F.xxhash64(F.lit(seed), col), 12)  # 52 exact bits
+        return (h.cast("double") + _HEX13 / 2) / _HEX13
     if engine != "sha256":
         raise ValueError(f"unknown hash_unit engine: {engine!r}")
-    digest = F.sha2(F.concat_ws("|", F.lit(str(seed)),
-                                col.cast("string")), 256)
+    # concat (not concat_ws): concat_ws silently DROPS null inputs, giving
+    # '0' where the SQL twin's '0|' || coalesce(id, '') gives '0|'
+    digest = F.sha2(F.concat(F.lit(f"{seed}|"),
+                             F.coalesce(col.cast("string"), F.lit(""))), 256)
     return F.conv(F.substring(digest, 1, 13), 16, 10).cast("double") / _HEX13
 
 
@@ -61,6 +65,9 @@ def split_by_hash(df: DataFrame, val_frac: float = 0.01,
     """(train, val) with disjoint, exhaustive, content-addressed
     membership — one hash evaluation decides both sides, so no document
     can leak across the boundary between runs."""
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0,1], got {val_frac} "
+                         "(a fraction, not a percentage)")
     u = hash_unit(F.col(id_col), seed, engine)
     return df.filter(u >= val_frac), df.filter(u < val_frac)
 
@@ -77,25 +84,43 @@ def sample_to_token_budget(df: DataFrame, budget_tokens: int,
     (an exact running-total cut is a single-partition window over the
     whole corpus, which at 100TB funnels everything through one task;
     the fraction form is the scale-safe shape, accurate to sampling noise
-    ~1/sqrt(n_docs))."""
+    ~1/sqrt(n_docs)). Fully LAZY: the total rides along as a broadcast
+    scalar inside the plan, so building the DataFrame triggers no job
+    (every queries() entry is a side-effect-free plan builder)."""
     from docext_spark.operators.textops import token_count
-    total = df.agg(F.sum(token_count(F.col(text_col)))).first()[0] or 0
-    if total <= budget_tokens:
-        return df
-    return sample_fraction(df, budget_tokens / total, id_col, seed, engine)
+    total_df = df.agg(F.coalesce(F.sum(token_count(F.col(text_col))),
+                                 F.lit(0)).alias("_total_tokens"))
+    u = hash_unit(F.col(id_col), seed, engine)
+    keep = ((F.col("_total_tokens") <= budget_tokens)
+            | (u < F.lit(float(budget_tokens)) / F.col("_total_tokens")))
+    return (df.crossJoin(F.broadcast(total_df))
+            .filter(keep)
+            .drop("_total_tokens"))
+
+
+def source_seed(name: str, seed: int = 0) -> int:
+    """Per-source draw seed derived from the source NAME (stable 32-bit
+    sha256 prefix), never from its position: adding, removing, or renaming
+    one source must not reshuffle any OTHER source's sampled set — the
+    rerun-stability/leakage-audit property the module exists for."""
+    import hashlib
+    return seed + int(hashlib.sha256(name.encode()).hexdigest()[:8], 16)
 
 
 def mixture(sources: dict[str, tuple[DataFrame, float]],
             id_col: str = "doc_id", seed: int = 0,
             engine: str = "xxhash64") -> DataFrame:
     """Weighted corpus mixture: for each named source, keep the given
-    fraction (content-addressed, per-source seed offset so the same id
-    appearing in two corpora draws independently), tag provenance, and
-    union. weights are FRACTIONS of each source (0..1], not relative
-    ratios — callers that want ratio semantics normalize first."""
+    fraction (content-addressed, name-derived per-source seed so the same
+    id appearing in two corpora draws independently AND each source's
+    selection is invariant to what other sources are in the mix), tag
+    provenance, and union. weights are FRACTIONS of each source (0..1],
+    not relative ratios — callers that want ratio semantics normalize
+    first."""
     out = None
-    for i, (name, (df, frac)) in enumerate(sorted(sources.items())):
-        part = (sample_fraction(df, frac, id_col, seed + 7919 * i, engine)
+    for name, (df, frac) in sorted(sources.items()):
+        part = (sample_fraction(df, frac, id_col, source_seed(name, seed),
+                                engine)
                 .withColumn("mix_source", F.lit(name)))
         out = part if out is None else out.unionByName(part)
     if out is None:

@@ -70,3 +70,24 @@ def test_hash_unit_in_range(docs):
             F.max(hash_unit(F.col("doc_id"), engine=engine)).alias("hi")
         ).collect()[0]
         assert 0.0 <= row["lo"] and row["hi"] < 1.0
+
+
+def test_mixture_selection_invariant_to_other_sources(spark, docs):
+    """Code-review regression: per-source seeds derive from the source
+    NAME, so adding a corpus to the mix must not reshuffle any existing
+    source's sampled set (cross-run leakage audits depend on it)."""
+    a = docs.filter(F.col("doc_id") < 1000)
+    b = docs.filter(F.col("doc_id") >= 1000)
+    only_a = {r["doc_id"] for r in
+              mixture({"alpha": (a, 0.4)}).collect()}
+    with_b = {r["doc_id"] for r in
+              mixture({"alpha": (a, 0.4), "beta": (b, 0.5)})
+              .filter(F.col("mix_source") == "alpha").collect()}
+    assert only_a == with_b
+
+
+def test_sample_fraction_one_keeps_everything(docs):
+    """u must be strictly < 1.0 so fraction 1.0 means keep-all (a raw
+    64-bit double cast can round to exactly 1.0 for hashes near 2^63)."""
+    for engine in ("xxhash64", "sha256"):
+        assert sample_fraction(docs, 1.0, engine=engine).count() == 2000
