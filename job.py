@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--repetition-gate", action="store_true",
                     help="curate mode: add Gopher repetition gates to the "
                          "quality stage (dup-line frac 0.3, top-token frac 0.2)")
+    ap.add_argument("--token-budget", type=int, default=0,
+                    help="curate mode: content-addressed sample of the "
+                         "curated corpus down to ~N tokens (0 = keep all)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,7 +63,11 @@ def main():
         if args.repetition_gate:
             gates = {"max_dup_line_frac": 0.3, "max_tok_frac": 0.2}
         res = curate(docs, redact=args.redact, **gates)
-        res["corpus"].write.mode("overwrite").parquet(args.output)
+        corpus = res["corpus"]
+        if args.token_budget:
+            from docext_spark.operators.sampling import sample_to_token_budget
+            corpus = sample_to_token_budget(corpus, args.token_budget)
+        corpus.write.mode("overwrite").parquet(args.output)
         # evaluate the funnel ONCE (4 rows); re-materialize for the
         # metrics sink from the collected rows, not the pipeline
         funnel_rows = res["funnel"].collect()
