@@ -2105,6 +2105,31 @@ SELECT media_id, kind, format, width, height, n_bytes, f0 FROM parsed
 """
 
 
+def _frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plumbing (multimodal.frame_sample_plan):
+    planted videos with id-derived durations explode to one row per
+    planned frame timestamp (native sequence; the pixel decode is the
+    honestly-stubbed step). Oracle replays the arithmetic with
+    generate_series — including the duration-0 edge (one frame at t=0)."""
+    from docext_spark.operators.multimodal import frame_sample_plan
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("video/mp4").alias("mime"),
+        # durations 0..39.8s in 200ms steps; doc_id 0 is the 0-duration edge
+        ((F.col("doc_id") % 200) * 200).cast("int").alias("duration_ms"))
+    return frame_sample_plan(media, every_ms=1000)
+
+
+_FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id, unnest(generate_series(
+         0, greatest((doc_id % 200) * 200 - 1, 0), 1000)) AS frame_ts_ms,
+       'video/mp4' AS mime
+FROM documents WHERE doc_id < 200
+"""
+
+
 def _curate_funnel(spark, sf_dir):
     """End-to-end corpus-curation survivorship funnel: quality gate →
     exact dedup (keep lowest id) → fuzzy dedup (LSH candidates → jaccard
@@ -2269,8 +2294,8 @@ SELECT * FROM (VALUES
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 69 queries carry an oracle_sql
-    twin; the 19 overflow pairs (positions 51-69, full-sweep-verified —
+    driver's 50-entry correctness window. 70 queries carry an oracle_sql
+    twin; the 20 overflow pairs (positions 51-70, full-sweep-verified —
     see CORRECTNESS_FULL_r3.md) and the 6 rows-only tail entries are
     checkable any time via tools/check_oracle.py. The rows-only ones are
     genuinely non-SQL-replayable: HLL sketch, perception pUDFs
@@ -2349,6 +2374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": _sample_split,
         "sample_token_budget": _sample_token_budget,
         "mixture_sources": _mixture_sources,
+        "frame_sample_plan": _frame_sample_plan,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2414,6 +2440,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_token_budget": _SAMPLE_BUDGET_SQL,
         "mixture_sources": _mixture_sql(),
+        "frame_sample_plan": _FRAME_SAMPLE_SQL,
         "dedup_cosine_pairs": _COSDUP_SQL,
         "dedup_cosine_lsh": _COSDUP_SQL,
         "idp_benchmark_matrix": _IDP_GOLDEN_SQL,
