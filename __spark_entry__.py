@@ -1964,7 +1964,9 @@ def _dedup_winnow_pairs(spark, sf_dir):
     set, and the pair counts depend only on the set."""
     from docext_spark.operators.dedup import winnow_overlap_pairs
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return winnow_overlap_pairs(d, min_shared=2)
+    # explicit None pins the UNCAPPED fingerprint-join semantics (the
+    # default doc-freq cap is covered by dedup_winnow_flood_guard)
+    return winnow_overlap_pairs(d, min_shared=2, max_doc_freq=None)
 
 
 def _winnow_sql(k: int = 8, window: int = 4) -> str:
@@ -1997,6 +1999,208 @@ WITH norm AS (
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+# one synthetic boilerplate string, byte-identical across the whole flood:
+# raw feeds (no exact-dedup upstream) hit the auxiliary candidate
+# generators with exactly this shape, and every fingerprint/bucket it
+# produces must blow past the default cap
+_WINNOW_TPL = ("standard mirror boilerplate footer all rights reserved "
+               "worldwide on every mirrored page")
+
+
+def _dedup_winnow_flood_guard(spark, sf_dir):
+    """Planted fingerprint flood vs winnow_overlap_pairs' DEFAULT config:
+    1200 byte-identical boilerplate docs give every template fingerprint a
+    document frequency of 1200 > the default max_doc_freq=1000, so an
+    uncapped join would put ~720k candidate pairs on EACH hot fingerprint
+    (~10^7 joined rows from one template — quadratic in flood size). With
+    the default cap the hot fingerprints are broadcast-anti-joined out:
+    zero flood pairs survive, the base corpus' genuine overlap pairs are
+    untouched, and the dropped pair mass is reported. Oracle replays the
+    rolling-hash fingerprinting, the doc-freq cap, and both stat
+    aggregates in DuckDB."""
+    from docext_spark.operators.dedup import (hot_keys,
+                                              winnow_fingerprint_table,
+                                              winnow_overlap_pairs)
+    base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+            .select("doc_id", "text"))
+    flood = (spark.range(1200)
+             .select((F.col("id") + 1000000).alias("doc_id"),
+                     F.lit(_WINNOW_TPL).alias("text")))
+    docs = base.unionByName(flood)
+    # DEFAULT config: no max_doc_freq argument — the guard must engage on
+    # its own (the whole point of this query)
+    pairs = winnow_overlap_pairs(docs, min_shared=2)
+    hot = hot_keys(winnow_fingerprint_table(docs), ["fp"], 1000)
+    hot_stats = hot.agg(
+        F.count(F.lit(1)).alias("n_hot_fps"),
+        F.coalesce(F.sum(F.expr("n_refs * (n_refs - 1) div 2")), F.lit(0))
+         .cast("long").alias("n_fp_pairs_dropped"))
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_kept"),
+        F.coalesce(F.sum(((F.col("id_a") >= 1000000)
+                          & (F.col("id_b") >= 1000000)).cast("long")),
+                   F.lit(0)).alias("n_flood_pairs_kept"))
+    return pair_stats.crossJoin(hot_stats)
+
+
+def _winnow_flood_sql(k: int = 8, window: int = 4) -> str:
+    mod = (1 << 61) - 1
+    poly = " + ".join(
+        f"unicode(substr(n, i+{j}, 1))::HUGEINT * {257 ** (k - 1 - j)}"
+        for j in range(k))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 1000000 + i AS doc_id, '{_WINNOW_TPL}' AS text
+  FROM generate_series(0, 1199) s(i)
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')) AS n
+  FROM docs
+), pos AS (
+  SELECT doc_id, n, unnest(generate_series(1, len(n) - {k - 1})) AS i
+  FROM norm WHERE len(n) >= {k}
+), grams AS (
+  SELECT doc_id, i, (({poly}) % {mod})::BIGINT AS h FROM pos
+), wmin AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, m AS fp
+  FROM wmin WHERE nh > {window} AND i <= nh - {window - 1}
+  UNION
+  SELECT doc_id, min(h) AS fp FROM grams
+  GROUP BY doc_id HAVING count(*) <= {window}
+), dfs AS (
+  SELECT fp, count(*) AS n_refs FROM fps GROUP BY fp
+), hot AS (
+  SELECT fp, n_refs FROM dfs WHERE n_refs > 1000
+), kept AS (
+  SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h ON f.fp = h.fp
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), hot_stats AS (
+  SELECT count(*) AS n_hot_fps,
+         coalesce(sum(n_refs * (n_refs - 1) // 2), 0)::BIGINT
+           AS n_fp_pairs_dropped
+  FROM hot
+), pair_stats AS (
+  SELECT count(*) AS n_pairs_kept,
+         coalesce(sum(CASE WHEN id_a >= 1000000 AND id_b >= 1000000
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_flood_pairs_kept
+  FROM pairs
+)
+SELECT n_pairs_kept, n_flood_pairs_kept, n_hot_fps, n_fp_pairs_dropped
+FROM pair_stats, hot_stats
+"""
+
+
+_SIMHASH_TPL = ("mirrored boilerplate navigation header repeated verbatim "
+                "across every page of the mirrored site")
+
+
+def _simhash_flood_guard(spark, sf_dir):
+    """Planted band-bucket flood vs simhash_near_dups' DEFAULT config:
+    1500 byte-identical boilerplate docs share one 64-bit signature, so
+    every one of the 4 hamming bands holds a 1500-member bucket —
+    uncapped, that is 4 × 1500²/2 ≈ 4.5M joined rows collapsing onto four
+    keys. With the default max_bucket_size=1000 the hot buckets are
+    broadcast-anti-joined out: zero flood pairs survive, the base corpus'
+    chance band collisions are untouched, and the dropped pair mass is
+    reported. Oracle replays the md5 bit-vote simhash, the band split,
+    the cap, and both stat aggregates in DuckDB."""
+    from docext_spark.operators.dedup import (hot_keys, simhash_banded,
+                                              simhash_near_dups)
+    base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+            .select("doc_id", "text"))
+    flood = (spark.range(1500)
+             .select((F.col("id") + 1000000).alias("doc_id"),
+                     F.lit(_SIMHASH_TPL).alias("text")))
+    docs = base.unionByName(flood)
+    # DEFAULT config: no max_bucket_size argument — the guard must engage
+    # on its own
+    pairs = simhash_near_dups(docs)
+    hot = hot_keys(simhash_banded(docs), ["band", "key"], 1000)
+    hot_stats = hot.agg(
+        F.count(F.lit(1)).alias("n_hot_buckets"),
+        F.coalesce(F.sum(F.expr("n_refs * (n_refs - 1) div 2")), F.lit(0))
+         .cast("long").alias("n_bucket_pairs_dropped"))
+    pair_stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_kept"),
+        F.coalesce(F.sum(((F.col("id_a") >= 1000000)
+                          & (F.col("id_b") >= 1000000)).cast("long")),
+                   F.lit(0)).alias("n_flood_pairs_kept"))
+    return pair_stats.crossJoin(hot_stats)
+
+
+def _simhash_flood_sql():
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64))
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::HUGEINT << {b}) ELSE 0 END)"
+        for b in range(64))
+    # band keys are derived from the UNSIGNED u as (u >> 16b) & 0xffff —
+    # bit-identical grouping to Spark's signed mask sim & (0xffff << 16b)
+    # (two's complement preserves the bit pattern); key VALUES never appear
+    # in the output, only the grouping must match
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT 1000000 + i AS doc_id, '{_SIMHASH_TPL}' AS text
+  FROM generate_series(0, 1499) s(i)
+), norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')) AS n
+  FROM docs
+), toks AS (
+  SELECT doc_id, unnest(string_split(n, ' ')) AS tok FROM norm WHERE n <> ''
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+), voted AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, ({bits}) AS u FROM voted
+), allsims AS (
+  SELECT d.doc_id, coalesce(u, 0::HUGEINT)::UBIGINT AS u
+  FROM docs d LEFT JOIN sims USING (doc_id)
+), banded AS (
+  SELECT doc_id, band, ((u >> (band * 16)) & 65535)::BIGINT AS key
+  FROM allsims, (SELECT unnest(generate_series(0, 3)) AS band) b
+), szs AS (
+  SELECT band, key, count(*) AS n_refs FROM banded GROUP BY band, key
+), hot AS (
+  SELECT band, key, n_refs FROM szs WHERE n_refs > 1000
+), kept AS (
+  SELECT x.doc_id, x.band, x.key FROM banded x
+  ANTI JOIN hot h ON x.band = h.band AND x.key = h.key
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+), hot_stats AS (
+  SELECT count(*) AS n_hot_buckets,
+         coalesce(sum(n_refs * (n_refs - 1) // 2), 0)::BIGINT
+           AS n_bucket_pairs_dropped
+  FROM hot
+), pair_stats AS (
+  SELECT count(*) AS n_pairs_kept,
+         coalesce(sum(CASE WHEN id_a >= 1000000 AND id_b >= 1000000
+                           THEN 1 ELSE 0 END), 0)::BIGINT AS n_flood_pairs_kept
+  FROM pairs
+)
+SELECT n_pairs_kept, n_flood_pairs_kept, n_hot_buckets, n_bucket_pairs_dropped
+FROM pair_stats, hot_stats
 """
 
 
@@ -2127,6 +2331,94 @@ SELECT doc_id AS media_id, unnest(generate_series(
          0, greatest((doc_id % 200) * 200 - 1, 0), 1000)) AS frame_ts_ms,
        'video/mp4' AS mime
 FROM documents WHERE doc_id < 200
+"""
+
+
+def _image_resample_pixels(spark, sf_dir):
+    """REAL PNG pixel decode + nearest-neighbor resample (the round-3
+    'what's missing' #1 closed): payloads are complete zlib-decodable RGB
+    PNGs BUILT FROM NATIVE EXPRESSIONS (stored-block IDAT, native adler32,
+    None/Sub/Up scanline filters cycling by row — multimodal.
+    png_rgb_fixture_hex), then DECODED FOR REAL in mapInPandas (stdlib
+    zlib inflate + per-filter unfiltering + integer-floor NN resample —
+    core/pngpix.py) and featurized from the decoded samples. The oracle
+    replays the pixel generator v(x,y,c) = (7x+13y+29c+3·id) mod 256, the
+    resize-bound double math, the src=dst·dim//dim index map, the
+    position-weighted checksum, and the <32 histogram bin analytically —
+    if any stage of the decode (inflate, unfilter, resample, featurize) is
+    wrong, the checksums cannot match."""
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   png_rgb_fixture_hex,
+                                                   resample_images)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    width = (F.lit(3) + F.col("doc_id") % 14).cast("int")      # 3..16
+    height = (F.lit(2) + (F.col("doc_id") * 7) % 13).cast("int")  # 2..14
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(png_rgb_fixture_hex(F.col("doc_id"), width, height))
+         .alias("payload"))
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        # f32 storage cast back to double before the 6dp round (same
+        # pattern as multimodal_features)
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_RESAMPLE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         (3 + doc_id % 14)::INT AS w,
+         (2 + (doc_id * 7) % 13)::INT AS h
+  FROM documents WHERE doc_id < 120
+), bounded AS (
+  -- the never-upscale longest-side bound, double math as in the engine
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 8
+              THEN floor(w * (8.0 / greatest(w, h)))::INT ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 8
+              THEN floor(h * (8.0 / greatest(w, h)))::INT ELSE h END AS nh
+  FROM dims
+), out_samples AS (
+  SELECT media_id, w, h, nw, nh,
+         unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+  FROM bounded
+), out_vals AS (
+  -- flat index -> (x, y, c) -> NN source pixel -> generator value
+  SELECT media_id, i,
+         ((((((i // 3) % nw) * w) // nw) * 7
+           + (((i // (nw * 3)) * h) // nh) * 13
+           + (i % 3) * 29 + media_id * 3) % 256) AS v
+  FROM out_samples
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         ((((i // 3) % w) * 7 + (i // (w * 3)) * 13
+           + (i % 3) * 29 + media_id * 3) % 256) AS v
+  FROM (SELECT media_id, w, h,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  -- histogram bin 0 of the DECODED pixels: fraction of samples < 32
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'png' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
@@ -2375,6 +2667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": _sample_token_budget,
         "mixture_sources": _mixture_sources,
         "frame_sample_plan": _frame_sample_plan,
+        "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
+        "simhash_flood_guard": _simhash_flood_guard,
+        "image_resample_pixels": _image_resample_pixels,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2432,6 +2727,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": _simhash_sql(),
         "dedup_winnow_pairs": _winnow_sql(),
         "dedup_lsh_flood_guard": _LSH_FLOOD_SQL,
+        "dedup_winnow_flood_guard": _winnow_flood_sql(),
+        "simhash_flood_guard": _simhash_flood_sql(),
+        "image_resample_pixels": _RESAMPLE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),
         "t_repetition": _REPETITION_SQL,

@@ -50,19 +50,33 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
          .alias("shingle"))
 
 
-def capped_shingle_table(sh: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+def hot_keys(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Keys whose row count exceeds ``cap``, with the count — the shared
+    observability + guard primitive for every quadratic candidate join in
+    this module (hot shingles, hot LSH buckets, hot winnow fingerprints,
+    hot simhash bands). Exposed so the default caps are AUDITABLE, not
+    silent: callers can count what a cap dropped with the exact grouping
+    the cap used (ADVICE r3 — a silent default cap changes reported
+    similarity values with no runtime signal)."""
+    return (df.groupBy(*key_cols)
+              .agg(F.count(F.lit(1)).alias("n_refs"))
+              .filter(F.col("n_refs") > cap))
 
-    The hot set (boilerplate headers, stop-phrase n-grams) is by definition
-    tiny relative to the shingle vocabulary, so it is broadcast into a
-    left_anti join — no shuffle of the big shingle table on the filter.
-    Without this cap one ubiquitous shingle is a quadratic candidate bucket
-    at 100TB (a shingle in 1M docs → 5·10^11 candidate pairs)."""
-    hot = (sh.groupBy("shingle")
-             .agg(F.count(F.lit(1)).alias("df"))
-             .filter(F.col("df") > max_doc_freq)
-             .select("shingle"))
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+def _drop_hot(df: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Broadcast-anti-join out every row whose key is hot. The hot set
+    (boilerplate, templated floods) is by definition tiny relative to the
+    key vocabulary, so it broadcasts — the big table never shuffles for
+    the filter. Without a cap one ubiquitous key is a quadratic candidate
+    bucket at 100TB (a key shared by 1M docs → 5·10^11 pairs)."""
+    hot = hot_keys(df, key_cols, cap).select(*key_cols)
+    return df.join(F.broadcast(hot), key_cols, "left_anti")
+
+
+def capped_shingle_table(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``
+    (broadcast-anti on the hot set — see _drop_hot)."""
+    return _drop_hot(sh, ["shingle"], max_doc_freq)
 
 
 DEFAULT_MAX_DOC_FREQ = 1000
@@ -253,11 +267,7 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def _banded_pairs(banded: DataFrame,
                   max_bucket_size: int | None) -> DataFrame:
     if max_bucket_size is not None:
-        hot = (banded.groupBy("band", "key")
-               .agg(F.count(F.lit(1)).alias("sz"))
-               .filter(F.col("sz") > max_bucket_size)
-               .select("band", "key"))
-        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        banded = _drop_hot(banded, ["band", "key"], max_bucket_size)
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
     return (a.join(b, ["band", "key"])
@@ -333,16 +343,35 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                          (F.col("node") == F.col("lbl")).alias("is_keeper"))
 
 
+def winnow_fingerprint_table(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """(id, fp) winnowing fingerprints (per-doc unique by construction —
+    the kernel dedupes first-seen). Exposed so flood diagnostics share the
+    exact fingerprinting with winnow_overlap_pairs."""
+    from docext_spark.operators.extract import winnow_udf
+    return df.select(F.col(id_col).alias("id"),
+                     F.explode(winnow_udf(F.col(text_col))).alias("fp"))
+
+
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text",
-                         min_shared: int = 2) -> DataFrame:
+                         text_col: str = "text", min_shared: int = 2,
+                         max_doc_freq: int | None = DEFAULT_MAX_DOC_FREQ
+                         ) -> DataFrame:
     """Substring-level near-dup candidates via winnowing fingerprints
     (MOSS): docs sharing ≥ min_shared fingerprints copied a substring of
     length ≥ k+window-1. Join shape identical to the shingle path —
-    candidates only materialize through shared fingerprints."""
-    from docext_spark.operators.extract import winnow_udf
-    fps = (df.select(F.col(id_col).alias("id"),
-                     F.explode(winnow_udf(F.col(text_col))).alias("fp")))
+    candidates only materialize through shared fingerprints.
+
+    ``max_doc_freq`` caps hot fingerprints exactly like jaccard_pairs caps
+    hot shingles, and is ON BY DEFAULT (``None`` is the explicit opt-out):
+    one boilerplate substring shared by 1M docs is one fingerprint key with
+    5·10^11 candidate pairs on it — the same quadratic vector the shingle
+    and LSH paths already guard. shared_fps then counts co-occurrences of
+    NON-ubiquitous fingerprints only (a substring every doc contains is
+    boilerplate, not copying evidence)."""
+    fps = winnow_fingerprint_table(df, id_col, text_col)
+    if max_doc_freq is not None:
+        fps = _drop_hot(fps, ["fp"], max_doc_freq)
     a = fps.withColumnRenamed("id", "id_a")
     b = fps.withColumnRenamed("id", "id_b")
     return (a.join(b, "fp")
@@ -352,11 +381,11 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
              .filter(F.col("shared_fps") >= min_shared))
 
 
-def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", band_bits: int = 16) -> DataFrame:
-    """SimHash near-dup candidates: 64-bit signature (pUDF), bucketed by
-    4 bands of band_bits (two docs within hamming distance 3 share ≥1 band).
-    Returns distinct candidate (id_a, id_b, sim_a, sim_b)."""
+def simhash_banded(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", band_bits: int = 16) -> DataFrame:
+    """(id, sim, band, key) simhash band-bucket assignments — exposed (like
+    lsh_banded) so flood diagnostics share the exact banding scheme with
+    simhash_near_dups."""
     from docext_spark.operators.extract import simhash_udf
     sigs = df.select(F.col(id_col).alias("id"),
                      simhash_udf(F.col(text_col)).alias("sim"))
@@ -370,8 +399,26 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         F.lit(i).alias("band"),
         F.col("sim").bitwiseAND(F.lit(_signed(mask << (i * band_bits)))).alias("key"))
         for i in range(bands)]
-    banded = (sigs.select("id", "sim", F.explode(F.array(*band_cols)).alias("bk"))
-                  .select("id", "sim", "bk.band", "bk.key"))
+    return (sigs.select("id", "sim", F.explode(F.array(*band_cols)).alias("bk"))
+                .select("id", "sim", "bk.band", "bk.key"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", band_bits: int = 16,
+                      max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE
+                      ) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature (pUDF), bucketed by
+    4 bands of band_bits (two docs within hamming distance 3 share ≥1 band).
+    Returns distinct candidate (id_a, id_b, sim_a, sim_b).
+
+    ``max_bucket_size`` caps hot (band, key) buckets exactly like the
+    MinHash-LSH path and is ON BY DEFAULT (``None`` is the explicit
+    opt-out): a mass-duplicated template collapses into a handful of band
+    buckets, and an uncapped bucket of B docs is B²/2 candidate pairs on
+    one key — the flood must be bounded under the default config."""
+    banded = simhash_banded(df, id_col, text_col, band_bits)
+    if max_bucket_size is not None:
+        banded = _drop_hot(banded, ["band", "key"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
                       "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),

@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real (schema, mapInPandas batch shape, metadata
-projection), and so is the header-level decode: container sniff + pixel
-dims are parsed from the REAL payload bytes (core/imagehdr.py — pure
-Python, no PIL needed). Only the pixel resample / waveform decode remains
-stubbed (the imaging/audio libraries are not in this container); the
-byte-histogram feature stands in for content features behind the same
-mapInPandas seam a real extractor would use.
+projection), and so is the decode: container sniff + pixel dims are parsed
+from the REAL payload bytes (core/imagehdr.py), and PNG payloads are
+decoded to REAL PIXELS (core/pngpix.py — stdlib zlib inflate + scanline
+unfilter, no PIL needed), resampled nearest-neighbor, and featurized from
+the decoded samples. Only non-PNG pixel decode and audio/video waveform
+decode remain stubbed (JPEG entropy decode / media codecs are genuinely
+library territory); those payloads fall back to the byte-histogram feature
+behind the same mapInPandas seam.
 
 Reference analog: page images are opaque payloads resized/encoded before
 send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210), decoded with
@@ -21,7 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docext_spark.core import imagehdr
+from docext_spark.core import imagehdr, pngpix
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -41,18 +43,21 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("height", T.IntegerType(), True),
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    # 'pixels' when the feature was computed from fully decoded samples
+    # (PNG pixel path), 'bytes' for the opaque-payload fallback
+    T.StructField("feature_src", T.StringType(), False),
 ])
 
 
-def _byte_histogram(payload: bytes) -> list[float]:
-    """Deterministic 8-bin byte histogram — the stand-in content feature
-    (a real extractor would decode pixels/waveforms here; the libs are not
-    in this container, so the seam is exercised with a feature that is
-    cheap, stable, and testable)."""
+def _histogram8(data: bytes) -> list[float]:
+    """Deterministic 8-bin value histogram over a byte buffer — applied to
+    DECODED PIXEL SAMPLES when the payload fully decodes (PNG path), else
+    to the raw payload bytes (the fallback a real extractor would route to
+    a codec fleet)."""
     buckets = [0] * 8
-    for b in payload or b"":
+    for b in data or b"":
         buckets[b >> 5] += 1
-    total = max(1, len(payload or b""))
+    total = max(1, len(data or b""))
     return [round(c / total, 6) for c in buckets]
 
 
@@ -69,11 +74,23 @@ def _decode(payload: bytes, kind: str):
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas perception: Arrow batches of binary payloads in; sniffed
     format + dims decoded from the real header bytes + fixed-width features
-    out. Partition-parallel, no shuffle."""
+    out. PNG payloads with a decodable pixel stream get their feature from
+    the REAL decoded samples (feature_src='pixels'); everything else falls
+    back to the payload-byte histogram ('bytes'). Partition-parallel, no
+    shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_decode(p, k)
                        for p, k in zip(pdf["payload"], pdf["kind"])]
+            feats, srcs = [], []
+            for p in pdf["payload"]:
+                pix = pngpix.decode_png(p)
+                if pix is not None:
+                    feats.append(_histogram8(pix[3]))
+                    srcs.append("pixels")
+                else:
+                    feats.append(_histogram8(p))
+                    srcs.append("bytes")
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
@@ -81,10 +98,68 @@ def extract_features(media: DataFrame) -> DataFrame:
                 "width": pd.array([d[1] for d in decoded], dtype="Int32"),
                 "height": pd.array([d[2] for d in decoded], dtype="Int32"),
                 "n_bytes": [len(p or b"") for p in pdf["payload"]],
-                "feature": [_byte_histogram(p) for p in pdf["payload"]],
+                "feature": feats,
+                "feature_src": srcs,
             })
     cols = media.select("media_id", "kind", "payload")
     return cols.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("new_width", T.IntegerType(), True),
+    T.StructField("new_height", T.IntegerType(), True),
+    T.StructField("px_checksum", T.LongType(), True),   # Σ out[i]·(i+1)
+    T.StructField("px_mean", T.DoubleType(), True),
+])
+
+
+def resample_images(media: DataFrame, max_size: int = 2048) -> DataFrame:
+    """REAL pixel resample (the formerly stubbed codec step): decode the
+    PNG pixel stream with stdlib zlib (core/pngpix.py), bound the longest
+    side to ``max_size`` (reference core/utils.py:49-53 rule, never
+    upscale), nearest-neighbor resample with the integer floor map
+    src = dst·src_dim // dst_dim, and emit a position-weighted checksum +
+    mean over the RESAMPLED samples — exact analytic invariants an oracle
+    can replay without decoding anything. Undecodable payloads yield null
+    decode fields, never an exception (100TB scans outlive corrupt blobs).
+    Partition-parallel mapInPandas, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            fmt, dims = [], {k: [None] * n for k in
+                            ("w", "h", "ch", "nw", "nh", "cs", "mean")}
+            for i, p in enumerate(pdf["payload"]):
+                fmt.append(imagehdr.sniff_format(p))
+                dec = pngpix.decode_png(p)
+                if dec is None:
+                    continue
+                w, h, ch, px = dec
+                nw, nh = pngpix.bounded_dims(w, h, max_size)
+                out = (pngpix.resize_nearest(w, h, ch, px, nw, nh)
+                       if (nw, nh) != (w, h) else px)
+                d = dims
+                d["w"][i], d["h"][i], d["ch"][i] = w, h, ch
+                d["nw"][i], d["nh"][i] = nw, nh
+                d["cs"][i] = sum(b * (j + 1) for j, b in enumerate(out))
+                d["mean"][i] = sum(out) / len(out)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "format": fmt,
+                "width": pd.array(dims["w"], dtype="Int32"),
+                "height": pd.array(dims["h"], dtype="Int32"),
+                "channels": pd.array(dims["ch"], dtype="Int32"),
+                "new_width": pd.array(dims["nw"], dtype="Int32"),
+                "new_height": pd.array(dims["nh"], dtype="Int32"),
+                "px_checksum": pd.array(dims["cs"], dtype="Int64"),
+                "px_mean": pd.array(dims["mean"], dtype="float64"),
+            })
+    cols = media.select("media_id", "payload")
+    return cols.mapInPandas(run, schema=RESAMPLE_SCHEMA)
 
 
 def png_dims_native(payload: Column) -> Column:
@@ -103,6 +178,73 @@ def png_dims_native(payload: Column) -> Column:
     w, h = be_u32(17), be_u32(21)
     return F.when(is_png & (w > 0) & (h > 0),
                   F.struct(w.alias("width"), h.alias("height")))
+
+
+def png_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
+    """Hex of a COMPLETE, stdlib-zlib-decodable RGB PNG built entirely from
+    NATIVE expressions — the fixture side of the pixel-decode oracle, with
+    zero Python anywhere in its construction:
+
+      * pixel rule  v(x,y,c) = (7x + 13y + 29c + 3·seed) mod 256 — an
+        analytic generator a SQL oracle replays without parsing anything;
+      * scanline filters cycle None/Sub/Up by row (f = y mod 3), with the
+        FILTERED bytes derived in closed form (Sub residual ≡ 7, Up ≡ 13
+        under the rule), so the decoder's unfiltering is genuinely
+        exercised, not just filter-0 passthrough;
+      * IDAT is a single RFC-1951 STORED block (BFINAL=1/BTYPE=00 + LEN/
+        NLEN) — a fully valid zlib stream needing no compressor;
+      * the zlib adler32 (which stdlib zlib VERIFIES on decode) is
+        computed natively as the two modular weighted sums
+        s1 = 1+Σdᵢ, s2 = n+Σ(n-i)dᵢ (mod 65521);
+      * chunk CRCs are zeroed — decode_png deliberately skips CRC checks
+        (core/pngpix.py docstring); pytest covers real-CRC files via
+        encode_png.
+
+    Images must be small enough for one stored block (h·(1+3w) ≤ 65535)."""
+    def v(x, y, c):
+        return (x * 7 + y * 13 + F.lit(c * 29) + seed * 3) % 256
+
+    def raw(x, y, c):
+        f = y % 3
+        return (F.when(f == 1, F.when(x == 0, v(x, y, c)).otherwise(F.lit(7)))
+                 .when(f == 2, F.lit(13))
+                 .otherwise(v(x, y, c)))
+
+    def row(y):
+        return F.concat(
+            F.array(y % 3),                       # leading filter byte
+            F.flatten(F.transform(
+                F.sequence(F.lit(0), width - 1),
+                lambda x: F.array(raw(x, y, 0), raw(x, y, 1), raw(x, y, 2)))))
+
+    data = F.flatten(F.transform(F.sequence(F.lit(0), height - 1), row))
+    n = F.size(data)
+    lsum = F.lit(0).cast("long")
+    s1 = (F.lit(1) + F.aggregate(data, lsum, lambda a, b: a + b)) % 65521
+    s2 = (n.cast("long") + F.aggregate(
+        F.zip_with(data, F.sequence(n, F.lit(1), F.lit(-1)),
+                   lambda d, w: d.cast("long") * w),
+        lsum, lambda a, b: a + b)) % 65521
+
+    def bhex(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    def u16le(col):
+        return F.concat(bhex(col % 256), bhex(F.floor(col / 256).cast("int")))
+
+    def u32be(col):
+        return F.lpad(F.hex(col), 8, "0")
+
+    data_hex = F.array_join(F.transform(data, bhex), "")
+    zlib_hex = F.concat(F.lit("7801" "01"), u16le(n), u16le(65535 - n),
+                        data_hex, u32be(s2 * 65536 + s1))
+    return F.concat(
+        F.lit("89504E470D0A1A0A"),                        # signature
+        F.lit("0000000D" "49484452"), u32be(width), u32be(height),
+        F.lit("0802000000" "00000000"),                   # 8-bit RGB + crc0
+        u32be(n + 11), F.lit("49444154"), zlib_hex,       # IDAT
+        F.lit("00000000"),                                # idat crc0
+        F.lit("00000000" "49454E44" "00000000"))          # IEND
 
 
 def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:

@@ -88,14 +88,20 @@ def sample_to_token_budget(df: DataFrame, budget_tokens: int,
     scalar inside the plan, so building the DataFrame triggers no job
     (every queries() entry is a side-effect-free plan builder)."""
     from docext_spark.operators.textops import token_count
+    # collision-proof scalar column name: if the caller's frame already had
+    # a column of the same name, the filter below would be ambiguous and
+    # fail analysis with an opaque error (ADVICE r3)
+    tot = "_total_tokens"
+    while tot in df.columns:
+        tot = "_" + tot
     total_df = df.agg(F.coalesce(F.sum(token_count(F.col(text_col))),
-                                 F.lit(0)).alias("_total_tokens"))
+                                 F.lit(0)).alias(tot))
     u = hash_unit(F.col(id_col), seed, engine)
-    keep = ((F.col("_total_tokens") <= budget_tokens)
-            | (u < F.lit(float(budget_tokens)) / F.col("_total_tokens")))
+    keep = ((F.col(tot) <= budget_tokens)
+            | (u < F.lit(float(budget_tokens)) / F.col(tot)))
     return (df.crossJoin(F.broadcast(total_df))
             .filter(keep)
-            .drop("_total_tokens"))
+            .drop(tot))
 
 
 def source_seed(name: str, seed: int = 0) -> int:

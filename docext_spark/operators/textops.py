@@ -126,7 +126,13 @@ def word_shingles(col: Column, n: int = 3,
 # form). Unanchored bare numbers are data, not PII.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # octets bounded to 0-255 (RE2-safe alternation): software versions
+    # with components > 255 ("release 1.2.300.4") are data, not IPs — an
+    # unbounded [0-9]{1,3} octet redacts them (a dotted quad whose octets
+    # ALL fit 0-255 is indistinguishable from an IP and stays redacted)
+    ("ip",
+     r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+     r"(\.(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})){3}\b", "<IP>"),
     ("number", r"\b[0-9]{12,19}\b", "<NUMBER>"),
     ("phone",
      r"\+[0-9]{1,3}[\s.-]?\(?[0-9]{1,4}\)?([\s.-][0-9]{2,4}){1,3}"

@@ -24,6 +24,7 @@ from docext_spark.operators.metrics import edit_similarity
 
 KIE_FIELDS = ["invoice_number", "buyer_name", "invoice_amount"]
 CLS_LABELS = ["invoice", "receipt", "passport", "report"]
+TASKS = ["CLASSIFICATION", "KIE", "OCR", "TABLE", "VQA"]
 
 
 def score_benchmark(fixtures: DataFrame) -> DataFrame:
@@ -88,12 +89,15 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
             .withColumn("score", F.round("score", 6)))
 
 
-def accuracy_matrix(scores: DataFrame, model: str = "native") -> DataFrame:
+def accuracy_matrix(scores: DataFrame, model: str = "native",
+                    tasks: list[str] | None = None) -> DataFrame:
     """Pivot to the accuracy matrix + row average, sorted desc
-    (benchmark.py:301-316)."""
-    tasks = [r["task"] for r in scores.select("task").distinct().collect()]
+    (benchmark.py:301-316). ``tasks`` gives the pivot columns explicitly —
+    the task set is config-scale and known up front, so collecting the
+    distinct values first would be a pointless driver round-trip (and an
+    extra job) just to learn what the caller already knows."""
     pivoted = (scores.withColumn("model", F.lit(model))
-               .groupBy("model").pivot("task", sorted(tasks))
+               .groupBy("model").pivot("task", sorted(tasks or TASKS))
                .agg(F.first("score")))
     cols = [c for c in pivoted.columns if c != "model"]
     avg = sum(F.coalesce(F.col(c), F.lit(0.0)) for c in cols) / len(cols)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
                                           duplicate_clusters,
                                           jaccard_for_pairs,
-                                          lsh_candidate_pairs)
+                                          lsh_candidate_pairs, lsh_plan)
 from docext_spark.operators.textops import (dup_line_frac, fingerprint,
                                             lang_id, max_token_frac,
                                             quality_score, redact_pii,
@@ -71,7 +71,7 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
 
 def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", n: int = 3,
-                           num_hashes: int = 8, bands: int = 4,
+                           num_hashes: int = 8, bands: int | None = None,
                            jaccard_threshold: float = 0.5,
                            engine: str = "xxhash64",
                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
@@ -81,11 +81,20 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
     shingle self-join — otherwise verification would cost exactly what LSH
     exists to avoid) → connected components → drop every non-keeper.
     Components merge transitive dup chains so A~B~C keeps one document.
+
+    ``bands`` defaults to the MMDS S-curve plan for ``jaccard_threshold``
+    (lsh_plan): callers state the similarity they care about and the
+    banding is DERIVED, not hand-picked — a hand-picked (bands, rows) that
+    contradicts the threshold silently moves the recall curve. Pass
+    ``bands`` explicitly to override.
+
     ``max_bucket_size`` forwards to the LSH flood guard and is ON BY
     DEFAULT (``None`` is the explicit opt-out): a templated near-identical
     flood — the common 100TB reality — sails past exact dedup and would
     otherwise turn one LSH bucket into B²/2 candidate pairs; run exact
     dedup first (curate() ordering) so the cap only ever trims floods."""
+    if bands is None:
+        bands = lsh_plan(jaccard_threshold, num_hashes)["bands"]
     cands = lsh_candidate_pairs(docs, id_col, text_col,
                                 num_hashes=num_hashes, bands=bands, n=n,
                                 engine=engine,
@@ -104,23 +113,41 @@ def fuzzy_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id",
 def curate(docs: DataFrame, id_col: str = "doc_id",
            text_col: str = "text", fuzzy_kwargs: dict | None = None,
            persist: bool = True, redact: bool = False,
+           stage_path: str | None = None,
            **quality_kwargs) -> dict:
     """Full pipeline. Returns {"corpus": DataFrame, "funnel": DataFrame,
     "unpersist": callable} — funnel is the per-stage survivorship count
     (the metric a curation job publishes alongside the output table).
 
-    Stage frames are persisted (memory-and-disk): the corpus write plus
-    the funnel counts consume each stage several times, and without
-    persistence every consumer re-runs the pipeline prefix (the quality
-    scan would run ~5x, the LSH verify plan 2-3x). The caller releases
-    storage via result["unpersist"]() once its consumers are materialized
-    (job.py does). ``persist=False`` skips staging entirely — for callers
-    that evaluate the result exactly once and cannot call unpersist (e.g.
-    the oracle-parity harness), where leaked cached frames would outlive
-    the query."""
+    Stage frames are reused by several consumers (the corpus write plus
+    the funnel counts), and without staging every consumer re-runs the
+    pipeline prefix (the quality scan would run ~5x, the LSH verify plan
+    2-3x). Three staging modes:
+
+    * ``stage_path=<dir>`` (the 100TB shape): each stage is WRITTEN to
+      parquet under the directory and read back — executor loss replays
+      nothing, storage is the table store rather than executor
+      memory+disk (three full-corpus cached frames do not fit the
+      block-manager spill of any realistic cluster fraction), and the
+      intermediates double as restart points. This is what a production
+      run should use.
+    * ``persist=True`` (default, sandbox scale): MEMORY_AND_DISK persist;
+      the caller releases storage via result["unpersist"]() once its
+      consumers are materialized (job.py does).
+    * ``persist=False``: no staging at all — for callers that evaluate
+      the result exactly once and cannot call unpersist (e.g. the
+      oracle-parity harness), where leaked cached frames would outlive
+      the query."""
     from pyspark import StorageLevel
 
+    _stage_no = [0]
+
     def stage(frame):
+        if stage_path is not None:
+            path = f"{stage_path}/stage_{_stage_no[0]}"
+            _stage_no[0] += 1
+            frame.write.mode("overwrite").parquet(path)
+            return frame.sparkSession.read.parquet(path)
         return frame.persist(StorageLevel.MEMORY_AND_DISK) if persist \
             else frame
 
@@ -143,7 +170,7 @@ def curate(docs: DataFrame, id_col: str = "doc_id",
                                         F.count(F.lit(1)).alias("n_docs"))))
 
     def unpersist():
-        if persist:
+        if persist and stage_path is None:
             for frame in (gated, exact, fuzzy):
                 frame.unpersist()
 

@@ -54,7 +54,10 @@ class CheckpointedResults:
                 if name.startswith(_MARKER_PREFIX) and name.endswith(".json"):
                     with open(os.path.join(self.root, name)) as f:
                         batches.append(json.load(f)["batch"])
-        return batches
+        # a batch recorded in BOTH the legacy manifest and a marker file
+        # (partially migrated table) must be read once, not twice —
+        # duplicate listing would duplicate every row of that batch
+        return list(dict.fromkeys(batches))
 
     def _append_commit(self, batch: str, n_rows: int):
         # one marker file per batch, published via atomic rename: concurrent

@@ -67,6 +67,44 @@ def test_curate_all_filtered_is_total(spark):
                       "2_exact_dedup": 0, "3_fuzzy_dedup": 0}
 
 
+def test_curate_stage_path_matches_persisted(spark, tmp_path):
+    """stage_path= (the 100TB shape: stages written to parquet, not cached
+    in executor memory+disk) must produce the identical corpus and funnel
+    as the in-memory staging path, and must leave the intermediates on
+    disk as restart points."""
+    import os
+    staged = curate(_docs(spark), stage_path=str(tmp_path / "stages"))
+    corpus = sorted((r["doc_id"], r["text"])
+                    for r in staged["corpus"].collect())
+    funnel = {r["stage"]: r["n_docs"] for r in staged["funnel"].collect()}
+    baseline = curate(_docs(spark), persist=False)
+    assert corpus == sorted((r["doc_id"], r["text"])
+                            for r in baseline["corpus"].collect())
+    assert funnel == {r["stage"]: r["n_docs"]
+                      for r in baseline["funnel"].collect()}
+    stages = sorted(os.listdir(tmp_path / "stages"))
+    assert stages == ["stage_0", "stage_1", "stage_2"]
+    staged["unpersist"]()  # must be a safe no-op in staged mode
+
+
+def test_fuzzy_dedup_banding_derived_from_threshold(spark):
+    """bands defaults to the MMDS S-curve plan for the jaccard threshold
+    (lsh_plan wiring): at the default threshold=0.5 with 8 hashes the
+    derived banding is (4 bands × 2 rows) — curve threshold exactly 0.5 —
+    so the pinned funnel oracle is unchanged by the derivation."""
+    from docext_spark.operators.dedup import lsh_plan
+    assert lsh_plan(0.5, 8) == {"bands": 4, "rows_per_band": 2,
+                                "curve_threshold": 0.5}
+    # a high threshold derives FEWER bands (more rows per band)
+    assert lsh_plan(0.85, 8)["bands"] == 2
+    # and the derived default reproduces the hand-picked bands=4 result
+    docs = exact_dedup_keep_first(_docs(spark))
+    derived = {r["doc_id"] for r in fuzzy_dedup_keep_first(docs).collect()}
+    explicit = {r["doc_id"] for r in
+                fuzzy_dedup_keep_first(docs, bands=4).collect()}
+    assert derived == explicit
+
+
 def test_curate_redact_and_repetition_gate(spark):
     """redact=True scrubs PII from the OUTPUT text only (dedup keys still
     see original bytes, so docs differing only in their PII stay distinct);

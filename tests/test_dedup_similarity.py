@@ -86,6 +86,61 @@ def test_winnowing_guarantee_and_overlap(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def _flood_docs(spark, n_flood: int, tpl: str):
+    """Base corpus + n_flood byte-identical boilerplate docs (ids >= 1000)
+    via Arrow (fast local relation)."""
+    import pandas as pd
+    rows = list(DOCS) + [(1000 + i, tpl) for i in range(n_flood)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id int, text string")
+
+
+def test_winnow_default_cap_bounds_flood(spark):
+    from docext_spark.operators.dedup import winnow_overlap_pairs
+    tpl = "identical boilerplate footer shared by every mirrored page"
+    docs = _flood_docs(spark, 30, tpl)
+    # low cap standing in for the default 1000 (same code path)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              winnow_overlap_pairs(docs, min_shared=2, max_doc_freq=20)
+              .collect()}
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped), \
+        "flood pairs must be dropped by the doc-freq cap"
+    assert (1, 2) in capped, "base-corpus pairs must survive the cap"
+    # explicit None opt-out restores the uncapped quadratic behavior
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                winnow_overlap_pairs(docs, min_shared=2, max_doc_freq=None)
+                .collect()}
+    assert sum(1 for a, b in uncapped if a >= 1000 and b >= 1000) \
+        == 30 * 29 // 2
+
+
+def test_simhash_default_cap_bounds_flood(spark):
+    from docext_spark.operators.dedup import simhash_near_dups
+    tpl = "identical boilerplate navigation header on every page"
+    docs = _flood_docs(spark, 30, tpl)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              simhash_near_dups(docs, max_bucket_size=20).collect()}
+    assert not any(a >= 1000 and b >= 1000 for a, b in capped)
+    assert (1, 2) in capped
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                simhash_near_dups(docs, max_bucket_size=None).collect()}
+    assert sum(1 for a, b in uncapped if a >= 1000 and b >= 1000) \
+        == 30 * 29 // 2
+
+
+def test_hot_keys_observability(spark):
+    """The cap's dropped set is auditable with the exact grouping the cap
+    used (ADVICE r3: default caps must be observable, not silent)."""
+    from docext_spark.operators.dedup import hot_keys, shingle_table
+    tpl = "one ubiquitous boilerplate shingle run"
+    docs = _flood_docs(spark, 25, tpl)
+    sh = shingle_table(docs)
+    hot = hot_keys(sh, ["shingle"], 20).collect()
+    assert hot and all(r["n_refs"] == 25 for r in hot)
+    assert hot_keys(sh, ["shingle"], 30).count() == 0
+
+
 VECS = [
     (0, [1.0, 0.0, 0.0]),
     (1, [0.9, 0.1, 0.0]),

@@ -50,6 +50,24 @@ def test_redact_pii_preserves_dates_decimals_and_number_tables(spark):
         assert not any(ch.isdigit() for ch in got), (text, got)
 
 
+def test_redact_pii_ip_octets_bounded(spark):
+    """ADVICE r3: the IP pattern must bound octets to 0-255 — software
+    version strings with a component > 255 are data, not PII. A dotted
+    quad whose octets ALL fit 0-255 is a syntactically valid IP and stays
+    redacted (no regex can tell 'version 1.2.3.4' from an address)."""
+    keep = ["release 1.2.300.4 shipped",
+            "build 300.1.2.3 tagged",
+            "artifact 10.20.999.1 uploaded",
+            "checksum 256.256.256.256 invalid"]
+    for text in keep:
+        assert _one(spark, text, redact_pii) == text, text
+    for text in ["server 192.168.0.1 up",
+                 "edge 255.255.255.255 mask",
+                 "probe 10.0.200.199 ok"]:
+        got = _one(spark, text, redact_pii)
+        assert "<IP>" in got and not any(c.isdigit() for c in got), (text, got)
+
+
 def test_repetition_signals(spark):
     assert _one(spark, "a\nb\na\nb", dup_line_frac) == 0.5
     assert _one(spark, "a\nb\nc\nd", dup_line_frac) == 0.0
