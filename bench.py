@@ -79,6 +79,24 @@ def main():
         print(f"# {name}: median {timings[name]}s of "
               f"{[round(r, 3) for r in runs]}", file=sys.stderr)
 
+    # GRITS table-similarity throughput: correctness is pinned by
+    # grits_similarity + test_core_grits; this times the pUDF over the
+    # 101-pair fixture and reports per-pair cost. The quadratic kernel is
+    # bounded by core/grits.py MAX_GRID_ROWS=200 / MAX_GRID_COLS=60 /
+    # MAX_GRID_AREA=2400, so one adversarial table cannot stall a task;
+    # fixture tables are ≤6×6.
+    grits_runs = []
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        qs["grits_similarity"](spark, sf_dir) \
+            .write.mode("overwrite").format("noop").save()
+        grits_runs.append(time.time() - t0)
+    timings["grits_similarity"] = round(sorted(grits_runs)[N_RUNS // 2], 3)
+    grits_pair_ms = round(timings["grits_similarity"] / 101 * 1000, 2)
+    print(f"# grits_similarity: median {timings['grits_similarity']}s "
+          f"({grits_pair_ms} ms/pair over 101 fixture pairs)",
+          file=sys.stderr)
+
     # north metric: per-turn extraction throughput on the transcript shape
     from docext_spark.plans.pipeline import run_extraction
     from docext_spark.synth import transcripts_df
@@ -95,6 +113,31 @@ def main():
     timings["flagship_turn_extraction"] = round(extract_sec, 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
 
+    # streaming flagship: the same extraction pUDF through Structured
+    # Streaming (availableNow, checkpointed parquet sink, exactly-once) —
+    # the per-batch commit + sink transaction log are real costs a feed
+    # pays over the batch plan, so they are MEASURED, not assumed
+    import shutil
+    import tempfile
+    from docext_spark.streaming.extract_stream import run_extraction_stream
+    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+    in_dir = os.path.join(stream_root, "in")
+    tdf.repartition(int(cpus)).write.mode("overwrite").parquet(in_dir)
+    stream_runs = []
+    for i in range(N_RUNS):
+        ck = os.path.join(stream_root, f"ck{i}")
+        out = os.path.join(stream_root, f"out{i}")
+        t0 = time.time()
+        run_extraction_stream(spark, in_dir, ck, out)
+        stream_runs.append(time.time() - t0)
+    stream_sec = sorted(stream_runs)[N_RUNS // 2]
+    timings["flagship_stream_extraction"] = round(stream_sec, 3)
+    stream_turns_per_sec = round(n_turns / stream_sec, 1)
+    print(f"# flagship_stream_extraction: median {stream_sec:.3f}s "
+          f"({stream_turns_per_sec} turns/s streaming vs "
+          f"{turns_per_sec} batch)", file=sys.stderr)
+    shutil.rmtree(stream_root, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -103,6 +146,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "turns_per_sec": turns_per_sec,
+        "stream_turns_per_sec": stream_turns_per_sec,
         "n_turns": n_turns,
         "cpus": int(cpus),
         "runs_per_query": N_RUNS,
