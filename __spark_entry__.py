@@ -2422,6 +2422,59 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _audio_waveform_features(spark, sf_dir):
+    """REAL WAV/PCM waveform decode (the audio twin of
+    image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
+    PCM files BUILT FROM NATIVE EXPRESSIONS (multimodal.
+    wav_pcm_fixture_hex — WAV is uncompressed, the whole container is
+    closed-form), then DECODED FOR REAL in mapInPandas (RIFF chunk walk +
+    struct-unpacked samples, core/wavpcm.py). The oracle replays the
+    sample rule s(i) = ((997i + 11·id) mod 4096) − 2048 analytically:
+    peak, zero crossings (lag window), duration, and a position-weighted
+    amplitude checksum all break if any decode stage is wrong."""
+    from docext_spark.operators.multimodal import (audio_features,
+                                                   wav_pcm_fixture_hex)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    n_samples = (F.lit(50) + F.col("doc_id") % 200).cast("int")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(wav_pcm_fixture_hex(F.col("doc_id"), n_samples))
+         .alias("payload"))
+    return audio_features(media)
+
+
+def _audio_sql():
+    # the lag window and the aggregates live in separate CTE layers
+    return """
+WITH docs AS (
+  SELECT doc_id AS media_id, (50 + doc_id % 200)::INT AS n
+  FROM documents WHERE doc_id < 150
+), samples AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM docs
+), vals AS (
+  SELECT media_id, n, i,
+         ((i * 997 + media_id * 11) % 4096 - 2048) AS v
+  FROM samples
+), lagged AS (
+  SELECT media_id, n, i, v,
+         lag(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+  FROM vals
+), feats AS (
+  SELECT media_id,
+         max(n) AS n_frames,
+         max(abs(v)) AS peak,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END)::INT AS zero_crossings,
+         sum((v + 32768)::BIGINT * (i + 1))::BIGINT AS amp_checksum
+  FROM lagged GROUP BY media_id
+)
+SELECT media_id, 8000 AS sample_rate, 1 AS n_channels, n_frames,
+       (n_frames * 1000 // 8000)::INT AS duration_ms,
+       peak, zero_crossings, amp_checksum
+FROM feats
+"""
+
+
 def _curate_funnel(spark, sf_dir):
     """End-to-end corpus-curation survivorship funnel: quality gate →
     exact dedup (keep lowest id) → fuzzy dedup (LSH candidates → jaccard
@@ -2670,6 +2723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
         "simhash_flood_guard": _simhash_flood_guard,
         "image_resample_pixels": _image_resample_pixels,
+        "audio_waveform_features": _audio_waveform_features,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2730,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_flood_guard": _winnow_flood_sql(),
         "simhash_flood_guard": _simhash_flood_sql(),
         "image_resample_pixels": _RESAMPLE_SQL,
+        "audio_waveform_features": _audio_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),
         "t_repetition": _REPETITION_SQL,

@@ -5,9 +5,10 @@ projection), and so is the decode: container sniff + pixel dims are parsed
 from the REAL payload bytes (core/imagehdr.py), and PNG payloads are
 decoded to REAL PIXELS (core/pngpix.py — stdlib zlib inflate + scanline
 unfilter, no PIL needed), resampled nearest-neighbor, and featurized from
-the decoded samples. Only non-PNG pixel decode and audio/video waveform
-decode remain stubbed (JPEG entropy decode / media codecs are genuinely
-library territory); those payloads fall back to the byte-histogram feature
+the decoded samples; WAV/PCM payloads are decoded to REAL WAVEFORM SAMPLES
+(core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only compressed-codec
+decode (JPEG entropy coding, mp3/aac, video) remains stubbed — genuinely
+library territory; those payloads fall back to the byte-histogram feature
 behind the same mapInPandas seam.
 
 Reference analog: page images are opaque payloads resized/encoded before
@@ -245,6 +246,91 @@ def png_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
         u32be(n + 11), F.lit("49444154"), zlib_hex,       # IDAT
         F.lit("00000000"),                                # idat crc0
         F.lit("00000000" "49454E44" "00000000"))          # IEND
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("peak", T.IntegerType(), True),
+    T.StructField("zero_crossings", T.IntegerType(), True),
+    T.StructField("amp_checksum", T.LongType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL waveform decode for WAV/PCM payloads (core/wavpcm.py — RIFF
+    walk + struct-unpacked samples, stdlib only): sample rate, frame
+    count, duration, peak amplitude, zero crossings, and a
+    position-weighted amplitude checksum — all exact integer invariants an
+    analytic oracle replays from the sample generator. Non-PCM/undecodable
+    payloads yield nulls, never an exception. Partition-parallel
+    mapInPandas, no shuffle."""
+    from docext_spark.core import wavpcm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            cols = {k: [None] * n for k in
+                    ("rate", "ch", "fr", "dur", "peak", "zc", "cs")}
+            for i, p in enumerate(pdf["payload"]):
+                f = wavpcm.wav_features(p)
+                if f is None:
+                    continue
+                (cols["rate"][i], cols["ch"][i], cols["fr"][i],
+                 cols["dur"][i], cols["peak"][i], cols["zc"][i],
+                 cols["cs"][i]) = f
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "sample_rate": pd.array(cols["rate"], dtype="Int32"),
+                "n_channels": pd.array(cols["ch"], dtype="Int32"),
+                "n_frames": pd.array(cols["fr"], dtype="Int32"),
+                "duration_ms": pd.array(cols["dur"], dtype="Int32"),
+                "peak": pd.array(cols["peak"], dtype="Int32"),
+                "zero_crossings": pd.array(cols["zc"], dtype="Int32"),
+                "amp_checksum": pd.array(cols["cs"], dtype="Int64"),
+            })
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA)
+
+
+def wav_pcm_fixture_hex(seed: Column, n_samples: Column,
+                        rate: int = 8000) -> Column:
+    """Hex of a COMPLETE RIFF/WAVE 16-bit mono PCM file built from NATIVE
+    expressions (the audio twin of png_rgb_fixture_hex — WAV is
+    uncompressed, so the whole container is closed-form): sample rule
+    s(i) = ((997i + 11·seed) mod 4096) − 2048 (fast sawtooth: ~2-sample period keeps zero-crossing coverage non-trivial), little-endian fields
+    throughout. The oracle replays the rule; the operator decodes the real
+    bytes."""
+    import struct as _struct
+
+    def bhex(col):
+        return F.lpad(F.hex(col), 2, "0")
+
+    def u16le(col):                      # unsigned 16-bit little-endian
+        return F.concat(bhex(col % 256), bhex(F.floor(col / 256).cast("int")))
+
+    def u32le(col):
+        lo = col % 65536
+        hi = F.floor(col / 65536).cast("int")
+        return F.concat(u16le(lo), u16le(hi))
+
+    block = 2  # mono 16-bit
+    fmt_hex = ("666D7420" + "10000000"              # 'fmt ' + len 16
+               + _struct.pack("<HHIIHH", 1, 1, rate, rate * block,
+                              block, 16).hex().upper())
+    sample = F.transform(
+        F.sequence(F.lit(0), n_samples - 1),
+        # signed -> two's-complement u16 before the LE byte swap
+        lambda i: u16le(((i * 997 + seed * 11) % 4096 - 2048 + 65536) % 65536))
+    data_len = n_samples * 2
+    return F.concat(
+        F.lit("52494646"), u32le(data_len + 36), F.lit("57415645"),  # RIFF/WAVE
+        F.lit(fmt_hex),
+        F.lit("64617461"), u32le(data_len),                          # 'data'
+        F.array_join(sample, ""))
 
 
 def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:

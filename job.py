@@ -47,6 +47,11 @@ def main():
     ap.add_argument("--token-budget", type=int, default=0,
                     help="curate mode: content-addressed sample of the "
                          "curated corpus down to ~N tokens (0 = keep all)")
+    ap.add_argument("--stage-path",
+                    help="curate mode: write each pipeline stage to parquet "
+                         "under this dir instead of caching in executor "
+                         "memory+disk — the 100TB shape (stages double as "
+                         "restart points)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -62,7 +67,8 @@ def main():
         gates = {}
         if args.repetition_gate:
             gates = {"max_dup_line_frac": 0.3, "max_tok_frac": 0.2}
-        res = curate(docs, redact=args.redact, **gates)
+        res = curate(docs, redact=args.redact,
+                     stage_path=args.stage_path, **gates)
         corpus = res["corpus"]
         if args.token_budget:
             from docext_spark.operators.sampling import sample_to_token_budget
