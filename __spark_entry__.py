@@ -750,12 +750,12 @@ WITH hx AS (
   FROM hx
 )
 SELECT media_id, width, height,
-       floor(width * CASE WHEN greatest(width, height) > 2048
+       greatest(1, floor(width * CASE WHEN greatest(width, height) > 2048
                           THEN 2048.0 / greatest(width, height)
-                          ELSE 1.0 END)::INT AS new_width,
-       floor(height * CASE WHEN greatest(width, height) > 2048
+                          ELSE 1.0 END)::INT) AS new_width,
+       greatest(1, floor(height * CASE WHEN greatest(width, height) > 2048
                            THEN 2048.0 / greatest(width, height)
-                           ELSE 1.0 END)::INT AS new_height,
+                           ELSE 1.0 END)::INT) AS new_height,
        greatest(width, height) > 2048 AS resized
 FROM m
 """
@@ -1263,7 +1263,9 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
     ~O(base corpus) while the dropped bucket-pair mass is ~10^6 — the
     bound a naive caller now gets without setting any flag. Oracle replays
     the banding, the bucket-size cap, and both stat aggregates in DuckDB."""
-    from docext_spark.operators.dedup import lsh_banded, lsh_candidate_pairs
+    from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
+                                              lsh_banded,
+                                              lsh_candidate_pairs)
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     template = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
                 .select(F.col("text").alias("_tpl")))
@@ -1279,7 +1281,7 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
     banded = lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3)
     hot = (banded.groupBy("band", "key")
            .agg(F.count(F.lit(1)).alias("sz"))
-           .filter(F.col("sz") > 1000))
+           .filter(F.col("sz") > DEFAULT_MAX_BUCKET_SIZE))
     hot_stats = hot.agg(
         F.count(F.lit(1)).alias("n_hot_buckets"),
         F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0))
@@ -1292,7 +1294,10 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
     return pair_stats.crossJoin(hot_stats)
 
 
-_LSH_FLOOD_SQL = """
+def _lsh_flood_sql():
+    from docext_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+    cap = DEFAULT_MAX_BUCKET_SIZE
+    return f"""
 WITH tpl AS (SELECT text AS t FROM documents WHERE doc_id = 0),
 flood AS (
   SELECT 1000000 + i AS doc_id, 'v' || i::VARCHAR || ' ' || tpl.t AS text
@@ -1333,7 +1338,7 @@ sigs AS (
     UNION ALL SELECT doc_id, 3, sha256(s6 || '|' || s7) FROM sigs)
 ),
 szs AS (SELECT band, key, count(*) AS sz FROM banded GROUP BY band, key),
-hot AS (SELECT band, key, sz FROM szs WHERE sz > 1000),
+hot AS (SELECT band, key, sz FROM szs WHERE sz > {cap}),
 kept AS (
   SELECT b.doc_id, b.band, b.key FROM banded b
   ANTI JOIN hot h ON b.band = h.band AND b.key = h.key
@@ -2021,7 +2026,8 @@ def _dedup_winnow_flood_guard(spark, sf_dir):
     untouched, and the dropped pair mass is reported. Oracle replays the
     rolling-hash fingerprinting, the doc-freq cap, and both stat
     aggregates in DuckDB."""
-    from docext_spark.operators.dedup import (hot_keys,
+    from docext_spark.operators.dedup import (DEFAULT_MAX_DOC_FREQ,
+                                              hot_keys,
                                               winnow_fingerprint_table,
                                               winnow_overlap_pairs)
     base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -2031,9 +2037,12 @@ def _dedup_winnow_flood_guard(spark, sf_dir):
                      F.lit(_WINNOW_TPL).alias("text")))
     docs = base.unionByName(flood)
     # DEFAULT config: no max_doc_freq argument — the guard must engage on
-    # its own (the whole point of this query)
+    # its own (the whole point of this query); the audit and the SQL twin
+    # use the SAME module constant, so tuning the default moves query,
+    # audit, and oracle together
     pairs = winnow_overlap_pairs(docs, min_shared=2)
-    hot = hot_keys(winnow_fingerprint_table(docs), ["fp"], 1000)
+    hot = hot_keys(winnow_fingerprint_table(docs), ["fp"],
+                   DEFAULT_MAX_DOC_FREQ)
     hot_stats = hot.agg(
         F.count(F.lit(1)).alias("n_hot_fps"),
         F.coalesce(F.sum(F.expr("n_refs * (n_refs - 1) div 2")), F.lit(0))
@@ -2047,6 +2056,8 @@ def _dedup_winnow_flood_guard(spark, sf_dir):
 
 
 def _winnow_flood_sql(k: int = 8, window: int = 4) -> str:
+    from docext_spark.operators.dedup import DEFAULT_MAX_DOC_FREQ
+    cap = DEFAULT_MAX_DOC_FREQ
     mod = (1 << 61) - 1
     poly = " + ".join(
         f"unicode(substr(n, i+{j}, 1))::HUGEINT * {257 ** (k - 1 - j)}"
@@ -2080,7 +2091,7 @@ WITH docs AS (
 ), dfs AS (
   SELECT fp, count(*) AS n_refs FROM fps GROUP BY fp
 ), hot AS (
-  SELECT fp, n_refs FROM dfs WHERE n_refs > 1000
+  SELECT fp, n_refs FROM dfs WHERE n_refs > {cap}
 ), kept AS (
   SELECT f.doc_id, f.fp FROM fps f ANTI JOIN hot h ON f.fp = h.fp
 ), pairs AS (
@@ -2117,7 +2128,8 @@ def _simhash_flood_guard(spark, sf_dir):
     chance band collisions are untouched, and the dropped pair mass is
     reported. Oracle replays the md5 bit-vote simhash, the band split,
     the cap, and both stat aggregates in DuckDB."""
-    from docext_spark.operators.dedup import (hot_keys, simhash_banded,
+    from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
+                                              hot_keys, simhash_banded,
                                               simhash_near_dups)
     base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
             .select("doc_id", "text"))
@@ -2126,9 +2138,10 @@ def _simhash_flood_guard(spark, sf_dir):
                      F.lit(_SIMHASH_TPL).alias("text")))
     docs = base.unionByName(flood)
     # DEFAULT config: no max_bucket_size argument — the guard must engage
-    # on its own
+    # on its own; audit + oracle share the module constant
     pairs = simhash_near_dups(docs)
-    hot = hot_keys(simhash_banded(docs), ["band", "key"], 1000)
+    hot = hot_keys(simhash_banded(docs), ["band", "key"],
+                   DEFAULT_MAX_BUCKET_SIZE)
     hot_stats = hot.agg(
         F.count(F.lit(1)).alias("n_hot_buckets"),
         F.coalesce(F.sum(F.expr("n_refs * (n_refs - 1) div 2")), F.lit(0))
@@ -2142,6 +2155,8 @@ def _simhash_flood_guard(spark, sf_dir):
 
 
 def _simhash_flood_sql():
+    from docext_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
+    cap = DEFAULT_MAX_BUCKET_SIZE
     votes = ",\n         ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(64))
@@ -2180,7 +2195,7 @@ WITH docs AS (
 ), szs AS (
   SELECT band, key, count(*) AS n_refs FROM banded GROUP BY band, key
 ), hot AS (
-  SELECT band, key, n_refs FROM szs WHERE n_refs > 1000
+  SELECT band, key, n_refs FROM szs WHERE n_refs > {cap}
 ), kept AS (
   SELECT x.doc_id, x.band, x.key FROM banded x
   ANTI JOIN hot h ON x.band = h.band AND x.key = h.key
@@ -2380,11 +2395,14 @@ WITH dims AS (
   FROM documents WHERE doc_id < 120
 ), bounded AS (
   -- the never-upscale longest-side bound, double math as in the engine
+  -- (incl. the >=1 clamp on the short side)
   SELECT media_id, w, h,
          CASE WHEN greatest(w, h) > 8
-              THEN floor(w * (8.0 / greatest(w, h)))::INT ELSE w END AS nw,
+              THEN greatest(1, floor(w * (8.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
          CASE WHEN greatest(w, h) > 8
-              THEN floor(h * (8.0 / greatest(w, h)))::INT ELSE h END AS nh
+              THEN greatest(1, floor(h * (8.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
   FROM dims
 ), out_samples AS (
   SELECT media_id, w, h, nw, nh,
@@ -2780,7 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "simhash_signatures": _simhash_sql(),
         "dedup_winnow_pairs": _winnow_sql(),
-        "dedup_lsh_flood_guard": _LSH_FLOOD_SQL,
+        "dedup_lsh_flood_guard": _lsh_flood_sql(),
         "dedup_winnow_flood_guard": _winnow_flood_sql(),
         "simhash_flood_guard": _simhash_flood_sql(),
         "image_resample_pixels": _RESAMPLE_SQL,

@@ -138,12 +138,15 @@ def bounded_dims(w: int, h: int, max_size: int) -> tuple[int, int]:
     """The resize-planning rule (operators/multimodal.resize_dims, from
     reference core/utils.py:49-53): bound the longest side to max_size,
     preserve aspect, never upscale. Same double math as the native
-    expression so the three implementations agree bit-for-bit."""
+    expression so the three implementations agree bit-for-bit. The short
+    side is clamped to ≥1: an extreme aspect ratio (a 1×4096 strip at
+    max_size 2048 scales the short side to 0.5 → floor 0) must yield a
+    1-pixel side, not an empty buffer that crashes the resample."""
     longest = max(w, h)
     if longest <= max_size:
         return (w, h)
     scale = max_size / longest
-    return (int(w * scale), int(h * scale))
+    return (max(1, int(w * scale)), max(1, int(h * scale)))
 
 
 # -- encoder (fixture/test side) --------------------------------------------

@@ -65,8 +65,14 @@ def wav_features(payload: bytes | None, checksum_offset: int = 32768):
     n_frames = len(samples) // channels
     duration_ms = n_frames * 1000 // rate
     peak = max((abs(s) for s in samples), default=0)
-    zc = sum(1 for i in range(1, len(samples))
-             if samples[i - 1] * samples[i] < 0)
+    # zero crossings are a PER-CHANNEL physical signal: compare each
+    # sample against the previous frame's sample of the SAME channel
+    # (stride = channels), or a stereo file with constant L=+x / R=-x
+    # would count a bogus crossing at every interleaved boundary
+    zc = sum(1 for i in range(channels, len(samples))
+             if samples[i - channels] * samples[i] < 0)
+    # integrity checksum over the interleaved stream as stored (an exact
+    # decode invariant, not a physical metric)
     checksum = sum((s + checksum_offset) * (i + 1)
                    for i, s in enumerate(samples))
     return (rate, channels, n_frames, duration_ms, peak, zc, checksum)

@@ -181,6 +181,29 @@ def png_dims_native(payload: Column) -> Column:
                   F.struct(w.alias("width"), h.alias("height")))
 
 
+
+# -- native byte/word hex builders (shared by the fixture constructors) ----
+
+def _bhex(col):
+    """One byte as two uppercase hex chars."""
+    return F.lpad(F.hex(col), 2, "0")
+
+
+def _u16le(col):
+    """Unsigned 16-bit little-endian."""
+    return F.concat(_bhex(col % 256), _bhex(F.floor(col / 256).cast("int")))
+
+
+def _u32le(col):
+    lo = col % 65536
+    hi = F.floor(col / 65536).cast("int")
+    return F.concat(_u16le(lo), _u16le(hi))
+
+
+def _u32be(col):
+    return F.lpad(F.hex(col), 8, "0")
+
+
 def png_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
     """Hex of a COMPLETE, stdlib-zlib-decodable RGB PNG built entirely from
     NATIVE expressions — the fixture side of the pixel-decode oracle, with
@@ -227,23 +250,14 @@ def png_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
                    lambda d, w: d.cast("long") * w),
         lsum, lambda a, b: a + b)) % 65521
 
-    def bhex(col):
-        return F.lpad(F.hex(col), 2, "0")
-
-    def u16le(col):
-        return F.concat(bhex(col % 256), bhex(F.floor(col / 256).cast("int")))
-
-    def u32be(col):
-        return F.lpad(F.hex(col), 8, "0")
-
-    data_hex = F.array_join(F.transform(data, bhex), "")
-    zlib_hex = F.concat(F.lit("7801" "01"), u16le(n), u16le(65535 - n),
-                        data_hex, u32be(s2 * 65536 + s1))
+    data_hex = F.array_join(F.transform(data, _bhex), "")
+    zlib_hex = F.concat(F.lit("7801" "01"), _u16le(n), _u16le(65535 - n),
+                        data_hex, _u32be(s2 * 65536 + s1))
     return F.concat(
         F.lit("89504E470D0A1A0A"),                        # signature
-        F.lit("0000000D" "49484452"), u32be(width), u32be(height),
+        F.lit("0000000D" "49484452"), _u32be(width), _u32be(height),
         F.lit("0802000000" "00000000"),                   # 8-bit RGB + crc0
-        u32be(n + 11), F.lit("49444154"), zlib_hex,       # IDAT
+        _u32be(n + 11), F.lit("49444154"), zlib_hex,       # IDAT
         F.lit("00000000"),                                # idat crc0
         F.lit("00000000" "49454E44" "00000000"))          # IEND
 
@@ -306,17 +320,6 @@ def wav_pcm_fixture_hex(seed: Column, n_samples: Column,
     bytes."""
     import struct as _struct
 
-    def bhex(col):
-        return F.lpad(F.hex(col), 2, "0")
-
-    def u16le(col):                      # unsigned 16-bit little-endian
-        return F.concat(bhex(col % 256), bhex(F.floor(col / 256).cast("int")))
-
-    def u32le(col):
-        lo = col % 65536
-        hi = F.floor(col / 65536).cast("int")
-        return F.concat(u16le(lo), u16le(hi))
-
     block = 2  # mono 16-bit
     fmt_hex = ("666D7420" + "10000000"              # 'fmt ' + len 16
                + _struct.pack("<HHIIHH", 1, 1, rate, rate * block,
@@ -324,28 +327,31 @@ def wav_pcm_fixture_hex(seed: Column, n_samples: Column,
     sample = F.transform(
         F.sequence(F.lit(0), n_samples - 1),
         # signed -> two's-complement u16 before the LE byte swap
-        lambda i: u16le(((i * 997 + seed * 11) % 4096 - 2048 + 65536) % 65536))
+        lambda i: _u16le(((i * 997 + seed * 11) % 4096 - 2048 + 65536) % 65536))
     data_len = n_samples * 2
     return F.concat(
-        F.lit("52494646"), u32le(data_len + 36), F.lit("57415645"),  # RIFF/WAVE
+        F.lit("52494646"), _u32le(data_len + 36), F.lit("57415645"),  # RIFF/WAVE
         F.lit(fmt_hex),
-        F.lit("64617461"), u32le(data_len),                          # 'data'
+        F.lit("64617461"), _u32le(data_len),                          # 'data'
         F.array_join(sample, ""))
 
 
 def resize_dims(media: DataFrame, max_size: int = 2048) -> DataFrame:
     """Resize planning (reference core/utils.py:49-53: bound images to a
     max_size square, preserving aspect ratio; never upscale). Pure
-    arithmetic projection — the actual pixel resample is the stubbed codec
-    step; the dims computation is the part that must be exact."""
+    arithmetic projection, executed by resample_images via the identical
+    pngpix.bounded_dims rule — including the ≥1 clamp on the short side
+    (an extreme aspect ratio floors to 0 otherwise)."""
     w, h = F.col("width"), F.col("height")
     longest = F.greatest(w, h)
     scale = F.when(longest > max_size, F.lit(max_size) / longest) \
              .otherwise(F.lit(1.0))
     return media.select(
         "media_id", "width", "height",
-        F.floor(w * scale).cast("int").alias("new_width"),
-        F.floor(h * scale).cast("int").alias("new_height"),
+        F.greatest(F.lit(1), F.floor(w * scale).cast("int"))
+         .alias("new_width"),
+        F.greatest(F.lit(1), F.floor(h * scale).cast("int"))
+         .alias("new_height"),
         (longest > max_size).alias("resized"))
 
 

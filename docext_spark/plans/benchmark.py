@@ -100,6 +100,12 @@ def accuracy_matrix(scores: DataFrame, model: str = "native",
                .groupBy("model").pivot("task", sorted(tasks or TASKS))
                .agg(F.first("score")))
     cols = [c for c in pivoted.columns if c != "model"]
-    avg = sum(F.coalesce(F.col(c), F.lit(0.0)) for c in cols) / len(cols)
+    # average over the tasks actually SCORED (null pivot columns are
+    # absent tasks, not zeros): a caller scoring 2 of the 5 tasks must
+    # see the mean of those 2, exactly as when the pivot columns were
+    # collected from the data
+    n_present = sum(F.col(c).isNotNull().cast("int") for c in cols)
+    avg = (sum(F.coalesce(F.col(c), F.lit(0.0)) for c in cols)
+           / F.greatest(n_present, F.lit(1)))
     return (pivoted.withColumn("average", F.round(avg, 6))
             .orderBy(F.desc("average")))

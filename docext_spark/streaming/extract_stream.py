@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from docext_spark.operators.extract import extract_turns
 from docext_spark.schema import TRANSCRIPT_SCHEMA
+from docext_spark.sources.transcripts import RESULT_SCHEMA
 
-RESULT_COLS = ["conv_id", "turn_idx", "role", "md", "kind",
-               "blocks_kept", "blocks_dropped", "classifier_decisions",
-               "parse_ok"]
+# derived from the SAME StructType the Iceberg results table is DDL'd
+# from — the stream projection cannot drift from the deployed schema
+RESULT_COLS = [f.name for f in RESULT_SCHEMA.fields]
 
 
 def start_extraction_stream(spark: SparkSession, input_dir: str,

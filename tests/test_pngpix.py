@@ -75,6 +75,27 @@ def test_bounded_dims_rule():
     assert pngpix.bounded_dims(4096, 1000, 2048) == (2048, 500)
     assert pngpix.bounded_dims(1000, 4000, 2048) == (512, 2048)
     assert pngpix.bounded_dims(8, 8, 8) == (8, 8)  # boundary: no resize
+    # extreme aspect ratio: the short side clamps to 1, never 0 (a 0 dim
+    # made the resample buffer empty and crashed the mean — review r4)
+    assert pngpix.bounded_dims(1, 4096, 2048) == (1, 2048)
+    assert pngpix.bounded_dims(4096, 1, 2048) == (2048, 1)
+
+
+def test_resample_extreme_aspect_ratio_no_crash(spark):
+    """A valid 1×64 strip bounded to max_size 8 must resample to 1×8, not
+    crash on an empty buffer (review r4: ZeroDivisionError in the 'never
+    throws' decode path)."""
+    import pandas as pd
+    from docext_spark.operators.multimodal import resample_images
+    px = _pattern(1, 64, 3)
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, pngpix.encode_png(1, 64, 3, px))],
+                     columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    r = resample_images(media, max_size=8).collect()[0]
+    assert (r["new_width"], r["new_height"]) == (1, 8)
+    out = pngpix.resize_nearest(1, 64, 3, px, 1, 8)
+    assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
 
 
 def test_native_fixture_matches_python_encoder(spark):

@@ -53,6 +53,22 @@ def test_wav_features_analytic():
     assert cs == sum((v + 32768) * (i + 1) for i, v in enumerate(s))
 
 
+def test_zero_crossings_are_per_channel():
+    """Review r4: interleaved counting saw a bogus crossing at every L/R
+    boundary of a stereo file. Constant L=+100 / R=-100 has ZERO physical
+    crossings; a genuinely alternating mono signal keeps its count."""
+    stereo = [100, -100] * 50
+    f = wavpcm.wav_features(wavpcm.encode_wav(8000, 2, stereo))
+    assert f[1] == 2 and f[5] == 0          # channels=2, zero_crossings=0
+    mono_alt = [100 if i % 2 == 0 else -100 for i in range(100)]
+    f2 = wavpcm.wav_features(wavpcm.encode_wav(8000, 1, mono_alt))
+    assert f2[5] == 99
+    # per-channel crossings in a stereo file are still counted
+    stereo_x = [100, 7, -100, 7] * 25       # L alternates, R constant +7
+    f3 = wavpcm.wav_features(wavpcm.encode_wav(8000, 2, stereo_x))
+    assert f3[5] == 49
+
+
 def test_audio_features_operator_native_fixture(spark):
     from docext_spark.operators.multimodal import (audio_features,
                                                    wav_pcm_fixture_hex)
