@@ -2440,6 +2440,89 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _gif_resample_pixels(spark, sf_dir):
+    """REAL GIF pixel decode (full LZW: variable-width codes, CLEAR
+    resets, palette mapping — core/gifpix.py) + the same NN resample as
+    the PNG path. Payloads are valid GIF87a files with a 16-color global
+    palette and id-derived index patterns (built by the fixture encoder —
+    LZW bit-packing is the one construction that is Python-side; PNG/WAV
+    fixtures cover the native-expression construction story). The oracle
+    replays index rule (3x+5y+id) mod 16 and palette rule
+    (idx·(3+2c)+(c+1)) mod 256 analytically through the resample map —
+    any LZW/palette/resample error breaks the checksum."""
+    import pandas as pd
+    from docext_spark.core import gifpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    palette = [((c * 3 + 1) % 256, (c * 5 + 2) % 256, (c * 7 + 3) % 256)
+               for c in range(16)]
+    rows = []
+    for i in range(100):
+        w, h = 3 + i % 12, 2 + (i * 5) % 11
+        idx = [(x * 3 + y * 5 + i) % 16
+               for y in range(h) for x in range(w)]
+        rows.append((i, "image", gifpix.encode_gif(w, h, palette, idx)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_GIF_RESAMPLE_SQL = """
+WITH dims AS (
+  SELECT i AS media_id, (3 + i % 12)::INT AS w, (2 + (i * 5) % 11)::INT AS h
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(w * (8.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(h * (8.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), out_vals AS (
+  SELECT media_id, i,
+         -- flat -> (x,y,c) -> NN source -> palette index -> channel value
+         (((((((i // 3) % nw) * w) // nw) * 3
+            + (((i // (nw * 3)) * h) // nh) * 5 + media_id) % 16)
+          * (3 + 2 * (i % 3)) + (i % 3) + 1) % 256 AS v
+  FROM (SELECT media_id, w, h, nw, nh,
+               unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+        FROM bounded)
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         ((((i // 3) % w) * 3 + (i // (w * 3)) * 5 + media_id) % 16
+          * (3 + 2 * (i % 3)) + (i % 3) + 1) % 256 AS v
+  FROM (SELECT media_id, w, h,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'gif' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
+"""
+
+
 def _audio_waveform_features(spark, sf_dir):
     """REAL WAV/PCM waveform decode (the audio twin of
     image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
@@ -2741,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
         "simhash_flood_guard": _simhash_flood_guard,
         "image_resample_pixels": _image_resample_pixels,
+        "gif_resample_pixels": _gif_resample_pixels,
         "audio_waveform_features": _audio_waveform_features,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
@@ -2802,6 +2886,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_winnow_flood_guard": _winnow_flood_sql(),
         "simhash_flood_guard": _simhash_flood_sql(),
         "image_resample_pixels": _RESAMPLE_SQL,
+        "gif_resample_pixels": _GIF_RESAMPLE_SQL,
         "audio_waveform_features": _audio_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),

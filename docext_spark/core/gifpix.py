@@ -1,0 +1,184 @@
+"""Pure-Python GIF pixel decode — full LZW, stdlib only.
+
+Completes the image half of the multimodal decode story (PNG pixels:
+core/pngpix.py; WAV samples: core/wavpcm.py): a GIF's image data is LZW
+with GIF's variable-width code packing (LSB-first), which needs no
+library — just the dictionary algorithm from the GIF89a spec appendix.
+The decoder implements FULL LZW (code-width growth to 12 bits, CLEAR
+resets, the code==next "KwKwK" case); the fixture encoder uses the
+classic fixed-width "ungif" form (every symbol a root code, CLEAR before
+any width change) which is valid GIF by construction, and the decoder's
+growth path is pinned separately by a hand-computed code-stream test.
+
+Scope: first image frame, non-interlaced, global or local color table.
+Interlaced/malformed → None (a 100TB scan never dies on one blob; route
+exotica to a codec fleet).
+"""
+from __future__ import annotations
+
+import struct
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
+    """GIF-variant LZW: variable width starting min+1, LSB-first packing,
+    CLEAR/EOI codes, width growth at next == 2^width (cap 12)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dictionary: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    next_code = eoi + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                width = min_code_size + 1
+                dictionary = dictionary[:eoi + 1]
+                next_code = eoi + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                if code >= len(dictionary):
+                    return None
+                entry = dictionary[code]
+            elif code < len(dictionary):
+                entry = dictionary[code]
+            elif code == next_code:
+                entry = prev + prev[:1]          # the KwKwK case
+            else:
+                return None                      # corrupt stream
+            out += entry
+            if len(out) > max_pixels:
+                return None                      # over-long stream
+            if prev is not None:
+                dictionary.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    # missing EOI: tolerate if the pixel count already matches
+    return bytes(out)
+
+
+def decode_gif(payload: bytes | None):
+    """(width, height, 3, rgb_bytes) of the FIRST image frame, or None."""
+    if not payload or len(payload) < 13 \
+            or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = payload[10]
+    pos = 13
+    n = len(payload)
+    palette = None
+    if packed & 0x80:                            # global color table
+        size = 3 * (2 << (packed & 0x07))
+        palette = payload[pos:pos + size]
+        pos += size
+    while pos < n:
+        b = payload[pos]
+        if b == 0x21:                            # extension: skip sub-blocks
+            pos += 2
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                          # image descriptor
+            if pos + 10 > n:
+                return None
+            w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:                   # interlaced: out of scope
+                return None
+            if ipacked & 0x80:                   # local color table
+                size = 3 * (2 << (ipacked & 0x07))
+                palette = payload[pos:pos + size]
+                pos += size
+            if palette is None or pos >= n or w == 0 or h == 0:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            if not 2 <= min_code_size <= 11:
+                return None
+            data = bytearray()                   # reassemble sub-blocks
+            while pos < n and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(min_code_size, bytes(data), w * h)
+            if indices is None or len(indices) < w * h:
+                return None
+            rgb = bytearray(w * h * 3)
+            npal = len(palette) // 3
+            for i in range(w * h):
+                idx = indices[i]
+                if idx >= npal:
+                    return None
+                rgb[i * 3:i * 3 + 3] = palette[idx * 3:idx * 3 + 3]
+            return (w, h, 3, bytes(rgb))
+        elif b == 0x3B:                          # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+# -- fixture encoder (fixed-width "ungif" LZW — valid by construction) ------
+
+def encode_gif(w: int, h: int, palette: list[tuple[int, int, int]],
+               indices: list[int]) -> bytes:
+    """A fully valid GIF87a: global color table sized to the palette,
+    image data as fixed-width LZW (every symbol emitted as a root code,
+    CLEAR before the decoder's dictionary would force a width change)."""
+    if len(indices) != w * h:
+        raise ValueError("indices do not match dims")
+    pal_bits = max(1, (max(1, len(palette) - 1)).bit_length())
+    pal_n = 1 << pal_bits
+    if any(i >= pal_n for i in indices):
+        raise ValueError("index out of palette range")
+    min_code = max(2, pal_bits)
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    bits: list[tuple[int, int]] = [(clear, width)]
+    next_code = eoi + 1
+    for sym in indices:
+        bits.append((sym, width))
+        next_code += 1                           # decoder adds one entry
+        if next_code >= (1 << width) - 1:        # stay fixed-width
+            bits.append((clear, width))
+            next_code = eoi + 1
+    bits.append((eoi, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, cw in bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    pal = bytearray()
+    for i in range(pal_n):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        pal += bytes((r, g, b))
+    out = bytearray()
+    out += b"GIF87a" + struct.pack("<HH", w, h)
+    out.append(0x80 | (pal_bits - 1))            # GCT present, size bits
+    out += b"\x00\x00" + pal
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)

@@ -3,13 +3,14 @@
 The Spark-side plumbing is real (schema, mapInPandas batch shape, metadata
 projection), and so is the decode: container sniff + pixel dims are parsed
 from the REAL payload bytes (core/imagehdr.py), and PNG payloads are
-decoded to REAL PIXELS (core/pngpix.py — stdlib zlib inflate + scanline
-unfilter, no PIL needed), resampled nearest-neighbor, and featurized from
-the decoded samples; WAV/PCM payloads are decoded to REAL WAVEFORM SAMPLES
-(core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only compressed-codec
-decode (JPEG entropy coding, mp3/aac, video) remains stubbed — genuinely
-library territory; those payloads fall back to the byte-histogram feature
-behind the same mapInPandas seam.
+decoded to REAL PIXELS — PNG via core/pngpix.py (stdlib zlib inflate +
+scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
+width growth + palette mapping) — resampled nearest-neighbor, and
+featurized from the decoded samples; WAV/PCM payloads are decoded to REAL
+WAVEFORM SAMPLES (core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only
+entropy-coded codecs (JPEG DCT, mp3/aac, video) remain stubbed —
+genuinely library territory; those payloads fall back to the
+byte-histogram feature behind the same mapInPandas seam.
 
 Reference analog: page images are opaque payloads resized/encoded before
 send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210), decoded with
@@ -24,7 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docext_spark.core import imagehdr, pngpix
+from docext_spark.core import gifpix, imagehdr, pngpix
+
+
+def _decode_image_pixels(payload):
+    """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
+    inflate + unfilter) or GIF (full LZW + palette) — else None."""
+    return pngpix.decode_png(payload) or gifpix.decode_gif(payload)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -85,7 +92,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                        for p, k in zip(pdf["payload"], pdf["kind"])]
             feats, srcs = [], []
             for p in pdf["payload"]:
-                pix = pngpix.decode_png(p)
+                pix = _decode_image_pixels(p)
                 if pix is not None:
                     feats.append(_histogram8(pix[3]))
                     srcs.append("pixels")
@@ -136,7 +143,7 @@ def resample_images(media: DataFrame, max_size: int = 2048) -> DataFrame:
                             ("w", "h", "ch", "nw", "nh", "cs", "mean")}
             for i, p in enumerate(pdf["payload"]):
                 fmt.append(imagehdr.sniff_format(p))
-                dec = pngpix.decode_png(p)
+                dec = _decode_image_pixels(p)
                 if dec is None:
                     continue
                 w, h, ch, px = dec

@@ -117,3 +117,76 @@ def test_imagehdr_builders_roundtrip(w, h, filler):
     assert ih.parse_dims(ih.make_png(w, h, filler)) == ("png", w, h)
     assert ih.parse_dims(ih.make_jpeg(w, h, filler)) == ("jpeg", w, h)
     assert ih.parse_dims(ih.make_gif(w, h, filler)) == ("gif", w, h)
+
+
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([1, 2, 3, 4]),
+       st.lists(st.integers(0, 4), min_size=12, max_size=12),
+       st.binary(max_size=160))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_and_decode_total(w, h, ch, filters, junk):
+    """encode→decode is the identity for every dims×channels×filter mix,
+    and decode never raises on arbitrary bytes (returns None instead)."""
+    from docext_spark.core import pngpix
+    px = bytes((x * 31 + y * 17 + c * 7) % 256
+               for y in range(h) for x in range(w) for c in range(ch))
+    b = pngpix.encode_png(w, h, ch, px, lambda y: filters[y % 12])
+    assert pngpix.decode_png(b) == (w, h, ch, px)
+    assert pngpix.decode_png(junk) is None or isinstance(
+        pngpix.decode_png(junk), tuple)
+    # truncation anywhere is survivable
+    assert pngpix.decode_png(b[:len(b) // 2]) is None
+
+
+@given(st.integers(1, 10), st.integers(1, 10),
+       st.integers(1, 6), st.integers(1, 6), st.sampled_from([1, 3]))
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_total_and_exact(w, h, nw, nh, ch):
+    """Every output pixel of the floor-map NN resample equals the mapped
+    source pixel; the buffer is always exactly nw·nh·ch bytes."""
+    from docext_spark.core import pngpix
+    px = bytes((i * 13) % 256 for i in range(w * h * ch))
+    out = pngpix.resize_nearest(w, h, ch, px, nw, nh)
+    assert len(out) == nw * nh * ch
+    for y in range(nh):
+        for x in range(nw):
+            sx, sy = (x * w) // nw, (y * h) // nh
+            for c in range(ch):
+                assert out[(y * nw + x) * ch + c] \
+                    == px[(sy * w + sx) * ch + c]
+
+
+@given(st.integers(8, 48000), st.sampled_from([1, 2, 4]),
+       st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+       st.binary(max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_and_decode_total(rate, ch, samples, junk):
+    from docext_spark.core import wavpcm
+    # pad to a whole number of frames
+    samples = samples[:len(samples) - len(samples) % ch]
+    b = wavpcm.encode_wav(rate, ch, samples)
+    assert wavpcm.decode_wav(b) == (rate, ch, 16, samples)
+    assert wavpcm.decode_wav(junk) is None or isinstance(
+        wavpcm.decode_wav(junk), tuple)
+    assert wavpcm.decode_wav(b[:10]) is None
+    f = wavpcm.wav_features(b)
+    assert f is not None and f[4] == max((abs(s) for s in samples),
+                                         default=0)
+
+
+@given(st.integers(1, 10), st.integers(1, 10),
+       st.integers(2, 64), st.integers(0, 1000), st.binary(max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_and_decode_total(w, h, ncol, seed, junk):
+    from docext_spark.core import gifpix
+    palette = [((c * 11 + seed) % 256, (c * 13 + 1) % 256, (c * 17 + 2) % 256)
+               for c in range(ncol)]
+    idx = [(x * 7 + y * 3 + seed) % ncol
+           for y in range(h) for x in range(w)]
+    b = gifpix.encode_gif(w, h, palette, idx)
+    dec = gifpix.decode_gif(b)
+    assert dec is not None and (dec[0], dec[1], dec[2]) == (w, h, 3)
+    for i, ix in enumerate(idx):
+        assert tuple(dec[3][i * 3:i * 3 + 3]) == palette[ix]
+    assert gifpix.decode_gif(junk) is None or isinstance(
+        gifpix.decode_gif(junk), tuple)

@@ -1,0 +1,105 @@
+"""GIF pixel decode (core/gifpix.py): full-LZW roundtrips, a hand-computed
+code-stream trace pinning the width-growth and KwKwK paths, defensive
+edges, and integration with the shared image-resample operator."""
+from __future__ import annotations
+
+import pytest
+
+from docext_spark.core import gifpix, imagehdr
+
+
+def _fixture(ncol, w, h, seed=0):
+    palette = [((c * 3 + 1) % 256, (c * 5 + 2) % 256, (c * 7 + 3) % 256)
+               for c in range(ncol)]
+    idx = [(x * 3 + y * 5 + seed) % ncol for y in range(h) for x in range(w)]
+    return palette, idx
+
+
+@pytest.mark.parametrize("ncol,w,h", [(2, 1, 1), (4, 7, 5), (16, 10, 3),
+                                      (130, 12, 9), (256, 16, 16)])
+def test_roundtrip_palette_sizes(ncol, w, h):
+    palette, idx = _fixture(ncol, w, h)
+    dec = gifpix.decode_gif(gifpix.encode_gif(w, h, palette, idx))
+    assert dec is not None
+    dw, dh, ch, rgb = dec
+    assert (dw, dh, ch) == (w, h, 3)
+    for i, ix in enumerate(idx):
+        assert tuple(rgb[i * 3:i * 3 + 3]) == palette[ix]
+
+
+def _pack(codes):
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_growth_and_kwkwk_hand_trace():
+    """Hand-computed decode of a crafted stream (min_code_size=2):
+    CLEAR,1,6,6,7,EOI — code 6 arrives while next==6 (the KwKwK case),
+    then next reaches 2^3 so the width grows to 4 bits mid-stream. The
+    fixture encoder never emits these (fixed-width ungif), so this pins
+    the full-LZW decoder paths independently."""
+    clear, eoi = 4, 5
+    codes = [(clear, 3), (1, 3), (6, 3), (6, 3), (7, 4), (eoi, 4)]
+    out = gifpix._lzw_decode(2, _pack(codes), 100)
+    assert out == bytes([1, 1, 1, 1, 1, 1, 1, 1])
+
+
+def test_mid_stream_clear_resets_dictionary():
+    clear, eoi = 4, 5
+    codes = [(clear, 3), (2, 3), (6, 3),          # dict[6]=(2,2) via KwKwK
+             (clear, 3), (3, 3), (6, 3), (eoi, 3)]  # 6 is KwKwK of 3 now
+    out = gifpix._lzw_decode(2, _pack(codes), 100)
+    assert out == bytes([2, 2, 2, 3, 3, 3])
+
+
+def test_defensive_returns_none():
+    palette, idx = _fixture(4, 6, 6)
+    good = gifpix.encode_gif(6, 6, palette, idx)
+    assert gifpix.decode_gif(None) is None
+    assert gifpix.decode_gif(b"") is None
+    assert gifpix.decode_gif(b"GIF87a") is None
+    assert gifpix.decode_gif(b"not a gif") is None
+    # header-only (no image descriptor)
+    assert gifpix.decode_gif(imagehdr.make_gif(5, 5)) is None
+    # truncated mid-stream
+    assert gifpix.decode_gif(good[:len(good) // 2]) is None
+    # interlace flag rejected
+    bad = bytearray(good)
+    pos = bad.index(0x2C)
+    bad[pos + 9] |= 0x40
+    assert gifpix.decode_gif(bytes(bad)) is None
+    # corrupt code stream (out-of-range code)
+    out = gifpix._lzw_decode(2, _pack([(4, 3), (7, 3)]), 100)
+    assert out is None
+
+
+def test_resample_operator_decodes_gif(spark):
+    import pandas as pd
+    from docext_spark.core import pngpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    palette, idx = _fixture(16, 12, 4, seed=3)
+    payload = gifpix.encode_gif(12, 4, palette, idx)
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, "image", payload)],
+                     columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    r = resample_images(media, max_size=8).collect()[0]
+    assert r["format"] == "gif" and (r["width"], r["height"]) == (12, 4)
+    nw, nh = pngpix.bounded_dims(12, 4, 8)
+    assert (r["new_width"], r["new_height"]) == (nw, nh)
+    rgb = gifpix.decode_gif(payload)[3]
+    out = pngpix.resize_nearest(12, 4, 3, rgb, nw, nh)
+    assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
+    f = extract_features(media).collect()[0]
+    assert f["feature_src"] == "pixels"
