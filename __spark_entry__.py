@@ -2523,6 +2523,87 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _jpeg_resample_pixels(spark, sf_dir):
+    """REAL baseline-JPEG decode (Huffman entropy decode + dequant + IDCT
+    — core/jpegpix.py) through the shared resample path. JPEG is lossy in
+    general, but blockwise-constant EVEN sample values round-trip EXACTLY
+    through FDCT → flat-16 quant → IDCT (only DC survives, divisible by
+    16), so the planted fixtures decode bit-exact and the oracle replays
+    the block rule ((3·bx+5·by+id) mod 128)·2 through the NN map
+    analytically. The payloads are real entropy-coded streams (Annex K
+    Huffman tables, byte stuffing, DC prediction) produced by the repo's
+    own baseline encoder."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        px = bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                   for y in range(h) for x in range(w))
+        rows.append((i, "image", jpegpix.encode_jpeg_gray(w, h, px)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=12)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_JPEG_RESAMPLE_SQL = """
+WITH dims AS (
+  SELECT i AS media_id,
+         (8 + 8 * (i % 3))::INT AS w, (8 + 8 * ((i * 2) % 3))::INT AS h
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(w * (12.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(h * (12.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), out_vals AS (
+  -- flat -> (x,y) -> NN source -> 8x8 block -> constant block value
+  SELECT media_id, i,
+         ((((((i % nw) * w) // nw) // 8) * 3
+           + ((((i // nw) * h) // nh) // 8) * 5 + media_id) % 128) * 2 AS v
+  FROM (SELECT media_id, w, h, nw, nh,
+               unnest(generate_series(0, nw * nh - 1)) AS i
+        FROM bounded)
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         ((((i % w) // 8) * 3 + ((i // w) // 8) * 5 + media_id) % 128) * 2
+           AS v
+  FROM (SELECT media_id, w, h,
+               unnest(generate_series(0, w * h - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'jpeg' AS format, b.w AS width, b.h AS height,
+       1 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
+"""
+
+
 def _audio_waveform_features(spark, sf_dir):
     """REAL WAV/PCM waveform decode (the audio twin of
     image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
@@ -2825,6 +2906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_flood_guard": _simhash_flood_guard,
         "image_resample_pixels": _image_resample_pixels,
         "gif_resample_pixels": _gif_resample_pixels,
+        "jpeg_resample_pixels": _jpeg_resample_pixels,
         "audio_waveform_features": _audio_waveform_features,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
@@ -2887,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_flood_guard": _simhash_flood_sql(),
         "image_resample_pixels": _RESAMPLE_SQL,
         "gif_resample_pixels": _GIF_RESAMPLE_SQL,
+        "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
         "audio_waveform_features": _audio_sql(),
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),

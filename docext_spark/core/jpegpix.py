@@ -1,0 +1,409 @@
+"""Pure-Python baseline JPEG pixel decode — real Huffman + dequant + IDCT,
+stdlib only.
+
+The last piece of the image-decode story (PNG: core/pngpix.py, GIF:
+core/gifpix.py): a REAL baseline-JPEG entropy decoder — marker parse, DQT
+/ DHT table loading, byte-unstuffed Huffman bitstream, DC prediction with
+EXTEND sign recovery, run/size AC coding with ZRL/EOB, dezigzag, dequant,
+and the exact float 2-D IDCT from the JPEG spec (A.3.3) with level shift.
+
+Scope (honest, like the PCM-only WAV and non-interlaced GIF decoders):
+8-bit BASELINE (SOF0) GRAYSCALE, no restart intervals. Color/progressive/
+subsampled streams return None — at 100 TB those route to a codec fleet;
+the scan must never die on one blob.
+
+Exactness: JPEG is lossy in general, but a block whose 64 samples are one
+CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
+(its only nonzero coefficient is DC = 8·(v−128), divisible by 16 iff v is
+even) — which is what lets a planted fixture be replayed analytically by
+a SQL oracle while the decoder still chews real entropy-coded bytes. The
+general (non-constant) path is pinned by encoder↔decoder near-roundtrip
+bounds and a NumPy cross-check of the IDCT.
+"""
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag order: index i of the scan -> (row, col) flat position
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_COS = [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def idct2d(coef: list[float]) -> list[float]:
+    """Exact (float) 8×8 inverse DCT, JPEG spec A.3.3 definition form."""
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cvy = _COS[y][v]
+                for u in range(8):
+                    c = coef[v * 8 + u]
+                    if c:
+                        s += _C[u] * _C[v] * c * _COS[x][u] * cvy
+            out[y * 8 + x] = s / 4
+    return out
+
+
+def fdct2d(block: list[float]) -> list[float]:
+    """Forward DCT (encoder side), definition form."""
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cvy = _COS[y][v]
+                for x in range(8):
+                    s += block[y * 8 + x] * _COS[x][u] * cvy
+            out[v * 8 + u] = s * _C[u] * _C[v] / 4
+    return out
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table: (code, length) -> symbol."""
+
+    def __init__(self, counts: bytes, symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def max_len(self) -> int:
+        return max((ln for ln, _ in self.lookup), default=0)
+
+
+class _BitReader:
+    """Byte-unstuffed MSB-first bit reader over entropy-coded data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        while self.nbits < 25:
+            if self.pos >= len(self.data):
+                return self.nbits > 0
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1          # stuffed byte
+                else:
+                    self.pos -= 1          # a real marker: stop feeding
+                    return self.nbits > 0
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        return True
+
+    def read_bits(self, n: int):
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:
+            return None
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table: _HuffTable):
+        self._fill()
+        code = 0
+        for length in range(1, table.max_len() + 1):
+            bit = self.read_bits(1)
+            if bit is None:
+                return None
+            code = (code << 1) | bit
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND (F.2.2.1): recover the signed value from size bits."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes | None):
+    """(width, height, 1, pixels) for baseline grayscale JPEG, or None."""
+    if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    dc_tables: dict[int, _HuffTable] = {}
+    ac_tables: dict[int, _HuffTable] = {}
+    w = h = None
+    qt_id = dc_id = ac_id = None
+    i, n = 2, len(payload)
+    data_start = None
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            return None                     # EOI before SOS
+        if i + 4 > n:
+            return None
+        seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None                     # truncated segment
+        seg = payload[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:                  # DQT
+            p = 0
+            while p < len(seg):
+                if p + 65 > len(seg):
+                    return None
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:                 # 16-bit tables out of scope
+                    return None
+                qtables[tq] = list(seg[p + 1:p + 65])
+                p += 65
+        elif marker == 0xC4:                # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                counts = seg[p + 1:p + 17]
+                total = sum(counts)
+                if p + 17 + total > len(seg):
+                    return None             # truncated table
+                symbols = seg[p + 17:p + 17 + total]
+                table = _HuffTable(counts, symbols)
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                p += 17 + total
+        elif marker == 0xC0:                # SOF0 baseline
+            if len(seg) < 9:
+                return None
+            if seg[0] != 8:
+                return None                 # 8-bit only
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 1:
+                return None                 # grayscale only
+            sampling = seg[7]
+            if sampling != 0x11:
+                return None
+            qt_id = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None                     # non-baseline SOF
+        elif marker == 0xDD:
+            return None                     # restart intervals out of scope
+        elif marker == 0xDA:                # SOS
+            if len(seg) < 6 or seg[0] != 1:
+                return None
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            data_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if data_start is None or not w or not h or qt_id not in qtables \
+            or dc_id not in dc_tables or ac_id not in ac_tables:
+        return None
+    qt = qtables[qt_id]
+    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+    reader = _BitReader(payload[data_start:])
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    out = bytearray(w * h)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            size = reader.read_symbol(dc_t)
+            if size is None or size > 11:
+                return None
+            bits = reader.read_bits(size)
+            if bits is None:
+                return None
+            pred += _extend(bits, size)
+            coef = [0.0] * 64
+            coef[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                sym = reader.read_symbol(ac_t)
+                if sym is None:
+                    return None
+                if sym == 0x00:             # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:           # only ZRL carries size 0
+                        return None
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    return None
+                bits = reader.read_bits(size)
+                if bits is None:
+                    return None
+                coef[ZIGZAG[k]] = _extend(bits, size) * qt[k]
+                k += 1
+            spatial = idct2d(coef)
+            for yy in range(8):
+                py = by * 8 + yy
+                if py >= h:
+                    break
+                row = py * w
+                for xx in range(8):
+                    px = bx * 8 + xx
+                    if px >= w:
+                        break
+                    v = int(round(spatial[yy * 8 + xx])) + 128
+                    out[row + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return (w, h, 1, bytes(out))
+
+
+# -- encoder (fixture/test side): real baseline grayscale JPEG --------------
+
+# Annex K.3 luminance Huffman tables (the standard ones every camera uses)
+_DC_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_DC_SYMBOLS = bytes(range(12))
+_AC_COUNTS = bytes([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D])
+_AC_SYMBOLS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _encode_codes(counts: bytes, symbols: bytes) -> dict[int, tuple[int, int]]:
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)       # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+def _size_of(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg_gray(w: int, h: int, pixels: bytes,
+                     quant: int = 16) -> bytes:
+    """A real baseline grayscale JPEG: float FDCT, flat quantization table
+    (all entries = ``quant``), spec Annex K Huffman tables, byte-stuffed
+    entropy stream. Lossy in general; EXACT for blockwise-constant even
+    sample values when quant=16 (see module docstring)."""
+    if len(pixels) != w * h:
+        raise ValueError("pixel buffer does not match dims")
+    qt = [quant] * 64
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+    writer = _BitWriter()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = []
+            for yy in range(8):
+                py = min(by * 8 + yy, h - 1)    # edge replication padding
+                for xx in range(8):
+                    px = min(bx * 8 + xx, w - 1)
+                    block.append(pixels[py * w + px] - 128.0)
+            coef = fdct2d(block)
+            q = [int(round(coef[ZIGZAG[k]] / qt[k])) for k in range(64)]
+            diff = q[0] - pred
+            pred = q[0]
+            size = _size_of(diff)
+            code, ln = dc_codes[size]
+            writer.write(code, ln)
+            if size:
+                writer.write(diff if diff > 0 else diff + (1 << size) - 1,
+                             size)
+            # AC run-length coding
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if q[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                if q[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]   # ZRL
+                    writer.write(code, ln)
+                    run -= 16
+                size = _size_of(q[k])
+                code, ln = ac_codes[(run << 4) | size]
+                writer.write(code, ln)
+                v = q[k]
+                writer.write(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]       # EOB
+                writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
+    dht = seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
+        + seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS)
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out)
+            + b"\xff\xd9")

@@ -5,12 +5,14 @@ projection), and so is the decode: container sniff + pixel dims are parsed
 from the REAL payload bytes (core/imagehdr.py), and PNG payloads are
 decoded to REAL PIXELS — PNG via core/pngpix.py (stdlib zlib inflate +
 scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
-width growth + palette mapping) — resampled nearest-neighbor, and
-featurized from the decoded samples; WAV/PCM payloads are decoded to REAL
-WAVEFORM SAMPLES (core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only
-entropy-coded codecs (JPEG DCT, mp3/aac, video) remain stubbed —
-genuinely library territory; those payloads fall back to the
-byte-histogram feature behind the same mapInPandas seam.
+width growth + palette mapping), baseline grayscale JPEG via
+core/jpegpix.py (Huffman entropy decode + dequant + IDCT) — resampled
+nearest-neighbor, and featurized from the decoded samples; WAV/PCM
+payloads are decoded to REAL WAVEFORM SAMPLES (core/wavpcm.py — RIFF walk
++ struct-unpacked PCM). Only color/progressive JPEG and compressed
+audio/video codecs remain stubbed — genuinely library territory; those
+payloads fall back to the byte-histogram feature behind the same
+mapInPandas seam.
 
 Reference analog: page images are opaque payloads resized/encoded before
 send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210), decoded with
@@ -25,13 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docext_spark.core import gifpix, imagehdr, pngpix
+from docext_spark.core import gifpix, imagehdr, jpegpix, pngpix
 
 
 def _decode_image_pixels(payload):
     """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
-    inflate + unfilter) or GIF (full LZW + palette) — else None."""
-    return pngpix.decode_png(payload) or gifpix.decode_gif(payload)
+    inflate + unfilter), GIF (full LZW + palette), or baseline grayscale
+    JPEG (Huffman + dequant + IDCT) — else None."""
+    return (pngpix.decode_png(payload) or gifpix.decode_gif(payload)
+            or jpegpix.decode_jpeg(payload))
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),

@@ -190,3 +190,24 @@ def test_gif_roundtrip_and_decode_total(w, h, ncol, seed, junk):
         assert tuple(dec[3][i * 3:i * 3 + 3]) == palette[ix]
     assert gifpix.decode_gif(junk) is None or isinstance(
         gifpix.decode_gif(junk), tuple)
+
+
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 500))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_blockconst_roundtrip_exact(bw, bh, seed):
+    """Blockwise-constant even grayscale JPEGs round-trip bit-exactly
+    through the real entropy coder at any block-grid size."""
+    from docext_spark.core import jpegpix
+    w, h = bw * 8, bh * 8
+    px = bytes(((((x // 8) * 3 + (y // 8) * 5 + seed) % 128) * 2)
+               for y in range(h) for x in range(w))
+    assert jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(w, h, px)) \
+        == (w, h, 1, px)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decode_total(junk):
+    from docext_spark.core import jpegpix
+    r = jpegpix.decode_jpeg(junk)
+    assert r is None or isinstance(r, tuple)

@@ -1,0 +1,111 @@
+"""Baseline JPEG decode (core/jpegpix.py): exact blockwise-constant
+roundtrips, bounded-error general roundtrips, IDCT reference cross-check,
+robustness sweeps, operator integration."""
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from docext_spark.core import imagehdr, jpegpix
+
+
+def _block_image(w, h, seed=0):
+    return bytes(((((x // 8) * 3 + (y // 8) * 5 + seed) % 128) * 2)
+                 for y in range(h) for x in range(w))
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (24, 16), (16, 24), (13, 11)])
+def test_blockwise_constant_even_exact_roundtrip(w, h):
+    """Constant even-valued blocks survive FDCT → flat-16 quant → IDCT
+    bit-exactly (only DC survives and it is divisible by 16) — through a
+    REAL entropy-coded stream (Huffman, byte stuffing, DC prediction)."""
+    px = _block_image(w, h, seed=w + h)
+    assert jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(w, h, px)) \
+        == (w, h, 1, px)
+
+
+def test_gradient_bounded_error():
+    px = bytes(min(255, x * 7 + y * 2) for y in range(16) for x in range(16))
+    dec = jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(16, 16, px))
+    assert dec is not None and dec[:3] == (16, 16, 1)
+    assert max(abs(a - b) for a, b in zip(dec[3], px)) <= 16
+
+
+def test_checkerboard_exercises_ac_coefficients():
+    """A high-frequency pattern forces nonzero AC coefficients through the
+    run/size + ZRL + EOB coding — the paths a DC-only image never hits."""
+    px = bytes(200 if (x + y) % 2 == 0 else 40
+               for y in range(8) for x in range(8))
+    dec = jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(8, 8, px))
+    assert dec is not None
+    # lossy but structure-preserving: every decoded pixel lands on the
+    # correct side of the midline
+    assert all((d > 120) == (p > 120) for d, p in zip(dec[3], px))
+
+
+def test_idct_matches_reference_formula():
+    import numpy as np
+    rng = np.random.RandomState(0)
+    coefs = rng.randint(-200, 200, 64).astype(float)
+    mine = np.array(jpegpix.idct2d(list(coefs))).reshape(8, 8)
+    C = np.array([1 / np.sqrt(2)] + [1.0] * 7)
+    ref = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    s += (C[u] * C[v] * coefs[v * 8 + u]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            ref[y, x] = s / 4
+    assert np.allclose(mine, ref, atol=1e-9)
+    # fdct is the exact inverse (float)
+    back = jpegpix.fdct2d(jpegpix.idct2d(list(coefs)))
+    assert max(abs(a - b) for a, b in zip(back, coefs)) < 1e-6
+
+
+def test_defensive_never_raises():
+    px = _block_image(24, 16)
+    good = jpegpix.encode_jpeg_gray(24, 16, px)
+    assert jpegpix.decode_jpeg(None) is None
+    assert jpegpix.decode_jpeg(b"") is None
+    assert jpegpix.decode_jpeg(b"\xff\xd8 junk") is None
+    # header-only JPEG (the multimodal_features fixture shape): no DHT/SOS
+    assert jpegpix.decode_jpeg(imagehdr.make_jpeg(40, 30)) is None
+    # every truncation point decodes to None or a tuple, never raises
+    for cut in range(0, len(good), 5):
+        r = jpegpix.decode_jpeg(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    # single-byte corruption sweep
+    random.seed(7)
+    for _ in range(60):
+        bad = bytearray(good)
+        bad[random.randrange(len(bad))] ^= 0xFF
+        r = jpegpix.decode_jpeg(bytes(bad))
+        assert r is None or isinstance(r, tuple)
+
+
+def test_resample_operator_decodes_jpeg(spark):
+    import pandas as pd
+    from docext_spark.core import pngpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    px = _block_image(24, 16, seed=5)
+    payload = jpegpix.encode_jpeg_gray(24, 16, px)
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, "image", payload)],
+                     columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    r = resample_images(media, max_size=12).collect()[0]
+    assert r["format"] == "jpeg"
+    assert (r["width"], r["height"], r["channels"]) == (24, 16, 1)
+    nw, nh = pngpix.bounded_dims(24, 16, 12)
+    assert (r["new_width"], r["new_height"]) == (nw, nh)
+    out = pngpix.resize_nearest(24, 16, 1, px, nw, nh)
+    assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
+    f = extract_features(media).collect()[0]
+    assert f["feature_src"] == "pixels"
+    # header dims (marker walk) and pixel decode agree
+    assert (f["width"], f["height"]) == (24, 16)
