@@ -18,6 +18,14 @@ from __future__ import annotations
 
 import struct
 
+# decode-bomb guard: the LZW stream's expansion is bounded by max_pixels,
+# but the dims it is bounded BY come from the file itself — a ~150KB blob
+# claiming 65535×65535 would otherwise let the index buffer grow to ~4GB
+# (LZW entries grow by one symbol per code, so output is quadratic in
+# code count) and then allocate a 12GB RGB buffer. A pure-Python decoder's
+# honest scope is small fixture/thumbnail imagery; larger dims return None.
+MAX_PIXELS = 4_000_000
+
 
 def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
     """GIF-variant LZW: variable width starting min+1, LSB-first packing,
@@ -102,6 +110,8 @@ def decode_gif(payload: bytes | None):
                 pos += size
             if palette is None or pos >= n or w == 0 or h == 0:
                 return None
+            if w * h > MAX_PIXELS:
+                return None                  # decode-bomb guard (see above)
             min_code_size = payload[pos]
             pos += 1
             if not 2 <= min_code_size <= 11:

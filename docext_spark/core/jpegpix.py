@@ -25,6 +25,14 @@ from __future__ import annotations
 import math
 import struct
 
+# decode-bomb guard: a 100-byte payload can CLAIM 60000x60000 in SOF0 and
+# would otherwise allocate the output buffer (and drive millions of IDCT
+# calls) before any entropy data is validated. A pure-Python decoder's
+# honest scope is small fixture/thumbnail imagery — anything larger
+# returns None and routes to a codec fleet, exactly like the unsupported
+# format paths.
+MAX_PIXELS = 4_000_000
+
 # zigzag order: index i of the scan -> (row, col) flat position
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -81,9 +89,9 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
-
-    def max_len(self) -> int:
-        return max((ln for ln, _ in self.lookup), default=0)
+        # precomputed: read_symbol consults this once per Huffman symbol
+        # (per-block hot path) — the table is immutable after construction
+        self.max_len = max((ln for ln, _ in self.lookup), default=0)
 
 
 class _BitReader:
@@ -125,7 +133,7 @@ class _BitReader:
     def read_symbol(self, table: _HuffTable):
         self._fill()
         code = 0
-        for length in range(1, table.max_len() + 1):
+        for length in range(1, table.max_len + 1):
             bit = self.read_bits(1)
             if bit is None:
                 return None
@@ -222,6 +230,8 @@ def decode_jpeg(payload: bytes | None):
     if data_start is None or not w or not h or qt_id not in qtables \
             or dc_id not in dc_tables or ac_id not in ac_tables:
         return None
+    if w * h > MAX_PIXELS:
+        return None                         # decode-bomb guard (see above)
     qt = qtables[qt_id]
     dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
     reader = _BitReader(payload[data_start:])
@@ -240,6 +250,7 @@ def decode_jpeg(payload: bytes | None):
             coef = [0.0] * 64
             coef[0] = pred * qt[0]
             k = 1
+            has_ac = False
             while k < 64:
                 sym = reader.read_symbol(ac_t)
                 if sym is None:
@@ -259,8 +270,14 @@ def decode_jpeg(payload: bytes | None):
                 if bits is None:
                     return None
                 coef[ZIGZAG[k]] = _extend(bits, size) * qt[k]
+                has_ac = True
                 k += 1
-            spatial = idct2d(coef)
+            if has_ac:
+                spatial = idct2d(coef)
+            else:
+                # DC-only fast path, bit-identical to idct2d (all cos terms
+                # are exactly 1.0 for u=v=0): f(x,y) = C0·C0·DC / 4
+                spatial = [_C[0] * _C[0] * coef[0] / 4] * 64
             for yy in range(8):
                 py = by * 8 + yy
                 if py >= h:

@@ -29,6 +29,13 @@ from docext_spark.core.imagehdr import PNG_SIG
 
 _COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# decode-bomb guard: IHDR dims are attacker-controlled, and a ~100KB zlib
+# stream can inflate to gigabytes — both the output allocation and the
+# inflate itself must be bounded BEFORE trusting the header. A pure-Python
+# decoder's honest scope is small fixture/thumbnail imagery; larger dims
+# return None (route to a codec fleet).
+MAX_PIXELS = 4_000_000
+
 
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
@@ -97,12 +104,19 @@ def decode_png(payload: bytes | None):
         pos += 12 + ln                   # len + type + data + crc
     if not w or not h or not channels or not idat:
         return None
+    if w * h > MAX_PIXELS:
+        return None                      # decode-bomb guard (see above)
+    stride = w * channels
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # max_length bounds the inflate so a crafted stream cannot expand
+        # past the header-implied size + 1 sentinel byte; the zlib adler32
+        # is still verified when the stream completes (eof)
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or not d.eof:
         return None
     out = bytearray(h * stride)
     prev: bytes = bytes(stride)

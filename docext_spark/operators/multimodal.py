@@ -2,7 +2,7 @@
 
 The Spark-side plumbing is real (schema, mapInPandas batch shape, metadata
 projection), and so is the decode: container sniff + pixel dims are parsed
-from the REAL payload bytes (core/imagehdr.py), and PNG payloads are
+from the REAL payload bytes (core/imagehdr.py), and image payloads are
 decoded to REAL PIXELS — PNG via core/pngpix.py (stdlib zlib inflate +
 scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
 width growth + palette mapping), baseline grayscale JPEG via
@@ -37,6 +37,7 @@ def _decode_image_pixels(payload):
     return (pngpix.decode_png(payload) or gifpix.decode_gif(payload)
             or jpegpix.decode_jpeg(payload))
 
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),      # image | audio | video
@@ -56,16 +57,17 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
     # 'pixels' when the feature was computed from fully decoded samples
-    # (PNG pixel path), 'bytes' for the opaque-payload fallback
+    # (PNG / GIF / baseline-JPEG, via _decode_image_pixels), 'bytes' for
+    # the opaque-payload fallback
     T.StructField("feature_src", T.StringType(), False),
 ])
 
 
 def _histogram8(data: bytes) -> list[float]:
     """Deterministic 8-bin value histogram over a byte buffer — applied to
-    DECODED PIXEL SAMPLES when the payload fully decodes (PNG path), else
-    to the raw payload bytes (the fallback a real extractor would route to
-    a codec fleet)."""
+    DECODED PIXEL SAMPLES when the payload fully decodes (PNG/GIF/JPEG),
+    else to the raw payload bytes (the fallback a real extractor would
+    route to a codec fleet)."""
     buckets = [0] * 8
     for b in data or b"":
         buckets[b >> 5] += 1
@@ -86,9 +88,10 @@ def _decode(payload: bytes, kind: str):
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas perception: Arrow batches of binary payloads in; sniffed
     format + dims decoded from the real header bytes + fixed-width features
-    out. PNG payloads with a decodable pixel stream get their feature from
-    the REAL decoded samples (feature_src='pixels'); everything else falls
-    back to the payload-byte histogram ('bytes'). Partition-parallel, no
+    out. Payloads with a decodable pixel stream (PNG, GIF, baseline
+    grayscale JPEG) get their feature from the REAL decoded samples
+    (feature_src='pixels'); everything else falls back to the payload-byte
+    histogram ('bytes'). Partition-parallel, no
     shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -132,7 +135,8 @@ RESAMPLE_SCHEMA = T.StructType([
 
 def resample_images(media: DataFrame, max_size: int = 2048) -> DataFrame:
     """REAL pixel resample (the formerly stubbed codec step): decode the
-    PNG pixel stream with stdlib zlib (core/pngpix.py), bound the longest
+    pixel stream (PNG via stdlib zlib, GIF via full LZW, baseline
+    grayscale JPEG via Huffman+IDCT — _decode_image_pixels), bound the longest
     side to ``max_size`` (reference core/utils.py:49-53 rule, never
     upscale), nearest-neighbor resample with the integer floor map
     src = dst·src_dim // dst_dim, and emit a position-weighted checksum +

@@ -103,3 +103,15 @@ def test_resample_operator_decodes_gif(spark):
     assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
     f = extract_features(media).collect()[0]
     assert f["feature_src"] == "pixels"
+
+
+def test_decode_bomb_guard():
+    """Review r4b: a small GIF claiming 65535x65535 must return None before
+    the LZW output (quadratic in code count) or the RGB buffer allocates."""
+    import struct
+    palette, idx = _fixture(4, 6, 6)
+    good = gifpix.encode_gif(6, 6, palette, idx)
+    i = good.index(0x2C)
+    bomb = (good[:i + 5] + struct.pack("<HH", 65535, 65535) + good[i + 9:])
+    assert gifpix.decode_gif(bomb) is None
+    assert gifpix.MAX_PIXELS >= 1_000_000

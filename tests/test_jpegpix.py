@@ -109,3 +109,18 @@ def test_resample_operator_decodes_jpeg(spark):
     assert f["feature_src"] == "pixels"
     # header dims (marker walk) and pixel decode agree
     assert (f["width"], f["height"]) == (24, 16)
+
+
+def test_decode_bomb_guard():
+    """Review r4b (verified live repro): a ~150-byte payload claiming
+    60000x60000 in SOF0 must return None BEFORE allocating the output
+    buffer or driving millions of IDCT calls."""
+    import struct
+    px = _block_image(8, 8)
+    good = jpegpix.encode_jpeg_gray(8, 8, px)
+    # patch the SOF0 height/width words (marker FF C0, dims at offset +5)
+    i = good.index(b"\xff\xc0")
+    bomb = (good[:i + 5] + struct.pack(">HH", 60000, 60000) + good[i + 9:])
+    assert jpegpix.decode_jpeg(bomb) is None
+    # the guard constant itself is sane
+    assert jpegpix.MAX_PIXELS >= 1_000_000

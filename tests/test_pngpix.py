@@ -166,3 +166,27 @@ def test_resample_images_undecodable_yields_nulls(spark):
     feats = {r["media_id"]: r["feature_src"]
              for r in extract_features(media).collect()}
     assert feats == {0: "bytes", 1: "bytes", 2: "bytes"}
+
+
+def test_decode_bomb_guard():
+    """Review r4b: IHDR dims are attacker-controlled and the zlib stream
+    can be a decompression bomb — both must be bounded before allocation."""
+    import struct
+    import zlib
+    px = _pattern(6, 4, 3)
+    good = pngpix.encode_png(6, 4, 3, px)
+    # claim 60000x60000 in IHDR (offsets 16/20)
+    bomb = good[:16] + struct.pack(">II", 60000, 60000) + good[24:]
+    assert pngpix.decode_png(bomb) is None
+    # zlib bomb: IDAT inflating far past the header-implied size
+    raw = b"\x00" + bytes(6 * 3)           # one honest row...
+    bombstream = zlib.compress(raw * 100000)  # ...claimed small, huge inflate
+    ihdr = struct.pack(">II", 6, 4) + b"\x08\x02\x00\x00\x00"
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+    zb = (pngpix.PNG_SIG if hasattr(pngpix, "PNG_SIG") else
+          b"\x89PNG\r\n\x1a\n") + chunk(b"IHDR", ihdr) \
+        + chunk(b"IDAT", bombstream) + chunk(b"IEND", b"")
+    assert pngpix.decode_png(zb) is None
+    assert pngpix.MAX_PIXELS >= 1_000_000
