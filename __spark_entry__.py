@@ -2657,6 +2657,46 @@ FROM feats
 """
 
 
+def _event_sessionization(spark, sf_dir):
+    """Gap-based sessionization over the events table (30-min gap,
+    event_id tiebreak): one shuffle on user_id, lag + running-sum window
+    arithmetic, zero UDFs — the canonical distributed sessionization plan
+    a training pipeline uses to split months-long agent streams into
+    sessions. Oracle replays the lag/cumsum windows and the per-session
+    rollup in DuckDB (date_diff('second') on both sides so fractional-
+    second truncation semantics agree)."""
+    from docext_spark.operators.sessionize import session_stats
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30,
+                         tiebreak_col="event_id", value_col="value")
+
+
+_SESSION_SQL = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microsecond', lag(ts) OVER w, ts)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM lagged
+)
+SELECT user_id, session_idx,
+       user_id::VARCHAR || '#' || session_idx::VARCHAR AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       (date_diff('microsecond', min(ts), max(ts)) // 1000000)::BIGINT
+         AS duration_s,
+       round(sum(value), 6) AS sum_value
+FROM sess GROUP BY 1, 2, 3
+"""
+
+
 def _curate_funnel(spark, sf_dir):
     """End-to-end corpus-curation survivorship funnel: quality gate →
     exact dedup (keep lowest id) → fuzzy dedup (LSH candidates → jaccard
@@ -2908,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_resample_pixels": _gif_resample_pixels,
         "jpeg_resample_pixels": _jpeg_resample_pixels,
         "audio_waveform_features": _audio_waveform_features,
+        "event_sessionization": _event_sessionization,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -2971,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_resample_pixels": _GIF_RESAMPLE_SQL,
         "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
         "audio_waveform_features": _audio_sql(),
+        "event_sessionization": _SESSION_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),
         "t_repetition": _REPETITION_SQL,
