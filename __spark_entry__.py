@@ -2604,6 +2604,90 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _jpeg_color_pixels(spark, sf_dir):
+    """REAL baseline COLOR JPEG decode (3-component 4:4:4, interleaved
+    MCUs with per-component DC predictors, BT.601 YCbCr→RGB with
+    floor(x+0.5) rounding — core/jpegpix.py). Fixtures choose the Y/Cb/Cr
+    PLANES directly as blockwise-constant even values, so each plane
+    decodes bit-exactly and the RGB output is a pure closed-form function
+    the oracle replays (same IEEE double expression trees on both
+    engines). Payloads are real interleaved entropy-coded streams from
+    the repo's own color encoder."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import resample_images
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+
+        def plane(f):
+            return bytes((f(x // 8, y // 8) % 128) * 2
+                         for y in range(h) for x in range(w))
+        payload = jpegpix.encode_jpeg_ycbcr(
+            w, h,
+            plane(lambda bx, by: bx * 3 + by * 5 + i),
+            plane(lambda bx, by: bx * 7 + i * 2),
+            plane(lambda bx, by: by * 11 + i * 3))
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    return (resample_images(media, max_size=12)
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean")))
+
+
+_JPEG_COLOR_SQL = """
+WITH dims AS (
+  SELECT i AS media_id,
+         (8 + 8 * (i % 3))::INT AS w, (8 + 8 * ((i * 2) % 3))::INT AS h
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(w * (12.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(h * (12.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), blocks AS (
+  -- flat RGB index -> (x,y,c) -> NN source -> 8x8 block -> plane values
+  SELECT media_id, i, i % 3 AS c,
+         (((((i // 3) % nw) * w) // nw) // 8) AS bx,
+         ((((i // (nw * 3)) * h) // nh) // 8) AS by
+  FROM (SELECT media_id, w, h, nw, nh,
+               unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+        FROM bounded)
+), planes AS (
+  SELECT media_id, i, c,
+         ((bx * 3 + by * 5 + media_id) % 128) * 2 AS yv,
+         ((bx * 7 + media_id * 2) % 128) * 2 AS cb,
+         ((by * 11 + media_id * 3) % 128) * 2 AS cr
+  FROM blocks
+), out_vals AS (
+  -- BT.601 with floor(x+0.5), identical double expression trees to the
+  -- decoder's _ycbcr_to_rgb
+  SELECT media_id, i,
+         least(255, greatest(0, CASE c
+           WHEN 0 THEN floor(yv + 1.402 * (cr - 128) + 0.5)::INT
+           WHEN 1 THEN floor(yv - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5)::INT
+           ELSE floor(yv + 1.772 * (cb - 128) + 0.5)::INT END)) AS v
+  FROM planes
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+)
+SELECT b.media_id, 'jpeg' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean
+FROM bounded b JOIN stats s USING (media_id)
+"""
+
+
 def _audio_waveform_features(spark, sf_dir):
     """REAL WAV/PCM waveform decode (the audio twin of
     image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
@@ -2947,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resample_pixels": _image_resample_pixels,
         "gif_resample_pixels": _gif_resample_pixels,
         "jpeg_resample_pixels": _jpeg_resample_pixels,
+        "jpeg_color_pixels": _jpeg_color_pixels,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
@@ -3011,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resample_pixels": _RESAMPLE_SQL,
         "gif_resample_pixels": _GIF_RESAMPLE_SQL,
         "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
+        "jpeg_color_pixels": _JPEG_COLOR_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

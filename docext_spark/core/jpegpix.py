@@ -8,9 +8,11 @@ EXTEND sign recovery, run/size AC coding with ZRL/EOB, dezigzag, dequant,
 and the exact float 2-D IDCT from the JPEG spec (A.3.3) with level shift.
 
 Scope (honest, like the PCM-only WAV and non-interlaced GIF decoders):
-8-bit BASELINE (SOF0) GRAYSCALE, no restart intervals. Color/progressive/
-subsampled streams return None — at 100 TB those route to a codec fleet;
-the scan must never die on one blob.
+8-bit BASELINE (SOF0), GRAYSCALE or 3-component YCbCr 4:4:4 (interleaved
+MCUs, per-component DC predictors, BT.601 full-range conversion per
+ITU-T T.871), no restart intervals. Progressive/subsampled streams return
+None — at 100 TB those route to a codec fleet; the scan must never die on
+one blob.
 
 Exactness: JPEG is lossy in general, but a block whose 64 samples are one
 CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
@@ -152,14 +154,14 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(payload: bytes | None):
-    """(width, height, 1, pixels) for baseline grayscale JPEG, or None."""
+    """(w, h, 1, gray) or (w, h, 3, rgb) for baseline JPEG, or None."""
     if not payload or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, list[int]] = {}
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     w = h = None
-    qt_id = dc_id = ac_id = None
+    comps: list[dict] | None = None
     i, n = 2, len(payload)
     data_start = None
     while i + 1 < n:
@@ -203,93 +205,141 @@ def decode_jpeg(payload: bytes | None):
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + total
         elif marker == 0xC0:                # SOF0 baseline
-            if len(seg) < 9:
+            if len(seg) < 6:
                 return None
             if seg[0] != 8:
                 return None                 # 8-bit only
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if ncomp != 1:
-                return None                 # grayscale only
-            sampling = seg[7]
-            if sampling != 0x11:
-                return None
-            qt_id = seg[8]
+            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+                return None                 # grayscale or YCbCr only
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]
+                if sampling != 0x11:
+                    return None             # 4:4:4 only (no subsampling)
+                comps.append({"id": cid, "qt": tq})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                     # non-baseline SOF
         elif marker == 0xDD:
             return None                     # restart intervals out of scope
         elif marker == 0xDA:                # SOS
-            if len(seg) < 6 or seg[0] != 1:
+            if comps is None or len(seg) < 1 + 2 * len(comps) + 3 \
+                    or seg[0] != len(comps):
                 return None
-            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            by_id = {c["id"]: c for c in comps}
+            for c in range(len(comps)):
+                cs, tb = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in by_id:
+                    return None
+                by_id[cs]["dc"] = tb >> 4
+                by_id[cs]["ac"] = tb & 0x0F
             data_start = i + 2 + seg_len
             break
         i += 2 + seg_len
-    if data_start is None or not w or not h or qt_id not in qtables \
-            or dc_id not in dc_tables or ac_id not in ac_tables:
+    if data_start is None or not w or not h or comps is None \
+            or any("dc" not in c for c in comps):
         return None
     if w * h > MAX_PIXELS:
         return None                         # decode-bomb guard (see above)
-    qt = qtables[qt_id]
-    dc_t, ac_t = dc_tables[dc_id], ac_tables[ac_id]
+    for c in comps:
+        if c["qt"] not in qtables or c["dc"] not in dc_tables \
+                or c["ac"] not in ac_tables:
+            return None
     reader = _BitReader(payload[data_start:])
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    out = bytearray(w * h)
-    pred = 0
+    planes = [bytearray(w * h) for _ in comps]
+    preds = [0] * len(comps)
     for by in range(bh):
         for bx in range(bw):
-            size = reader.read_symbol(dc_t)
-            if size is None or size > 11:
-                return None
-            bits = reader.read_bits(size)
-            if bits is None:
-                return None
-            pred += _extend(bits, size)
-            coef = [0.0] * 64
-            coef[0] = pred * qt[0]
-            k = 1
-            has_ac = False
-            while k < 64:
-                sym = reader.read_symbol(ac_t)
-                if sym is None:
+            # interleaved MCU at 4:4:4: one block per component
+            for ci, c in enumerate(comps):
+                res = _decode_block(reader, dc_tables[c["dc"]],
+                                    ac_tables[c["ac"]], qtables[c["qt"]],
+                                    preds[ci])
+                if res is None:
                     return None
-                if sym == 0x00:             # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:           # only ZRL carries size 0
-                        return None
-                    k += 16
-                    continue
-                k += run
-                if k > 63:
-                    return None
-                bits = reader.read_bits(size)
-                if bits is None:
-                    return None
-                coef[ZIGZAG[k]] = _extend(bits, size) * qt[k]
-                has_ac = True
-                k += 1
-            if has_ac:
-                spatial = idct2d(coef)
-            else:
-                # DC-only fast path, bit-identical to idct2d (all cos terms
-                # are exactly 1.0 for u=v=0): f(x,y) = C0·C0·DC / 4
-                spatial = [_C[0] * _C[0] * coef[0] / 4] * 64
-            for yy in range(8):
-                py = by * 8 + yy
-                if py >= h:
-                    break
-                row = py * w
-                for xx in range(8):
-                    px = bx * 8 + xx
-                    if px >= w:
+                spatial, preds[ci] = res
+                plane = planes[ci]
+                for yy in range(8):
+                    py = by * 8 + yy
+                    if py >= h:
                         break
-                    v = int(round(spatial[yy * 8 + xx])) + 128
-                    out[row + px] = 0 if v < 0 else (255 if v > 255 else v)
-    return (w, h, 1, bytes(out))
+                    row = py * w
+                    for xx in range(8):
+                        px = bx * 8 + xx
+                        if px >= w:
+                            break
+                        v = int(round(spatial[yy * 8 + xx])) + 128
+                        plane[row + px] = 0 if v < 0 else \
+                            (255 if v > 255 else v)
+    if len(comps) == 1:
+        return (w, h, 1, bytes(planes[0]))
+    return (w, h, 3, _ycbcr_to_rgb(planes[0], planes[1], planes[2]))
+
+
+def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
+                  qt: list[int], pred: int):
+    """One 8×8 block: DC diff + AC run/size entropy decode, dezigzag,
+    dequant, IDCT. Returns (spatial, new_pred) or None."""
+    size = reader.read_symbol(dc_t)
+    if size is None or size > 11:
+        return None
+    bits = reader.read_bits(size)
+    if bits is None:
+        return None
+    pred += _extend(bits, size)
+    coef = [0.0] * 64
+    coef[0] = pred * qt[0]
+    k = 1
+    has_ac = False
+    while k < 64:
+        sym = reader.read_symbol(ac_t)
+        if sym is None:
+            return None
+        if sym == 0x00:                     # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:                   # only ZRL carries size 0
+                return None
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            return None
+        bits = reader.read_bits(size)
+        if bits is None:
+            return None
+        coef[ZIGZAG[k]] = _extend(bits, size) * qt[k]
+        has_ac = True
+        k += 1
+    if has_ac:
+        spatial = idct2d(coef)
+    else:
+        # DC-only fast path, bit-identical to idct2d (all cos terms are
+        # exactly 1.0 for u=v=0): f(x,y) = C0·C0·DC / 4
+        spatial = [_C[0] * _C[0] * coef[0] / 4] * 64
+    return spatial, pred
+
+
+def _ycbcr_to_rgb(y: bytearray, cb: bytearray, cr: bytearray) -> bytes:
+    """BT.601 full-range conversion (ITU-T T.871), floor(x+0.5) rounding —
+    deliberately floor-based (not Python's banker's round) so a SQL oracle
+    replays it with floor(expr + 0.5) identically."""
+    out = bytearray(len(y) * 3)
+    floor = math.floor
+    for i in range(len(y)):
+        yv, cbv, crv = y[i], cb[i], cr[i]
+        r = floor(yv + 1.402 * (crv - 128) + 0.5)
+        g = floor(yv - 0.344136 * (cbv - 128) - 0.714136 * (crv - 128) + 0.5)
+        b = floor(yv + 1.772 * (cbv - 128) + 0.5)
+        j = i * 3
+        out[j] = 0 if r < 0 else (255 if r > 255 else r)
+        out[j + 1] = 0 if g < 0 else (255 if g > 255 else g)
+        out[j + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return bytes(out)
 
 
 # -- encoder (fixture/test side): real baseline grayscale JPEG --------------
@@ -355,6 +405,72 @@ def _size_of(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+def _encode_block(writer: _BitWriter, block: list[float], pred: int,
+                  qt: list[int], dc_codes, ac_codes) -> int:
+    """FDCT + quantize + entropy-code one centered 8×8 block; returns the
+    new DC predictor."""
+    coef = fdct2d(block)
+    q = [int(round(coef[ZIGZAG[k]] / qt[k])) for k in range(64)]
+    diff = q[0] - pred
+    size = _size_of(diff)
+    code, ln = dc_codes[size]
+    writer.write(code, ln)
+    if size:
+        writer.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    # AC run-length coding
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if q[k]:
+            last_nz = k
+            break
+    run = 0
+    for k in range(1, last_nz + 1):
+        if q[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]           # ZRL
+            writer.write(code, ln)
+            run -= 16
+        size = _size_of(q[k])
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        v = q[k]
+        writer.write(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]               # EOB
+        writer.write(code, ln)
+    return q[0]
+
+
+def _block_at(plane: bytes, w: int, h: int, bx: int, by: int) -> list[float]:
+    """Centered 8×8 block with edge-replication padding."""
+    block = []
+    for yy in range(8):
+        py = min(by * 8 + yy, h - 1)
+        for xx in range(8):
+            px = min(bx * 8 + xx, w - 1)
+            block.append(plane[py * w + px] - 128.0)
+    return block
+
+
+def _jpeg_file(w: int, h: int, qt: list[int], ncomp: int,
+               entropy: bytes) -> bytes:
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
+    dht = seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
+        + seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS)
+    sof_comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+              + bytes([ncomp]) + sof_comps)
+    sos_comps = b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+    sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+
+
 def encode_jpeg_gray(w: int, h: int, pixels: bytes,
                      quant: int = 16) -> bytes:
     """A real baseline grayscale JPEG: float FDCT, flat quantization table
@@ -367,60 +483,34 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
     ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
     writer = _BitWriter()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            block = []
-            for yy in range(8):
-                py = min(by * 8 + yy, h - 1)    # edge replication padding
-                for xx in range(8):
-                    px = min(bx * 8 + xx, w - 1)
-                    block.append(pixels[py * w + px] - 128.0)
-            coef = fdct2d(block)
-            q = [int(round(coef[ZIGZAG[k]] / qt[k])) for k in range(64)]
-            diff = q[0] - pred
-            pred = q[0]
-            size = _size_of(diff)
-            code, ln = dc_codes[size]
-            writer.write(code, ln)
-            if size:
-                writer.write(diff if diff > 0 else diff + (1 << size) - 1,
-                             size)
-            # AC run-length coding
-            last_nz = 0
-            for k in range(63, 0, -1):
-                if q[k]:
-                    last_nz = k
-                    break
-            run = 0
-            for k in range(1, last_nz + 1):
-                if q[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]   # ZRL
-                    writer.write(code, ln)
-                    run -= 16
-                size = _size_of(q[k])
-                code, ln = ac_codes[(run << 4) | size]
-                writer.write(code, ln)
-                v = q[k]
-                writer.write(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]       # EOB
-                writer.write(code, ln)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            pred = _encode_block(writer, _block_at(pixels, w, h, bx, by),
+                                 pred, qt, dc_codes, ac_codes)
     writer.flush()
+    return _jpeg_file(w, h, qt, 1, bytes(writer.out))
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
-    dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
-    dht = seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
-        + seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS)
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
-              + bytes([1, 1, 0x11, 0]))
-    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out)
-            + b"\xff\xd9")
+def encode_jpeg_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
+                      quant: int = 16) -> bytes:
+    """A real baseline COLOR JPEG (3 components, 4:4:4, interleaved MCUs,
+    per-component DC predictors, shared flat quant + Annex K tables).
+    Takes the Y/Cb/Cr planes directly — fixtures choose plane values, so
+    the blockwise-constant-even exactness property applies per plane and
+    the decoder's BT.601 output is analytically predictable."""
+    if len(y) != w * h or len(cb) != w * h or len(cr) != w * h:
+        raise ValueError("plane buffers do not match dims")
+    qt = [quant] * 64
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for ci, plane in enumerate((y, cb, cr)):
+                preds[ci] = _encode_block(
+                    writer, _block_at(plane, w, h, bx, by),
+                    preds[ci], qt, dc_codes, ac_codes)
+    writer.flush()
+    return _jpeg_file(w, h, qt, 3, bytes(writer.out))

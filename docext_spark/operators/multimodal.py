@@ -6,10 +6,10 @@ from the REAL payload bytes (core/imagehdr.py), and image payloads are
 decoded to REAL PIXELS — PNG via core/pngpix.py (stdlib zlib inflate +
 scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
 width growth + palette mapping), baseline grayscale JPEG via
-core/jpegpix.py (Huffman entropy decode + dequant + IDCT) — resampled
-nearest-neighbor, and featurized from the decoded samples; WAV/PCM
+core/jpegpix.py (Huffman entropy decode + dequant + IDCT, grayscale and
+YCbCr 4:4:4) — resampled nearest-neighbor, and featurized from the decoded samples; WAV/PCM
 payloads are decoded to REAL WAVEFORM SAMPLES (core/wavpcm.py — RIFF walk
-+ struct-unpacked PCM). Only color/progressive JPEG and compressed
++ struct-unpacked PCM). Only progressive/subsampled JPEG and compressed
 audio/video codecs remain stubbed — genuinely library territory; those
 payloads fall back to the byte-histogram feature behind the same
 mapInPandas seam.
@@ -32,8 +32,8 @@ from docext_spark.core import gifpix, imagehdr, jpegpix, pngpix
 
 def _decode_image_pixels(payload):
     """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
-    inflate + unfilter), GIF (full LZW + palette), or baseline grayscale
-    JPEG (Huffman + dequant + IDCT) — else None."""
+    inflate + unfilter), GIF (full LZW + palette), or baseline JPEG
+    (Huffman + dequant + IDCT; grayscale or YCbCr 4:4:4) — else None."""
     return (pngpix.decode_png(payload) or gifpix.decode_gif(payload)
             or jpegpix.decode_jpeg(payload))
 
@@ -88,11 +88,10 @@ def _decode(payload: bytes, kind: str):
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas perception: Arrow batches of binary payloads in; sniffed
     format + dims decoded from the real header bytes + fixed-width features
-    out. Payloads with a decodable pixel stream (PNG, GIF, baseline
-    grayscale JPEG) get their feature from the REAL decoded samples
-    (feature_src='pixels'); everything else falls back to the payload-byte
-    histogram ('bytes'). Partition-parallel, no
-    shuffle."""
+    out. Payloads with a decodable pixel stream (PNG, GIF, baseline JPEG)
+    get their feature from the REAL decoded samples (feature_src='pixels');
+    everything else falls back to the payload-byte histogram ('bytes').
+    Partition-parallel, no shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_decode(p, k)
@@ -135,8 +134,8 @@ RESAMPLE_SCHEMA = T.StructType([
 
 def resample_images(media: DataFrame, max_size: int = 2048) -> DataFrame:
     """REAL pixel resample (the formerly stubbed codec step): decode the
-    pixel stream (PNG via stdlib zlib, GIF via full LZW, baseline
-    grayscale JPEG via Huffman+IDCT — _decode_image_pixels), bound the longest
+    pixel stream (PNG via stdlib zlib, GIF via full LZW, baseline JPEG
+    via Huffman+IDCT — _decode_image_pixels), bound the longest
     side to ``max_size`` (reference core/utils.py:49-53 rule, never
     upscale), nearest-neighbor resample with the integer floor map
     src = dst·src_dim // dst_dim, and emit a position-weighted checksum +

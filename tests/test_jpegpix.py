@@ -124,3 +124,53 @@ def test_decode_bomb_guard():
     assert jpegpix.decode_jpeg(bomb) is None
     # the guard constant itself is sane
     assert jpegpix.MAX_PIXELS >= 1_000_000
+
+
+def _planes(w, h, seed=0):
+    def plane(f):
+        return bytes((f(x // 8, y // 8) % 128) * 2
+                     for y in range(h) for x in range(w))
+    return (plane(lambda bx, by: bx * 3 + by * 5 + seed),
+            plane(lambda bx, by: bx * 7 + seed * 2),
+            plane(lambda bx, by: by * 11 + seed * 3))
+
+
+def test_color_blockconst_exact_and_bt601():
+    """3-component 4:4:4: per-plane blockwise-constant even values decode
+    bit-exactly through the interleaved entropy stream (per-component DC
+    predictors), and the RGB output equals the closed-form BT.601
+    floor(x+0.5) conversion."""
+    import math
+    w, h = 24, 16
+    y, cb, cr = _planes(w, h, seed=4)
+    dec = jpegpix.decode_jpeg(jpegpix.encode_jpeg_ycbcr(w, h, y, cb, cr))
+    assert dec is not None and dec[:3] == (w, h, 3)
+    rgb = dec[3]
+    for i in range(w * h):
+        yv, cbv, crv = y[i], cb[i], cr[i]
+        r = min(255, max(0, math.floor(yv + 1.402 * (crv - 128) + 0.5)))
+        g = min(255, max(0, math.floor(yv - 0.344136 * (cbv - 128)
+                                       - 0.714136 * (crv - 128) + 0.5)))
+        b = min(255, max(0, math.floor(yv + 1.772 * (cbv - 128) + 0.5)))
+        assert (rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]) == (r, g, b), i
+
+
+def test_color_gray_identity():
+    """Y=v, Cb=Cr=128 must decode to R=G=B=v exactly (the chroma terms are
+    exactly zero)."""
+    w, h = 16, 8
+    y = bytes(((x // 8 + (yy // 8) * 2) % 128) * 2
+              for yy in range(h) for x in range(w))
+    neutral = bytes([128]) * (w * h)
+    dec = jpegpix.decode_jpeg(jpegpix.encode_jpeg_ycbcr(w, h, y, neutral,
+                                                        neutral))
+    assert all(dec[3][i * 3] == dec[3][i * 3 + 1] == dec[3][i * 3 + 2]
+               == y[i] for i in range(w * h))
+
+
+def test_color_truncation_robustness():
+    w, h = 16, 16
+    b = jpegpix.encode_jpeg_ycbcr(w, h, *_planes(w, h, seed=1))
+    for cut in range(0, len(b), 9):
+        r = jpegpix.decode_jpeg(b[:cut])
+        assert r is None or isinstance(r, tuple)
