@@ -43,6 +43,35 @@ HEADLINE = [
 N_RUNS = 3  # median-of-N per query: kills the ±30% cold-run swing that made
             # round-over-round comparisons of sub-second queries meaningless
 
+LOAD_CONTENDED = 0.6  # 1-min loadavg above this at start = polluted numbers
+                      # (r4's committed bench read 35% slow purely from a
+                      # concurrent job; the judge had to overrule it)
+
+
+def read_load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
+def load_gate() -> tuple[float, str]:
+    """Sample start-of-run load; if contended, wait once (30s) for the box
+    to drain, then proceed with a loud flag rather than refuse — the
+    driver runs this unattended and must still get a JSON line."""
+    load = read_load1()
+    if load > LOAD_CONTENDED:
+        print(f"# WARNING: loadavg {load:.2f} > {LOAD_CONTENDED} — waiting "
+              "30s for the box to drain", file=sys.stderr)
+        time.sleep(30)
+        load = read_load1()
+    flag = "contended" if load > LOAD_CONTENDED else "idle"
+    if flag == "contended":
+        print(f"# WARNING: still contended (loadavg {load:.2f}); timings "
+              "below are NOT comparable across rounds", file=sys.stderr)
+    return load, flag
+
 
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,6 +84,8 @@ def main():
         sf = float(sf_dir.rstrip("/").split("sf")[-1])
     except ValueError:
         sf = 0.0  # non-sf-named dir: still run, report sf as unknown
+
+    load_start, load_flag = load_gate()
 
     import __spark_entry__ as entry
     from docext_spark.session import get_spark
@@ -141,6 +172,8 @@ def main():
         "n_turns": n_turns,
         "cpus": int(cpus),
         "runs_per_query": N_RUNS,
+        "loadavg_start": load_start,
+        "load_flag": load_flag,
     }))
     spark.stop()
 

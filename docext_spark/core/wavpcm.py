@@ -42,7 +42,10 @@ def decode_wav(payload: bytes | None):
         elif cid == b"data":
             data = body
         pos += 8 + ln + (ln & 1)        # RIFF chunks are word-aligned
-    if rate is None or data is None or not channels:
+    # `not rate` (not `rate is None`): a crafted fmt chunk with
+    # sample_rate=0 must be rejected here, or downstream duration math
+    # (n_frames * 1000 // rate) divides by zero inside a Spark task
+    if not rate or data is None or not channels:
         return None
     if bits == 16:
         if len(data) % 2:

@@ -46,17 +46,22 @@ def sessionize(df: DataFrame, entity_col: str = "user_id",
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(entity_col).orderBy(*order)
+    # collision-proof temp name: an input that already carries a column
+    # with this name must not be silently overwritten then dropped
+    tmp = "_prev_ts"
+    while tmp in df.columns:
+        tmp += "_"
     # exact microsecond gap via timestampdiff: timezone-free (works for
     # TIMESTAMP and TIMESTAMP_NTZ alike) and integer-exact, so the
     # boundary decision is engine-reproducible at full precision (a
     # seconds-granularity cast would truncate fractional seconds and make
     # the threshold comparison depend on sub-second phase)
     prev = F.lag(F.col(ts_col)).over(w)
-    gap_us = F.expr(f"timestampdiff(MICROSECOND, _prev_ts, {ts_col})")
-    new_session = F.when(F.col("_prev_ts").isNull()
+    gap_us = F.expr(f"timestampdiff(MICROSECOND, `{tmp}`, `{ts_col}`)")
+    new_session = F.when(F.col(tmp).isNull()
                          | (gap_us > int(gap_minutes * 60 * 1_000_000)),
                          1).otherwise(0)
-    return (df.withColumn("_prev_ts", prev)
+    return (df.withColumn(tmp, prev)
               .withColumn("is_session_start", new_session == 1)
               .withColumn("session_idx",
                           F.sum(new_session).over(
@@ -64,7 +69,7 @@ def sessionize(df: DataFrame, entity_col: str = "user_id",
               .withColumn("session_id",
                           F.concat_ws("#", F.col(entity_col).cast("string"),
                                       F.col("session_idx").cast("string")))
-              .drop("_prev_ts"))
+              .drop(tmp))
 
 
 def session_stats(df: DataFrame, entity_col: str = "user_id",

@@ -92,12 +92,24 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
 def accuracy_matrix(scores: DataFrame, model: str = "native",
                     tasks: list[str] | None = None) -> DataFrame:
     """Pivot to the accuracy matrix + row average, sorted desc
-    (benchmark.py:301-316). ``tasks`` gives the pivot columns explicitly —
-    the task set is config-scale and known up front, so collecting the
-    distinct values first would be a pointless driver round-trip (and an
-    extra job) just to learn what the caller already knows."""
+    (benchmark.py:301-316). ``tasks`` gives the pivot columns explicitly;
+    when omitted they are discovered from the data (``scores`` is a
+    task-level aggregate — a handful of rows — so the distinct+collect is
+    config-scale, not a data-scale driver round-trip). A caller-supplied
+    list is validated against the scored tasks: a task present in the data
+    but missing from the pivot columns must fail loudly, not silently
+    vanish from the matrix and the average."""
+    if tasks is None:
+        tasks = [r["task"] for r in scores.select("task").distinct().collect()]
+    else:
+        extra = (scores.filter(~F.col("task").isin(list(tasks)))
+                 .select("task").distinct().collect())
+        if extra:
+            raise ValueError(
+                "accuracy_matrix: scored tasks not in pivot columns: "
+                + ", ".join(sorted(r["task"] for r in extra)))
     pivoted = (scores.withColumn("model", F.lit(model))
-               .groupBy("model").pivot("task", sorted(tasks or TASKS))
+               .groupBy("model").pivot("task", sorted(tasks))
                .agg(F.first("score")))
     cols = [c for c in pivoted.columns if c != "model"]
     # average over the tasks actually SCORED (null pivot columns are

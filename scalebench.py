@@ -101,6 +101,14 @@ def measure(cores: int, replicas: int, runs: int) -> dict:
             "median_turns_per_sec": round(tps, 1)}
 
 
+def read_load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return -1.0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2)
@@ -110,12 +118,23 @@ def main():
     ap.add_argument("--out", default="BENCH/scaling.json")
     args = ap.parse_args()
 
+    # a scaling ratio from a contended box is WORSE than no number: r4 saw
+    # a nonsensical super-linear 1.218 under contention. Refuse outright —
+    # unlike bench.py this is run by hand, not by the driver.
+    load = read_load1()
+    if load > 0.6:
+        print(f"REFUSING: loadavg {load:.2f} > 0.6 — a contended box "
+              "produces meaningless scaling ratios. Retry when idle.",
+              file=sys.stderr)
+        sys.exit(3)
+
     prepare_input(args.convs)
     lo = measure(args.n, args.replicas, args.runs)
     hi = measure(args.n * 4, args.replicas, args.runs)
     eff = hi["median_turns_per_sec"] / (4 * lo["median_turns_per_sec"])
     result = {"N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
-              "target": 0.8, "pass": eff >= 0.8}
+              "target": 0.8, "pass": eff >= 0.8,
+              "loadavg_start": load}
     print(json.dumps(result, indent=2))
     if args.out and args.out != "/dev/null":
         with open(args.out, "w") as f:

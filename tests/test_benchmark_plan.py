@@ -43,3 +43,26 @@ def test_accuracy_matrix_pivot(spark, scores):
     assert row["model"] == "native"
     assert 0.0 < row["average"] <= 1.0
     assert "TABLE" in row and "KIE" in row
+
+
+def test_accuracy_matrix_rejects_unlisted_task(spark):
+    """A task scored in the data but absent from a caller-supplied pivot
+    list must fail loudly, not silently drop from the average (ADVICE r4)."""
+    import pandas as pd
+    scores = spark.createDataFrame(
+        pd.DataFrame([("KIE", 0.9, 3), ("NEWTASK", 0.5, 2)],
+                     columns=["task", "score", "n_docs"]),
+        "task string, score double, n_docs long")
+    with pytest.raises(ValueError, match="NEWTASK"):
+        accuracy_matrix(scores, tasks=["KIE", "OCR"])
+
+
+def test_accuracy_matrix_discovers_tasks_from_data(spark):
+    import pandas as pd
+    scores = spark.createDataFrame(
+        pd.DataFrame([("KIE", 0.9, 3), ("NEWTASK", 0.5, 2)],
+                     columns=["task", "score", "n_docs"]),
+        "task string, score double, n_docs long")
+    row = accuracy_matrix(scores).collect()[0].asDict()
+    assert row["NEWTASK"] == 0.5
+    assert abs(row["average"] - 0.7) < 1e-9

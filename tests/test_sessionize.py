@@ -71,3 +71,19 @@ def test_sessionize_conversations(spark):
     b = {(r["conv_id"], r["turn_idx"]): r["session_id"] for r in s2.collect()}
     assert a == b
     assert all(sid.startswith(str(k[0])) for k, sid in a.items())
+
+
+def test_sessionize_preserves_existing_prev_ts_column(spark):
+    """An input column named `_prev_ts` survives untouched (ADVICE r4:
+    fixed temp name silently overwrote then dropped it)."""
+    import pandas as pd
+    ev = spark.createDataFrame(
+        pd.DataFrame([(0, T0, 1, 7.0), (1, T0 + dt.timedelta(minutes=99),
+                       1, 8.0)],
+                     columns=["event_id", "ts", "user_id", "_prev_ts"]),
+        "event_id long, ts timestamp, user_id long, _prev_ts double")
+    out = sessionize(ev, "user_id", "ts", 30, "event_id")
+    assert "_prev_ts" in out.columns
+    got = {r["event_id"]: r for r in out.collect()}
+    assert got[0]["_prev_ts"] == 7.0 and got[1]["_prev_ts"] == 8.0
+    assert got[1]["session_idx"] == 2

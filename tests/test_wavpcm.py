@@ -100,3 +100,16 @@ def test_audio_features_undecodable_yields_nulls(spark):
     got = audio_features(media).collect()
     assert all(r["sample_rate"] is None and r["amp_checksum"] is None
                for r in got)
+
+
+def test_zero_sample_rate_rejected():
+    """A crafted fmt chunk with sample_rate=0 must decode to None, never
+    reach duration math (ADVICE r4: ZeroDivisionError escaped the scan)."""
+    import struct
+
+    from docext_spark.core import wavpcm
+    b = bytearray(wavpcm.encode_wav(8000, 1, [1, -1, 2]))
+    # sample_rate lives at fmt-body offset 4 -> file offset 12+8+4 = 24
+    b[24:28] = struct.pack("<I", 0)
+    assert wavpcm.decode_wav(bytes(b)) is None
+    assert wavpcm.wav_features(bytes(b)) is None
