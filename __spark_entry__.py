@@ -1426,18 +1426,22 @@ SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
 
 
 def _ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k, oracle-paired: the coarse quantizer is the
-    seeded init (8 lowest-id vectors), so the inverted-list assignment is
-    fully replayable in SQL — corpus probe=1, query probe=2, exact re-rank
-    inside the probed lists. (The trained-quantizer path, kmeans_fit, is
-    covered by pytest blob-separation tests.)"""
-    from docext_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k, oracle-paired: the coarse quantizer here is
+    the lowest-id init, passed EXPLICITLY because it is the SQL-replayable
+    twin (8 lowest-id vectors = a LIMIT 8 in DuckDB) — the function's
+    default is farthest-point seeding, which doesn't collapse under
+    adversarial id placement (covered by ann_ivf_topk_farthest and the
+    pytest blob-separation / adversarial-id tests). Corpus probe=1, query
+    probe=2, exact re-rank inside the probed lists."""
+    from docext_spark.operators.similarity import (deterministic_centroids,
+                                                   ivf_topk)
     emb = (_t(spark, sf_dir, "embeddings")
            .withColumn("embedding", F.col("embedding").cast("array<double>")))
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("qid"),
                        F.col("embedding").alias("qvec")))
-    out = ivf_topk(emb, queries, k=5, n_lists=8, probe=2)
+    out = ivf_topk(emb, queries, k=5, n_lists=8, probe=2,
+                   centroids=deterministic_centroids(emb, 8))
     return out.select("qid", "vec_id",
                       F.round("cos_sim", 4).alias("cos_sim"), "rank")
 
@@ -1475,6 +1479,81 @@ scored AS (
   FROM vassign va JOIN qassign qa ON va.cid = qa.cid
 ), ranked AS (
   -- rank on the 6dp value (the Spark operator's ordering), display at 4dp
+  SELECT qid, vec_id, round(cos6, 4) AS cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos6 DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _ann_ivf_topk_farthest(spark, sf_dir):
+    """IVF top-k through the DEFAULT quantizer init (farthest-point
+    seeding, similarity.py:farthest_point_centroids) — the path a caller
+    gets without passing centroids. The seeding is deterministic (lowest
+    non-zero id first, then iterated argmax of min cosine distance, ties →
+    lowest id), so the DuckDB twin replays it with a recursive CTE carrying
+    the chosen-centroid list — the default path is oracle-gated, not just
+    pytest-gated."""
+    from docext_spark.operators.similarity import ivf_topk
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")))
+    out = ivf_topk(emb, queries, k=5, n_lists=4, probe=2)
+    return out.select("qid", "vec_id",
+                      F.round("cos_sim", 4).alias("cos_sim"), "rank")
+
+
+_IVF_FARTHEST_SQL = f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS e FROM embeddings),
+vv AS (SELECT vec_id AS id, e FROM v
+       WHERE sqrt(list_aggregate([x*x for x in e],'sum')) > 0),
+chosen(step, ids, cents) AS (
+  SELECT * FROM (SELECT 1 AS step, [id] AS ids, [e] AS cents FROM vv
+                 ORDER BY id LIMIT 1)
+  UNION ALL
+  -- per step: unnest the chosen centroids inside the LATERAL and take the
+  -- candidate maximizing min(1 - cos) via GROUP BY + ORDER BY aggregate
+  -- (a lambda over the correlated chosen.cents list trips a DuckDB binder
+  -- bug — "c not found" — so the centroid loop is rows, not a lambda)
+  SELECT step + 1, list_append(ids, pick.id), list_append(cents, pick.e)
+  FROM chosen, LATERAL (
+    SELECT cand.id, cand.e
+    FROM vv cand, unnest(chosen.cents) AS u(c)
+    WHERE NOT list_contains(chosen.ids, cand.id)
+    GROUP BY cand.id, cand.e
+    ORDER BY min(1 - ({_COS_FRAG.format(a='cand.e', b='u.c')})) DESC,
+      cand.id
+    LIMIT 1) pick
+  WHERE step < 4
+),
+seeds AS (SELECT cents FROM chosen ORDER BY step DESC LIMIT 1),
+cents AS (SELECT i - 1 AS cid, cents[i] AS c
+          FROM seeds, unnest(generate_series(1, len(cents))) AS t(i)),
+vd AS (
+  SELECT v.vec_id, v.e, cents.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY -({_COS_FRAG.format(a='v.e', b='cents.c')}),
+                                     cents.cid) AS rn
+  FROM v CROSS JOIN cents
+), vassign AS (SELECT vec_id, e, cid FROM vd WHERE rn <= 1),
+q AS (SELECT vec_id AS qid, e AS qv FROM v WHERE vec_id < 3),
+qd AS (
+  SELECT q.qid, q.qv, cents.cid,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY -({_COS_FRAG.format(a='q.qv', b='cents.c')}),
+                                     cents.cid) AS rn
+  FROM q CROSS JOIN cents
+), qassign AS (SELECT qid, qv, cid FROM qd WHERE rn <= 2),
+scored AS (
+  SELECT qa.qid, va.vec_id,
+         round({_COS_FRAG.format(a='va.e', b='qa.qv')}, 6) AS cos6
+  FROM vassign va JOIN qassign qa ON va.cid = qa.cid
+), ranked AS (
   SELECT qid, vec_id, round(cos6, 4) AS cos_sim,
          row_number() OVER (PARTITION BY qid
                             ORDER BY cos6 DESC, vec_id) AS rank
@@ -2996,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_topk_farthest": _ann_ivf_topk_farthest,
         "ann_lsh_topk": _ann_lsh_topk,
         "dedup_cosine_pairs": _dedup_cosine_pairs,
         "dedup_cosine_lsh": _dedup_cosine_lsh,
@@ -3087,6 +3167,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_pairs": _LSH_SQL,
         "ann_cosine_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
+        "ann_ivf_topk_farthest": _IVF_FARTHEST_SQL,
         "ann_lsh_topk": _ann_lsh_sql(),
         "simhash_signatures": _simhash_sql(),
         "dedup_winnow_pairs": _winnow_sql(),

@@ -8,6 +8,10 @@ re-rank runs only inside buckets.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,30 +60,120 @@ def _dim_guard(vec: Column, dim: int) -> Column:
 
 
 def banded_signatures(df: DataFrame, col: str, dim: int, n_planes: int,
-                      n_tables: int) -> DataFrame:
+                      n_tables: int, impl: str = "udf") -> DataFrame:
     """(… original columns …, bucket) — one row per (row, table): the
     multi-table hyperplane bucket assignment shared by embedding_near_dups
     and lsh_topk (single source for the seed scheme / bucket format, so the
-    two paths cannot drift)."""
-    sigs = F.array(*[
-        F.struct(F.lit(t).alias("tbl"),
-                 hyperplane_signature(
-                     F.col(col),
-                     deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
-                 .alias("sig"))
-        for t in range(n_tables)])
-    return (df.withColumn("b", F.explode(sigs))
+    two paths cannot drift).
+
+    ``impl='udf'`` (default, the 100 TB path) computes the sign bits in an
+    Arrow-batched pandas UDF that regenerates the seeded planes worker-side
+    — ZERO plane literals in the plan, so a production 4096-dim × 8-plane ×
+    4-table config adds nothing to analysis/codegen. ``impl='literal'``
+    inlines the planes as expressions — kept as the SQL-oracle twin (DuckDB
+    replays the same literals) and the parity gate for the UDF path. The
+    two are BIT-IDENTICAL, not approximately equal: the UDF reproduces
+    Catalyst's left-fold double summation exactly (see _signatures_udf),
+    asserted in tests at several dims."""
+    if impl == "literal":
+        sigs = F.array(*[
+            F.struct(F.lit(t).alias("tbl"),
+                     hyperplane_signature(
+                         F.col(col),
+                         deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
+                     .alias("sig"))
+            for t in range(n_tables)])
+        exploded = F.explode(sigs)
+    elif impl == "udf":
+        udf = _signatures_udf(dim, n_planes, n_tables)
+        exploded = F.explode(udf(F.col(col).cast("array<double>")))
+    else:
+        raise ValueError(f"unknown impl: {impl!r} (udf | literal)")
+    return (df.withColumn("b", exploded)
               .withColumn("bucket",
                           F.concat_ws(":", F.col("b.tbl").cast("string"),
                                       F.col("b.sig")))
               .drop("b"))
 
 
+@lru_cache(maxsize=8)
+def planes_matrix(dim: int, n_planes: int, n_tables: int):
+    """(n_tables·n_planes, dim) float64 matrix of the seeded hyperplanes —
+    the worker-side twin of deterministic_planes, same seed scheme. Cached
+    (a worker regenerates once per config, not once per Arrow batch);
+    treat the returned array as read-only."""
+    import numpy as np
+    rows = []
+    for t in range(n_tables):
+        rows.extend(deterministic_planes(dim, n_planes, seed=42 + 7919 * t))
+    return np.asarray(rows, dtype=np.float64)
+
+
+def _signatures_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched signature UDF: vec → array<struct<tbl:int,sig:string>>
+    (one entry per table). Planes are regenerated from the seed ONCE per
+    worker (cheap, deterministic) instead of shipping k×dim literals
+    through every plan.
+
+    Bit-parity with the literal path is exact by construction: Catalyst's
+    ``aggregate(zip_with(v, p, *), 0.0, +)`` is a sequential left fold of
+    IEEE-754 double mul/add, and ``np.cumsum`` over the elementwise product
+    performs the same operations in the same order (numpy's pairwise-sum
+    shortcut applies to ``sum``, not ``cumsum``), so every sign bit —
+    including near-zero dots — matches. A null vector yields the all-'0'
+    signature, matching ``when(null >= 0)``'s otherwise-branch."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    out_t = T.ArrayType(T.StructType([
+        T.StructField("tbl", T.IntegerType()),
+        T.StructField("sig", T.StringType())]))
+    zero_sig = "0" * n_planes
+
+    @pandas_udf(out_t)
+    def sigs(vecs: pd.Series) -> pd.Series:
+        planes = planes_matrix(dim, n_planes, n_tables)   # cached per-batch
+        out = []
+        vals = [None if v is None else np.asarray(v, dtype=np.float64)
+                for v in vecs]
+        ok_idx = [i for i, v in enumerate(vals)
+                  if v is not None and len(v) == dim and not np.isnan(v).any()]
+        bits = None
+        if ok_idx:
+            mat = np.stack([vals[i] for i in ok_idx])      # (m, dim)
+            # left-fold dot per plane: cumsum of the elementwise product
+            # (exact Catalyst order); loop over planes bounds peak memory
+            # at one (m, dim) product buffer
+            sgn = np.empty((len(ok_idx), planes.shape[0]), dtype=bool)
+            for j in range(planes.shape[0]):
+                d = np.cumsum(mat * planes[j], axis=1)[:, -1]
+                sgn[:, j] = d >= 0
+            bits = {row_i: sgn[mi] for mi, row_i in enumerate(ok_idx)}
+        for i, v in enumerate(vals):
+            if bits is not None and i in bits:
+                s = bits[i]
+                out.append([
+                    {"tbl": t,
+                     "sig": "".join("1" if s[t * n_planes + j] else "0"
+                                    for j in range(n_planes))}
+                    for t in range(n_tables)])
+            else:
+                # null / wrong-length / NaN vec: literal path gives '0'
+                # for every when(dot >= 0) — mirror it
+                out.append([{"tbl": t, "sig": zero_sig}
+                            for t in range(n_tables)])
+        return pd.Series(out)
+
+    return sigs
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         exact: bool = False, n_planes: int = 8,
                         n_tables: int = 4,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        planes_impl: str = "udf") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos_sim ≥ τ).
 
     Default (exact=False) is the scale path: hyperplane-LSH with
@@ -109,7 +203,8 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                     .filter(F.col("cos_sim") >= threshold)
                     .select("id_a", "id_b", "cos_sim").distinct())
     v = v.withColumn("vec", _dim_guard(F.col("vec"), dim))
-    banded = banded_signatures(v, "vec", dim, n_planes, n_tables) \
+    banded = banded_signatures(v, "vec", dim, n_planes, n_tables,
+                               impl=planes_impl) \
         .select("id", "bucket")
     a = banded.withColumnRenamed("id", "id_a")
     b = banded.withColumnRenamed("id", "id_b")
@@ -127,8 +222,10 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH signature: one sign bit per plane, packed into
-    a string key ('1'/'0' chars). Planes are a fixed seeded constant —
-    broadcast-free (inlined in the plan)."""
+    a string key ('1'/'0' chars) with the planes INLINED as expressions.
+    This is the SQL-oracle / parity-twin shape — production signatures go
+    through _signatures_udf (impl='udf'), which keeps k×dim floats out of
+    the plan entirely."""
     bits = [F.when(dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0,
                    F.lit("1")).otherwise(F.lit("0"))
             for p in planes]
@@ -310,14 +407,17 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     centroid; a query scans only its `probe` nearest lists. At 100TB the
     corpus is written bucketed by ivf_list so a query prunes to
     probe/n_lists of the data. Pass ``centroids`` from kmeans_fit for a
-    trained quantizer; default is the seeded init (lowest-id vectors).
+    trained quantizer; the DEFAULT init is deterministic farthest-point
+    seeding — lowest-id init (deterministic_centroids) collapses the lists
+    when low ids are co-located in one region, and is kept only as the
+    SQL-oracle twin (callers pass it explicitly).
 
     Assignment runs against the BROADCAST centroid table (real-k safe; see
     ivf_assign_broadcast) — the plan is BroadcastNestedLoopJoin for the
     all-centroids scoring plus a BroadcastHashJoin for the probed-list
     corpus×query join below."""
-    cents = centroids or deterministic_centroids(vectors, n_lists,
-                                                 id_col, vec_col)
+    cents = centroids or farthest_point_centroids(vectors, n_lists,
+                                                  id_col, vec_col)
     cdf = centroids_to_df(vectors.sparkSession, cents)
     v = ivf_assign_broadcast(vectors, cdf, vec_col, probe=1)
     q = ivf_assign_broadcast(queries.withColumnRenamed(qvec_col, "_qv"), cdf,
@@ -334,14 +434,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
 def lsh_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 5,
              n_planes: int = 8, n_tables: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding", qid_col: str = "qid",
-             qvec_col: str = "qvec") -> DataFrame:
+             qvec_col: str = "qvec", planes_impl: str = "udf") -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane bucket in
     ANY of ``n_tables`` independent plane sets (OR-amplification), exact
     cosine re-rank inside the union of buckets. A candidate colliding in
     several tables is deduped before scoring (max_by keeps one row per
-    (qid, vec_id)), so amplification raises recall without rescoring."""
-    v = banded_signatures(vectors, vec_col, dim, n_planes, n_tables)
-    q = banded_signatures(queries, qvec_col, dim, n_planes, n_tables)
+    (qid, vec_id)), so amplification raises recall without rescoring.
+    ``planes_impl`` as in banded_signatures (default: worker-side planes,
+    no plan literals)."""
+    v = banded_signatures(vectors, vec_col, dim, n_planes, n_tables,
+                          impl=planes_impl)
+    q = banded_signatures(queries, qvec_col, dim, n_planes, n_tables,
+                          impl=planes_impl)
     scored = (v.join(F.broadcast(q), "bucket")
               .select(F.col(qid_col), F.col(id_col),
                       F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)

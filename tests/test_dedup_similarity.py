@@ -584,6 +584,15 @@ def test_farthest_point_init_survives_adversarial_id_order(spark):
                  for _, vec in low}
     assert low_blobs == {0}
 
+    # the DEFAULT ivf_topk path (no centroids=) must inherit the farthest
+    # seeding: a query in blob 2 finds its blob-mates, which collapsed
+    # lowest-id seeding routinely misses (VERDICT r4 #4)
+    from docext_spark.operators.similarity import ivf_topk
+    q = spark.createDataFrame([(0, rows[45][1])], "qid int, qvec array<double>")
+    out = ivf_topk(df, q, k=5, n_lists=3, probe=1).collect()
+    assert len(out) == 5
+    assert all(40 <= r["vec_id"] < 60 for r in out)
+
 
 def test_farthest_point_skips_zero_vectors_and_never_repicks(spark):
     """Code-review regression: a zero-norm lowest-id vector sits at cosine
@@ -622,3 +631,58 @@ def test_lsh_plan_picks_curve_matched_bands():
     import pytest as _p
     with _p.raises(ValueError):
         lsh_plan(1.5)
+
+
+def test_banded_signatures_udf_matches_literal_bit_exact(spark):
+    """The worker-side plane UDF (production default) must produce exactly
+    the literal path's buckets: np.cumsum replays Catalyst's left-fold
+    double summation operation-for-operation, so this is equality, not
+    closeness. Covers nulls, wrong-length, and NaN vectors (all map to the
+    all-zero signature on both paths)."""
+    import random
+
+    import pandas as pd
+
+    from docext_spark.operators.similarity import banded_signatures
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((60, None))
+    rows.append((61, [1.0] * 9))                       # wrong length
+    rows.append((62, [float("nan")] + [0.5] * 15))     # NaN element
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id int, embedding array<double>")
+    lit = {(r["vec_id"], r["bucket"]) for r in banded_signatures(
+        df, "embedding", 16, 8, 3, impl="literal").collect()}
+    udf = {(r["vec_id"], r["bucket"]) for r in banded_signatures(
+        df, "embedding", 16, 8, 3, impl="udf").collect()}
+    assert lit == udf
+    zero = "0" * 8
+    for vid in (60, 61, 62):
+        assert {(vid, f"{t}:{zero}") for t in range(3)} <= udf
+
+
+def test_banded_signatures_udf_plan_stays_small_at_dim768(spark):
+    """The whole point of the UDF path: a production-dim config (768 × 8
+    planes × 4 tables = 24k floats) must not appear in the plan. The
+    literal twin's plan carries them all; the UDF plan stays constant-size
+    and still executes."""
+    import random
+
+    import pandas as pd
+
+    from docext_spark.operators.similarity import banded_signatures
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(768)]) for i in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id int, embedding array<double>")
+    fast = banded_signatures(df, "embedding", 768, 8, 4, impl="udf")
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan unexpectedly large: {len(plan)} chars"
+    out = fast.collect()
+    assert len(out) == 40 and all(len(r["bucket"]) == 10 for r in out)
+    slow_plan = banded_signatures(df, "embedding", 768, 8, 4,
+                                  impl="literal")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert len(slow_plan) > 200_000  # the disease the UDF path cures
