@@ -2767,6 +2767,92 @@ FROM bounded b JOIN stats s USING (media_id)
 """
 
 
+def _jpeg_subsampled_pixels(spark, sf_dir):
+    """CHROMA-SUBSAMPLED baseline JPEG decode (core/jpegpix.py) — the
+    format nearly every real-world JPEG ships in: even ids are 4:2:0
+    (luma 2×2), odd ids 4:2:2 (luma 2×1), chroma planes at reduced
+    resolution, decoded from real interleaved MCU streams (Vi×Hi luma
+    blocks + one block per chroma component per MCU, per-component DC
+    predictors) and upsampled by sample replication. Fixtures plant
+    blockwise-constant EVEN values per PLANE in each plane's own 8×8
+    grid, so the decode is bit-exact and the oracle replays
+    luma/chroma lookup + replication + BT.601 in closed form."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import resample_images
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        sv = 2 if i % 2 == 0 else 1
+        y = bytes((((x // 8) * 3 + (yy // 8) * 5 + i) % 128) * 2
+                  for yy in range(h) for x in range(w))
+        cw, chh = (w + 1) // 2, (h + sv - 1) // sv
+        cb = bytes((((x // 8) * 7 + i * 2) % 128) * 2
+                   for yy in range(chh) for x in range(cw))
+        cr = bytes((((yy // 8) * 11 + i * 3) % 128) * 2
+                   for yy in range(chh) for x in range(cw))
+        payload = jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, sv)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    return (resample_images(media, max_size=12)
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean")))
+
+
+_JPEG_SUBSAMPLED_SQL = """
+WITH dims AS (
+  SELECT i AS media_id,
+         (8 + 8 * (i % 3))::INT AS w, (8 + 8 * ((i * 2) % 3))::INT AS h,
+         CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS sv
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h, sv,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(w * (12.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(h * (12.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), src AS (
+  -- flat RGB index -> channel + NN source pixel (sx, sy) in the original
+  SELECT media_id, sv, i, i % 3 AS c,
+         ((((i // 3) % nw) * w) // nw) AS sx,
+         (((i // (nw * 3)) * h) // nh) AS sy
+  FROM (SELECT media_id, w, h, sv, nw, nh,
+               unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+        FROM bounded)
+), planes AS (
+  -- luma from the full-res 8x8 grid; chroma through the replication
+  -- upsample (sx//2, sy//sv) into each chroma plane's own 8x8 grid
+  SELECT media_id, i, c,
+         (((sx // 8) * 3 + (sy // 8) * 5 + media_id) % 128) * 2 AS yv,
+         ((((sx // 2) // 8) * 7 + media_id * 2) % 128) * 2 AS cb,
+         ((((sy // sv) // 8) * 11 + media_id * 3) % 128) * 2 AS cr
+  FROM src
+), out_vals AS (
+  SELECT media_id, i,
+         least(255, greatest(0, CASE c
+           WHEN 0 THEN floor(yv + 1.402 * (cr - 128) + 0.5)::INT
+           WHEN 1 THEN floor(yv - 0.344136 * (cb - 128)
+                             - 0.714136 * (cr - 128) + 0.5)::INT
+           ELSE floor(yv + 1.772 * (cb - 128) + 0.5)::INT END)) AS v
+  FROM planes
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+)
+SELECT b.media_id, 'jpeg' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean
+FROM bounded b JOIN stats s USING (media_id)
+"""
+
+
 def _audio_waveform_features(spark, sf_dir):
     """REAL WAV/PCM waveform decode (the audio twin of
     image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
@@ -3112,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_resample_pixels": _gif_resample_pixels,
         "jpeg_resample_pixels": _jpeg_resample_pixels,
         "jpeg_color_pixels": _jpeg_color_pixels,
+        "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
@@ -3178,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_resample_pixels": _GIF_RESAMPLE_SQL,
         "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
         "jpeg_color_pixels": _JPEG_COLOR_SQL,
+        "jpeg_subsampled_pixels": _JPEG_SUBSAMPLED_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

@@ -8,11 +8,13 @@ EXTEND sign recovery, run/size AC coding with ZRL/EOB, dezigzag, dequant,
 and the exact float 2-D IDCT from the JPEG spec (A.3.3) with level shift.
 
 Scope (honest, like the PCM-only WAV and non-interlaced GIF decoders):
-8-bit BASELINE (SOF0), GRAYSCALE or 3-component YCbCr 4:4:4 (interleaved
-MCUs, per-component DC predictors, BT.601 full-range conversion per
-ITU-T T.871), no restart intervals. Progressive/subsampled streams return
-None — at 100 TB those route to a codec fleet; the scan must never die on
-one blob.
+8-bit BASELINE (SOF0), GRAYSCALE or 3-component YCbCr with per-component
+sampling factors in {1,2} — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (what nearly
+every real-world camera/web JPEG uses): interleaved MCUs (Vi×Hi blocks
+per component), per-component DC predictors, sample-replication chroma
+upsample, BT.601 full-range conversion per ITU-T T.871. No restart
+intervals. Progressive streams and sampling factors >2 return None — at
+100 TB those route to a codec fleet; the scan must never die on one blob.
 
 Exactness: JPEG is lossy in general, but a block whose 64 samples are one
 CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
@@ -216,9 +218,10 @@ def decode_jpeg(payload: bytes | None):
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = seg[6 + 3 * c:9 + 3 * c]
-                if sampling != 0x11:
-                    return None             # 4:4:4 only (no subsampling)
-                comps.append({"id": cid, "qt": tq})
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
+                    return None     # factors 1-2 cover 4:4:4/4:2:2/4:2:0/4:4:0
+                comps.append({"id": cid, "qt": tq, "sh": sh, "sv": sv})
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                     # non-baseline SOF
@@ -248,35 +251,67 @@ def decode_jpeg(payload: bytes | None):
                 or c["ac"] not in ac_tables:
             return None
     reader = _BitReader(payload[data_start:])
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [bytearray(w * h) for _ in comps]
-    preds = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            # interleaved MCU at 4:4:4: one block per component
-            for ci, c in enumerate(comps):
-                res = _decode_block(reader, dc_tables[c["dc"]],
-                                    ac_tables[c["ac"]], qtables[c["qt"]],
-                                    preds[ci])
-                if res is None:
-                    return None
-                spatial, preds[ci] = res
-                plane = planes[ci]
-                for yy in range(8):
-                    py = by * 8 + yy
-                    if py >= h:
-                        break
-                    row = py * w
-                    for xx in range(8):
-                        px = bx * 8 + xx
-                        if px >= w:
-                            break
-                        v = int(round(spatial[yy * 8 + xx])) + 128
-                        plane[row + px] = 0 if v < 0 else \
-                            (255 if v > 255 else v)
     if len(comps) == 1:
-        return (w, h, 1, bytes(planes[0]))
-    return (w, h, 3, _ycbcr_to_rgb(planes[0], planes[1], planes[2]))
+        # single-component scans are non-interleaved: the MCU is one block
+        # regardless of declared sampling factors (spec A.2.2)
+        comps[0]["sh"] = comps[0]["sv"] = 1
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    for c in comps:
+        # component plane dims (spec A.1.1: ceil(x·Hi/Hmax))
+        c["cw"] = (w * c["sh"] + hmax - 1) // hmax
+        c["ch"] = (h * c["sv"] + vmax - 1) // vmax
+        c["plane"] = bytearray(c["cw"] * c["ch"])
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # interleaved MCU: Vi×Hi blocks per component, row-major
+            for ci, c in enumerate(comps):
+                for bi in range(c["sv"]):
+                    for bj in range(c["sh"]):
+                        res = _decode_block(reader, dc_tables[c["dc"]],
+                                            ac_tables[c["ac"]],
+                                            qtables[c["qt"]], preds[ci])
+                        if res is None:
+                            return None
+                        spatial, preds[ci] = res
+                        plane, cw, ch = c["plane"], c["cw"], c["ch"]
+                        by, bx = my * c["sv"] + bi, mx * c["sh"] + bj
+                        for yy in range(8):
+                            py = by * 8 + yy
+                            if py >= ch:
+                                break
+                            row = py * cw
+                            for xx in range(8):
+                                px = bx * 8 + xx
+                                if px >= cw:
+                                    break
+                                v = int(round(spatial[yy * 8 + xx])) + 128
+                                plane[row + px] = 0 if v < 0 else \
+                                    (255 if v > 255 else v)
+    if len(comps) == 1:
+        return (w, h, 1, bytes(comps[0]["plane"]))
+    full = [_upsample(c["plane"], c["cw"], w, h, c["sh"], hmax,
+                      c["sv"], vmax) for c in comps]
+    return (w, h, 3, _ycbcr_to_rgb(full[0], full[1], full[2]))
+
+
+def _upsample(plane: bytearray, cw: int, w: int, h: int,
+              sh: int, hmax: int, sv: int, vmax: int) -> bytearray:
+    """Sample-replication chroma upsample (libjpeg's non-fancy mode):
+    out[x, y] = plane[x·Hi//Hmax, y·Vi//Vmax]. Deterministic and
+    SQL-replayable — no interpolation (the spec mandates none)."""
+    if sh == hmax and sv == vmax:
+        return plane
+    out = bytearray(w * h)
+    for yy in range(h):
+        row = (yy * sv // vmax) * cw
+        orow = yy * w
+        for xx in range(w):
+            out[orow + xx] = plane[row + xx * sh // hmax]
+    return out
 
 
 def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
@@ -456,14 +491,17 @@ def _block_at(plane: bytes, w: int, h: int, bx: int, by: int) -> list[float]:
 
 
 def _jpeg_file(w: int, h: int, qt: list[int], ncomp: int,
-               entropy: bytes) -> bytes:
+               entropy: bytes,
+               samplings: list[int] | None = None) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
+    samplings = samplings or [0x11] * ncomp
     dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
     dht = seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
         + seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS)
-    sof_comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+    sof_comps = b"".join(bytes([c + 1, samplings[c], 0])
+                         for c in range(ncomp))
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
               + bytes([ncomp]) + sof_comps)
     sos_comps = b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
@@ -514,3 +552,40 @@ def encode_jpeg_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
                     preds[ci], qt, dc_codes, ac_codes)
     writer.flush()
     return _jpeg_file(w, h, qt, 3, bytes(writer.out))
+
+
+def encode_jpeg_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
+                          sh: int = 2, sv: int = 2,
+                          quant: int = 16) -> bytes:
+    """A real CHROMA-SUBSAMPLED baseline color JPEG: luma sampling
+    (sh, sv) ∈ {1,2}², chroma (1,1) — sh=sv=2 is 4:2:0 (the format most
+    real-world JPEGs use), sh=2/sv=1 is 4:2:2. ``y`` is the full w×h luma
+    plane; ``cb``/``cr`` are the PRE-SUBSAMPLED chroma planes at
+    ceil(w/sh) × ceil(h/sv) — fixtures pick the plane values directly, so
+    the blockwise-constant-even exactness property holds per plane and the
+    decoder's replicated-upsample + BT.601 output stays closed-form."""
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    cw, ch = (w + sh - 1) // sh, (h + sv - 1) // sv
+    if len(y) != w * h or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane buffers do not match dims")
+    qt = [quant] * 64
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
+    writer = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range((h + 8 * sv - 1) // (8 * sv)):
+        for mx in range((w + 8 * sh - 1) // (8 * sh)):
+            for bi in range(sv):                    # luma: sv×sh blocks
+                for bj in range(sh):
+                    preds[0] = _encode_block(
+                        writer,
+                        _block_at(y, w, h, mx * sh + bj, my * sv + bi),
+                        preds[0], qt, dc_codes, ac_codes)
+            for ci, plane in ((1, cb), (2, cr)):    # chroma: one block each
+                preds[ci] = _encode_block(
+                    writer, _block_at(plane, cw, ch, mx, my),
+                    preds[ci], qt, dc_codes, ac_codes)
+    writer.flush()
+    return _jpeg_file(w, h, qt, 3, bytes(writer.out),
+                      samplings=[(sh << 4) | sv, 0x11, 0x11])

@@ -211,3 +211,34 @@ def test_jpeg_decode_total(junk):
     from docext_spark.core import jpegpix
     r = jpegpix.decode_jpeg(junk)
     assert r is None or isinstance(r, tuple)
+
+
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(0, 500),
+       st.sampled_from([(2, 2), (2, 1), (1, 2)]))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_subsampled_blockconst_roundtrip_exact(bw, bh, seed, samp):
+    """Property: any blockwise-constant-even plane set round-trips exactly
+    through the subsampled encoder → decoder at every supported luma
+    sampling (4:2:0, 4:2:2, 4:4:0)."""
+    from docext_spark.core import jpegpix
+    sh, sv = samp
+    w, h = bw * 8, bh * 8
+    y = bytes((((x // 8) * 3 + (yy // 8) * 5 + seed) % 128) * 2
+              for yy in range(h) for x in range(w))
+    cw, ch = (w + sh - 1) // sh, (h + sv - 1) // sv
+    cb = bytes((((x // 8) * 7 + seed) % 128) * 2
+               for yy in range(ch) for x in range(cw))
+    cr = bytes((((yy // 8) * 11 + seed) % 128) * 2
+               for yy in range(ch) for x in range(cw))
+    dec = jpegpix.decode_jpeg(
+        jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, sh, sv))
+    assert dec is not None and dec[:3] == (w, h, 3)
+    import math
+    rgb = dec[3]
+    for i in range(0, w * h, 13):          # sampled positions keep it fast
+        x, yy = i % w, i // w
+        yv = y[i]
+        cbv = cb[(yy * ch // h) * cw + (x * cw // w)]
+        crv = cr[(yy * ch // h) * cw + (x * cw // w)]
+        r = min(255, max(0, math.floor(yv + 1.402 * (crv - 128) + 0.5)))
+        assert rgb[i * 3] == r, (i, samp)

@@ -174,3 +174,86 @@ def test_color_truncation_robustness():
     for cut in range(0, len(b), 9):
         r = jpegpix.decode_jpeg(b[:cut])
         assert r is None or isinstance(r, tuple)
+
+
+def _sub_planes(w, h, sv, seed):
+    y = bytes((((x // 8) * 3 + (yy // 8) * 5 + seed) % 128) * 2
+              for yy in range(h) for x in range(w))
+    cw, ch = (w + 1) // 2, (h + sv - 1) // sv
+    cb = bytes((((x // 8) * 7 + seed * 2) % 128) * 2
+               for yy in range(ch) for x in range(cw))
+    cr = bytes((((yy // 8) * 11 + seed * 3) % 128) * 2
+               for yy in range(ch) for x in range(cw))
+    return y, cb, cr, cw, ch
+
+
+def test_subsampled_420_blockconst_exact():
+    """4:2:0 (luma 2x2, chroma 1x1): per-plane blockwise-constant even
+    values decode bit-exactly through the Vi×Hi interleaved MCU stream,
+    and the replicated-upsample + BT.601 output is closed-form."""
+    import math
+    w, h = 24, 16
+    y, cb, cr, cw, ch = _sub_planes(w, h, 2, seed=5)
+    dec = jpegpix.decode_jpeg(
+        jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 2))
+    assert dec is not None and dec[:3] == (w, h, 3)
+    rgb = dec[3]
+    for i in range(w * h):
+        x, yy = i % w, i // w
+        yv = y[i]
+        cbv = cb[(yy // 2) * cw + x // 2]
+        crv = cr[(yy // 2) * cw + x // 2]
+        r = min(255, max(0, math.floor(yv + 1.402 * (crv - 128) + 0.5)))
+        g = min(255, max(0, math.floor(yv - 0.344136 * (cbv - 128)
+                                       - 0.714136 * (crv - 128) + 0.5)))
+        b = min(255, max(0, math.floor(yv + 1.772 * (cbv - 128) + 0.5)))
+        assert (rgb[i * 3], rgb[i * 3 + 1], rgb[i * 3 + 2]) == (r, g, b), i
+
+
+def test_subsampled_422_odd_dims_exact():
+    """4:2:2 with non-multiple-of-16 width (13): partial MCUs are encoded
+    edge-replicated and clipped on decode; constant blocks stay exact."""
+    w, h = 13, 10
+    y = bytes([88]) * (w * h)
+    cw, ch = 7, 10
+    cb = bytes([128]) * (cw * ch)
+    cr = bytes([128]) * (cw * ch)
+    dec = jpegpix.decode_jpeg(
+        jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 1))
+    assert dec is not None and dec[:3] == (w, h, 3)
+    assert all(v == 88 for v in dec[3])
+
+
+def test_subsampled_equals_444_when_neutral_chroma():
+    """A 4:2:0 file with neutral chroma must decode to the same gray image
+    as the 4:4:4 encoding of the same luma."""
+    w, h = 16, 16
+    y = bytes((((x // 8) + (yy // 8) * 2) % 128) * 2
+              for yy in range(h) for x in range(w))
+    full = jpegpix.decode_jpeg(jpegpix.encode_jpeg_ycbcr(
+        w, h, y, bytes([128]) * (w * h), bytes([128]) * (w * h)))
+    sub = jpegpix.decode_jpeg(jpegpix.encode_jpeg_ycbcr_sub(
+        w, h, y, bytes([128]) * 64, bytes([128]) * 64, 2, 2))
+    assert full[3] == sub[3]
+
+
+def test_subsampled_truncation_robustness():
+    w, h = 16, 16
+    y, cb, cr, _, _ = _sub_planes(w, h, 2, seed=2)
+    b = jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 2)
+    for cut in range(0, len(b), 7):
+        r = jpegpix.decode_jpeg(b[:cut])
+        assert r is None or isinstance(r, tuple)
+
+
+def test_sampling_factor_above_two_returns_none():
+    """Factors >2 (e.g. 4:1:1's luma 4x1) are out of scope and must route
+    to the codec fleet, not crash or mis-decode."""
+    w, h = 16, 16
+    y, cb, cr, _, _ = _sub_planes(w, h, 2, seed=3)
+    b = bytearray(jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 2))
+    i = bytes(b).find(b"\xff\xc0")
+    # component 1's sampling byte sits at SOF body offset 7 (id,samp,tq)
+    assert b[i + 4 + 7] == 0x22
+    b[i + 4 + 7] = 0x41
+    assert jpegpix.decode_jpeg(bytes(b)) is None
