@@ -2946,6 +2946,65 @@ FROM sess GROUP BY 1, 2, 3
 """
 
 
+def _training_samples(spark, sf_dir):
+    """Conversation → training-example emission (plans/training.py):
+    sessionize the event stream (30-min gap), then cut each session into
+    token-budgeted samples by budget-boundary packing (an event joins
+    chunk floor(tokens_before/budget) — one window expression, no
+    recursion) and emit ordered concatenated text + provenance. The
+    oracle replays sessionize + the cumulative-token window + the chunked
+    rollup with string_agg ORDER BY; sample boundaries, token sums, and
+    text bytes are all pinned."""
+    from docext_spark.plans.training import sessions_to_training_samples
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("text", F.concat_ws(" ", "event_type", "props")))
+    out = sessions_to_training_samples(
+        ev, "user_id", "ts", "text", gap_minutes=30, budget_tokens=4,
+        tiebreak_col="event_id")
+    return out.select("user_id", "session_idx", "session_id", "chunk_idx",
+                      "sample_id", "n_events", "n_tokens", "sample_start",
+                      "sample_end", "sample_text")
+
+
+_TRAINING_SAMPLES_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type || ' ' || props AS text
+  FROM events
+), tokd AS (
+  SELECT *, CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS tok
+  FROM ev
+), lagged AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts)
+                         > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM tokd
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM lagged
+), chunked AS (
+  SELECT *, floor(coalesce(
+        sum(tok) OVER (PARTITION BY user_id, session_idx
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) / 4)::BIGINT AS chunk_idx
+  FROM sess
+)
+SELECT user_id, session_idx,
+       user_id::VARCHAR || '#' || session_idx::VARCHAR AS session_id,
+       chunk_idx,
+       user_id::VARCHAR || '#' || session_idx::VARCHAR || '/'
+         || chunk_idx::VARCHAR AS sample_id,
+       count(*)::BIGINT AS n_events, sum(tok)::BIGINT AS n_tokens,
+       min(ts) AS sample_start, max(ts) AS sample_end,
+       string_agg(text, chr(10) ORDER BY ts, event_id) AS sample_text
+FROM chunked GROUP BY user_id, session_idx, chunk_idx
+"""
+
+
 def _curate_funnel(spark, sf_dir):
     """End-to-end corpus-curation survivorship funnel: quality gate →
     exact dedup (keep lowest id) → fuzzy dedup (LSH candidates → jaccard
@@ -3201,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
+        "training_samples": _training_samples,
         # -- rows-only (perception / sketches / non-SQL-expressible) -------
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
@@ -3268,6 +3328,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_subsampled_pixels": _JPEG_SUBSAMPLED_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
+        "training_samples": _TRAINING_SAMPLES_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "t_redact_pii": _redact_sql(),
         "t_repetition": _REPETITION_SQL,
