@@ -194,6 +194,14 @@ def grits_con_from_html(true_html: str, pred_html: str) -> float:
     return factored_2dmss(tg, pg)
 
 
+def grits_grid_clipped(html: str) -> bool:
+    """True when a table's grid exceeds the executor-protection bound and
+    its GRITS score was computed on the truncated grid — the lineage
+    signal a pipeline counts so clipping is observable, never silent."""
+    grid = cells_to_text_grid(html_table_to_cells(html))
+    return _bound(grid) is not grid
+
+
 def cells_to_relspan_grid(cells: list[dict]) -> list[list[str]]:
     """Relative-span grid for GRITS_Top (reference grits.py:274-298): each
     grid position carries the bbox of its owning cell relative to the

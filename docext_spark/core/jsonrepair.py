@@ -10,7 +10,15 @@ We replicate exactly that subset (documented per SURVEY.md §7.4 risk #4):
   * single-quoted strings → double-quoted
   * unquoted object keys → quoted
   * trailing commas before } / ] removed
+  * Python literals True / False / None → true / false / null
+  * bare-word values quoted ({"a": yes} → {"a": "yes"})
+  * concatenated top-level values ({"a":1}{"b":2} → [{"a":1},{"b":2}],
+    the list shape json_repair returns, ready for merge_list_of_dicts)
   * list-of-dicts → merged dict, dup keys append into a list
+
+All repairs after the first are applied ONLY outside double-quoted string
+literals (a segment scan, not whole-text regex), so payload text like
+"True story, don't split" is never mangled.
 
 Pure Python, deterministic, no Spark imports.
 """
@@ -73,6 +81,70 @@ def _requote_single_quoted(s: str) -> str:
     return "".join(out)
 
 
+_PY_CONSTS = {"True": "true", "False": "false", "None": "null"}
+_JSON_WORDS = {"true", "false", "null", "NaN", "Infinity"}
+_BARE_VALUE_RE = re.compile(
+    r"(:\s*)([A-Za-z_][A-Za-z0-9_\- ]*?)(\s*[,}\]])")
+_WORD_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+
+
+def _map_outside_strings(s: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``s`` that are NOT inside
+    double-quoted string literals (run after _requote_single_quoted, when
+    every string is double-quoted) — structural repairs must never edit
+    payload text."""
+    out: list[str] = []
+    i, seg_start, n = 0, 0, len(s)
+    while i < n:
+        if s[i] == '"':
+            out.append(fn(s[seg_start:i]))
+            j = i + 1
+            while j < n:
+                if s[j] == "\\":
+                    j += 2
+                    continue
+                if s[j] == '"':
+                    j += 1
+                    break
+                j += 1
+            out.append(s[i:j])
+            i = seg_start = j
+        else:
+            i += 1
+    out.append(fn(s[seg_start:]))
+    return "".join(out)
+
+
+def _fix_tokens(seg: str) -> str:
+    """Python constants → JSON, then quote remaining bare-word values."""
+    seg = _WORD_RE.sub(lambda m: _PY_CONSTS.get(m.group(0), m.group(0)), seg)
+    return _BARE_VALUE_RE.sub(
+        lambda m: m.group(1)
+        + (m.group(2) if m.group(2) in _JSON_WORDS
+           else json.dumps(m.group(2)))
+        + m.group(3), seg)
+
+
+def _parse_concatenated(s: str):
+    """Concatenated top-level values ('{..}{..}' or '{..}\\n[..]') → list,
+    mirroring json_repair's multi-object recovery. None unless at least
+    two complete values consume the whole string."""
+    dec = json.JSONDecoder()
+    vals = []
+    i, n = 0, len(s)
+    while i < n:
+        while i < n and s[i] in " \t\r\n":
+            i += 1
+        if i >= n:
+            break
+        try:
+            v, i = dec.raw_decode(s, i)
+        except Exception:
+            return None
+        vals.append(v)
+    return vals if len(vals) >= 2 else None
+
+
 def repair_json(text: str):
     """Parse possibly-broken JSON; returns the object or None on failure."""
     if text is None:
@@ -87,10 +159,12 @@ def repair_json(text: str):
     fixed = _requote_single_quoted(s)
     fixed = _UNQUOTED_KEY_RE.sub(lambda m: m.group(1) + json.dumps(m.group(2)) + m.group(3), fixed)
     fixed = _TRAILING_COMMA_RE.sub(r"\1", fixed)
+    fixed = _map_outside_strings(fixed, _fix_tokens)
     try:
         return json.loads(fixed)
     except Exception:
-        return None
+        pass
+    return _parse_concatenated(fixed)
 
 
 def merge_list_of_dicts(parsed):

@@ -154,6 +154,17 @@ def grits_con_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
         for g, p in zip(gt_html, pred_html)])
 
 
+@pandas_udf(T.BooleanType())
+def grits_clipped_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
+    """Lineage flag beside the GRITS scores: True when either table's grid
+    hit the MAX_GRID bound and the pair was scored on a truncated grid.
+    Sum it per partition for the clipped-pair counter (the decode-bomb
+    guards' observability pattern)."""
+    from docext_spark.core.grits import grits_grid_clipped
+    return pd.Series([grits_grid_clipped(g or "") or grits_grid_clipped(p or "")
+                      for g, p in zip(gt_html, pred_html)])
+
+
 @pandas_udf(T.DoubleType())
 def grits_top_udf(gt_html: pd.Series, pred_html: pd.Series) -> pd.Series:
     """GRITS_Top topology similarity per (gt, pred) HTML pair

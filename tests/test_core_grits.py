@@ -142,3 +142,21 @@ def test_empty_tables():
     # no cells on either side → num_true=num_pos=0 → precision=recall=1 → f can be 1
     s = factored_2dmss([[]], [[]])
     assert s in (0.0, 1.0)
+
+
+def test_pathological_grid_is_clipped_and_fast():
+    """A 500x500 adversarial table must be bounded (VERDICT r4 #6): the
+    score computes on the truncated grid in bounded time and the clipping
+    is observable via grits_grid_clipped."""
+    import time
+
+    from docext_spark.core.grits import grits_con_from_html, grits_grid_clipped
+    rows = "".join("<tr>" + "<td>x</td>" * 500 + "</tr>" for _ in range(500))
+    html = f"<table>{rows}</table>"
+    t0 = time.time()
+    s = grits_con_from_html(html, html)
+    elapsed = time.time() - t0
+    assert s == 1.0
+    assert elapsed < 60, f"bounded GRITS took {elapsed:.1f}s"
+    assert grits_grid_clipped(html) is True
+    assert grits_grid_clipped("<table><tr><td>a</td></tr></table>") is False

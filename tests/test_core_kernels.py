@@ -216,3 +216,38 @@ def test_grits_grid_bound_caps_area():
     assert len(out) * len(out[0]) <= MAX_GRID_AREA
     small = [["a", "b"], ["c", "d"]]
     assert _bound(small) is small  # untouched when inside the budget
+
+
+def test_repair_python_constants():
+    assert repair_json('{"a": True, "b": False, "c": None}') \
+        == {"a": True, "b": False, "c": None}
+
+
+def test_repair_bare_word_values():
+    assert repair_json('{"status": ok, "b": done deal,}') \
+        == {"status": "ok", "b": "done deal"}
+
+
+def test_repair_concatenated_objects():
+    # json_repair's multi-object recovery: a list, ready for merging
+    out = repair_json('{"a": 1}{"a": 2}\n{"b": 3}')
+    assert out == [{"a": 1}, {"a": 2}, {"b": 3}]
+    assert merge_list_of_dicts(out) == {"a": [1, 2], "b": 3}
+
+
+def test_repair_concatenated_after_fixes():
+    # each concatenated object may itself need repairs
+    assert repair_json("{'a': 1,}{b: True}") == [{"a": 1}, {"b": True}]
+
+
+def test_repair_string_payloads_never_mangled():
+    # constants / bare words INSIDE strings stay verbatim
+    assert repair_json('{"t": "True story, None of it", "u": ok}') \
+        == {"t": "True story, None of it", "u": "ok"}
+    assert repair_json("{'t': 'True and False'}") == {"t": "True and False"}
+
+
+def test_repair_well_formed_untouched():
+    # stage-1 parse short-circuits: exotic-but-valid JSON is returned as-is
+    assert repair_json('{"a": "x,}{", "n": 1e5, "i": Infinity}') \
+        == {"a": "x,}{", "n": 1e5, "i": float("inf")}

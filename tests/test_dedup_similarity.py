@@ -686,3 +686,55 @@ def test_banded_signatures_udf_plan_stays_small_at_dim768(spark):
                                   impl="literal")._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert len(slow_plan) > 200_000  # the disease the UDF path cures
+
+
+def test_ann_recall_at_5_on_sf01_corpus(spark):
+    """Recall tracking on the larger corpus (VERDICT r4 #8): lsh_topk
+    (2 tables) and ivf_topk (probe=2, default farthest seeding) vs the
+    brute-force exact top-5 over the 2000-vector sf0.1 embeddings table.
+    Thresholds are deliberately below the measured values so the gate
+    trips on structural regressions, not sampling wiggle."""
+    import os
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+    from docext_spark.operators.similarity import (brute_force_topk,
+                                                   ivf_topk, lsh_topk)
+    from pyspark.sql import functions as F
+    emb = (spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+           .withColumn("embedding", F.col("embedding").cast("array<double>"))
+           .cache())
+    queries = (emb.filter(F.col("vec_id") % 100 == 7)     # 20 spread queries
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qvec")).cache())
+    n_q = queries.count()
+    assert n_q == 20
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, k=5))
+    # this corpus is near-uniform (rank-2 neighbor cos ≈ 0.42, θ ≈ 65°,
+    # per-plane agreement p ≈ 0.64) — the honest hard case for ANN. At
+    # 3 planes × 8 tables the S-curve gives ~0.95 per-neighbor candidate
+    # probability; measured recall 0.90. IVF on unclustered data is
+    # inherently coarser: measured 0.60 at probe=2, 0.75 at probe=4.
+    # Everything is deterministic (seeded planes, farthest-point init), so
+    # the margins below only absorb legitimate re-seedings, not noise.
+    lsh = topk_sets(lsh_topk(emb, queries, dim=64, k=5, n_planes=3,
+                             n_tables=8))
+    ivf2 = topk_sets(ivf_topk(emb, queries, k=5, n_lists=8, probe=2))
+    ivf4 = topk_sets(ivf_topk(emb, queries, k=5, n_lists=8, probe=4))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        return hits / (5 * n_q)
+
+    r_lsh, r_ivf2, r_ivf4 = recall(lsh), recall(ivf2), recall(ivf4)
+    assert r_lsh >= 0.8, f"lsh recall@5 regressed: {r_lsh}"
+    assert r_ivf2 >= 0.5, f"ivf probe=2 recall@5 regressed: {r_ivf2}"
+    assert r_ivf4 >= 0.65, f"ivf probe=4 recall@5 regressed: {r_ivf4}"
+    assert r_ivf4 >= r_ivf2, "probing more lists must never lose recall"

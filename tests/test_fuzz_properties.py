@@ -242,3 +242,40 @@ def test_jpeg_subsampled_blockconst_roundtrip_exact(bw, bh, seed, samp):
         crv = cr[(yy * ch // h) * cw + (x * cw // w)]
         r = min(255, max(0, math.floor(yv + 1.402 * (crv - 128) + 0.5)))
         assert rgb[i * 3] == r, (i, samp)
+
+
+_IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True)
+_VAL = st.one_of(st.integers(-1000, 1000), st.booleans(), st.none(),
+                 st.text(alphabet="abc XYZ'!", max_size=12))
+
+
+@given(st.dictionaries(_IDENT, _VAL, min_size=1, max_size=5),
+       st.dictionaries(_IDENT, _VAL, min_size=1, max_size=3),
+       st.booleans(), st.booleans(), st.booleans())
+@settings(max_examples=120, deadline=None)
+def test_repair_json_recovers_documented_corruptions(d1, d2, unquote_keys,
+                                                     pyconsts, concat):
+    """Property: a dict serialized with the documented corruption modes
+    (python-repr constants, unquoted keys, trailing comma, concatenated
+    objects) is recovered exactly by repair_json."""
+    import json as _json
+
+    from docext_spark.core.jsonrepair import repair_json
+
+    def corrupt(d):
+        if pyconsts:
+            # Python repr: True/False/None, single-quoted strings
+            s = repr(d)
+        else:
+            s = _json.dumps(d)
+        if unquote_keys and not pyconsts:
+            for k in d:
+                s = s.replace(f'"{k}":', f'{k}:')
+        return s[:-1] + ",}" if s.endswith("}") and d else s
+
+    s = corrupt(d1)
+    if concat:
+        out = repair_json(s + "\n" + corrupt(d2))
+        assert out == [d1, d2]
+    else:
+        assert repair_json(s) == d1

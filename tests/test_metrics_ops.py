@@ -88,3 +88,27 @@ def test_stratified_topk(spark):
     assert out.count() == 6
     per = {r["cls"] for r in out.collect()}
     assert per == {"a", "b"}
+
+
+def test_grits_clipped_udf_flags_oversize_tables(spark):
+    import pandas as pd
+
+    from docext_spark.operators.extract import grits_clipped_udf, grits_con_udf
+    from pyspark.sql import functions as F
+    big = ("<table>"
+           + "".join("<tr>" + "<td>x</td>" * 80 + "</tr>" for _ in range(80))
+           + "</table>")
+    small = "<table><tr><td>a</td></tr></table>"
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, small, small), (1, big, big)],
+                     columns=["i", "gt", "pred"]),
+        "i long, gt string, pred string")
+    out = (df.select("i", grits_clipped_udf("gt", "pred").alias("clipped"),
+                     grits_con_udf("gt", "pred").alias("score"))
+           .collect())
+    got = {r["i"]: (r["clipped"], r["score"]) for r in out}
+    assert got[0] == (False, 1.0)
+    assert got[1][0] is True and got[1][1] == 1.0
+    # the lineage counter shape: sum of clipped flags
+    n = df.agg(F.sum(grits_clipped_udf("gt", "pred").cast("int"))).collect()
+    assert n[0][0] == 1
