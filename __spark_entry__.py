@@ -2773,10 +2773,13 @@ def _jpeg_subsampled_pixels(spark, sf_dir):
     (luma 2×2), odd ids 4:2:2 (luma 2×1), chroma planes at reduced
     resolution, decoded from real interleaved MCU streams (Vi×Hi luma
     blocks + one block per chroma component per MCU, per-component DC
-    predictors) and upsampled by sample replication. Fixtures plant
-    blockwise-constant EVEN values per PLANE in each plane's own 8×8
-    grid, so the decode is bit-exact and the oracle replays
-    luma/chroma lookup + replication + BT.601 in closed form."""
+    predictors) and upsampled by sample replication; every third id also
+    carries DRI/RSTn restart markers (interval 2), exercising the
+    restart-sync + DC-reset path — the pixels are identical, so the
+    oracle needs no branch. Fixtures plant blockwise-constant EVEN values
+    per PLANE in each plane's own 8×8 grid, so the decode is bit-exact
+    and the oracle replays luma/chroma lookup + replication + BT.601 in
+    closed form."""
     import pandas as pd
     from docext_spark.core import jpegpix
     from docext_spark.operators.multimodal import resample_images
@@ -2791,7 +2794,9 @@ def _jpeg_subsampled_pixels(spark, sf_dir):
                    for yy in range(chh) for x in range(cw))
         cr = bytes((((yy // 8) * 11 + i * 3) % 128) * 2
                    for yy in range(chh) for x in range(cw))
-        payload = jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, sv)
+        payload = jpegpix.encode_jpeg_ycbcr_sub(
+            w, h, y, cb, cr, 2, sv,
+            restart_interval=2 if i % 3 == 0 else 0)
         rows.append((i, "image", payload))
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
@@ -3168,47 +3173,37 @@ SELECT * FROM (VALUES
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so every oracle-paired query that fits sits inside the
-    driver's 50-entry correctness window. 70 queries carry an oracle_sql
-    twin; the 20 overflow pairs (positions 51-70, full-sweep-verified —
-    see CORRECTNESS_FULL_r3.md) and the 6 rows-only tail entries are
-    checkable any time via tools/check_oracle.py. The rows-only ones are
-    genuinely non-SQL-replayable: HLL sketch, perception pUDFs
-    (byte-pinned by pytest goldens), GRITS, VLM message assembly, and the
-    xxhash64 LSH variant (pytest parity-gated vs the sha256 oracle
-    path)."""
+    """Ordered so the driver's 50-entry correctness window exercises the
+    NEWEST work each round (VERDICT r4 #10) while keeping one
+    representative per operator family. 81 queries carry an oracle_sql
+    twin; the 31 overflow pairs (positions 51-81, all long-green) and the
+    6 rows-only tail entries are full-sweep-verified every round via
+    tools/check_oracle.py (CORRECTNESS_FULL_r5.md, three SFs). The
+    rows-only ones are genuinely non-SQL-replayable: HLL sketch,
+    perception pUDFs (byte-pinned by pytest goldens), GRITS, VLM message
+    assembly, and the xxhash64 LSH variant (pytest parity-gated vs the
+    sha256 oracle path)."""
     return {
-        # -- oracle-paired, window positions 1-50 --------------------------
+        # -- oracle-paired, window positions 1-50: newest pairs rotated
+        #    in each round (VERDICT r4 #10), one per operator family --
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "q3_shipping_priority": _q3_shipping_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "a14_cube": _a14_cube,
         "j1_field_alignment": _j1_field_alignment,
-        "a1_edit_similarity": _a1_edit_similarity,
         "a3_vqa_best_of": _a3_vqa_best_of,
-        "a4_exact_match": _a4_exact_match,
-        "a5_multivalue_fold": _a5_multivalue_fold,
-        "a6_distinct_labels": _a6_distinct_labels,
-        "a9_cost_accounting": _a9_cost_accounting,
         "a10_score_matrix": _a10_score_matrix,
-        "a11_stratified_topk": _a11_stratified_topk,
         "w1_stable_order_concat": _w1_stable_order_concat,
-        "w3_first_match": _w3_first_match,
         "w5_event_time_window": _w5_event_time_window,
         "p1_field_norm": _p1_field_norm,
-        "p6_key_remap": _p6_key_remap,
-        "p7_bbox_denorm": _p7_bbox_denorm,
-        "p9_enclosing_bbox": _p9_enclosing_bbox,
-        "p10_validity_filter": _p10_validity_filter,
-        "s1_extension_predicate": _s1_extension_predicate,
-        "s8_payload_truncation": _s8_payload_truncation,
         "p3_json_field_default": _p3_json_field_default,
+        "p9_enclosing_bbox": _p9_enclosing_bbox,
+        "s1_extension_predicate": _s1_extension_predicate,
         "scalar_sha_b64": _scalar_sha_b64,
         "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
         "t_quality": _t_quality,
-        "t_quality_filter": _t_quality_filter,
         "s5_resize_dims": _s5_resize_dims,
         "t_bpe_token_count": _t_bpe_token_count,
         "dedup_exact": _dedup_exact,
@@ -3218,6 +3213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_funnel": _curate_funnel,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
+        "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
+        "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
+        "simhash_flood_guard": _simhash_flood_guard,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_topk_farthest": _ann_ivf_topk_farthest,
@@ -3230,7 +3228,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        # -- oracle-paired overflow (positions 51-64) ------------------------
+        "image_resample_pixels": _image_resample_pixels,
+        "gif_resample_pixels": _gif_resample_pixels,
+        "jpeg_resample_pixels": _jpeg_resample_pixels,
+        "jpeg_color_pixels": _jpeg_color_pixels,
+        "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
+        "audio_waveform_features": _audio_waveform_features,
+        "event_sessionization": _event_sessionization,
+        "training_samples": _training_samples,
+        # -- oracle-paired overflow (positions 51+, long-green; rotated
+        #    out to make window room — full-sweep-verified every round
+        #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
+        "a1_edit_similarity": _a1_edit_similarity,
+        "a4_exact_match": _a4_exact_match,
+        "a5_multivalue_fold": _a5_multivalue_fold,
+        "a6_distinct_labels": _a6_distinct_labels,
+        "a9_cost_accounting": _a9_cost_accounting,
+        "a11_stratified_topk": _a11_stratified_topk,
+        "w3_first_match": _w3_first_match,
+        "p6_key_remap": _p6_key_remap,
+        "p7_bbox_denorm": _p7_bbox_denorm,
+        "p10_validity_filter": _p10_validity_filter,
+        "s8_payload_truncation": _s8_payload_truncation,
+        "t_quality_filter": _t_quality_filter,
         "w4_topn": _w4_topn,
         "j5_table_pairing": _j5_table_pairing,
         "p5_strip_normalize": _p5_strip_normalize,
@@ -3241,7 +3261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_posexplode_pages": _s2_posexplode_pages,
         "simhash_signatures": _simhash_signatures,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
-        "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
         "multimodal_features": _multimodal_features,
         "t_redact_pii": _t_redact_pii,
         "t_repetition": _t_repetition,
@@ -3251,17 +3270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget": _sample_token_budget,
         "mixture_sources": _mixture_sources,
         "frame_sample_plan": _frame_sample_plan,
-        "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
-        "simhash_flood_guard": _simhash_flood_guard,
-        "image_resample_pixels": _image_resample_pixels,
-        "gif_resample_pixels": _gif_resample_pixels,
-        "jpeg_resample_pixels": _jpeg_resample_pixels,
-        "jpeg_color_pixels": _jpeg_color_pixels,
-        "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
-        "audio_waveform_features": _audio_waveform_features,
-        "event_sessionization": _event_sessionization,
-        "training_samples": _training_samples,
-        # -- rows-only (perception / sketches / non-SQL-expressible) -------
+        # -- rows-only (perception / sketches / non-SQL-expressible) --
         "a15_approx_distinct": _a15_approx_distinct,
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,

@@ -12,9 +12,10 @@ Scope (honest, like the PCM-only WAV and non-interlaced GIF decoders):
 sampling factors in {1,2} — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (what nearly
 every real-world camera/web JPEG uses): interleaved MCUs (Vi×Hi blocks
 per component), per-component DC predictors, sample-replication chroma
-upsample, BT.601 full-range conversion per ITU-T T.871. No restart
-intervals. Progressive streams and sampling factors >2 return None — at
-100 TB those route to a codec fleet; the scan must never die on one blob.
+upsample, BT.601 full-range conversion per ITU-T T.871, and DRI/RSTn
+restart intervals (modulo-8 sequence validated, DC predictors reset).
+Progressive streams and sampling factors >2 return None — at 100 TB
+those route to a codec fleet; the scan must never die on one blob.
 
 Exactness: JPEG is lossy in general, but a block whose 64 samples are one
 CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
@@ -147,6 +148,23 @@ class _BitReader:
                 return sym
         return None
 
+    def sync_restart(self, expected: int) -> bool:
+        """Consume an RSTn marker at a restart boundary: discard the
+        current segment's padding bits (spec F.2.1.3.1 — fill bits before
+        a marker carry no data), then require 0xFF 0xD0+expected at the
+        byte position (_fill stopped exactly there on seeing a real
+        marker). A wrong or missing modulo-8 sequence number means the
+        stream is corrupt."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data) or self.data[self.pos] != 0xFF:
+            return False
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7) or (m & 7) != expected:
+            return False
+        self.pos += 2
+        return True
+
 
 def _extend(v: int, size: int) -> int:
     """JPEG EXTEND (F.2.2.1): recover the signed value from size bits."""
@@ -163,6 +181,7 @@ def decode_jpeg(payload: bytes | None):
     dc_tables: dict[int, _HuffTable] = {}
     ac_tables: dict[int, _HuffTable] = {}
     w = h = None
+    restart_interval = 0
     comps: list[dict] | None = None
     i, n = 2, len(payload)
     data_start = None
@@ -225,8 +244,10 @@ def decode_jpeg(payload: bytes | None):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                     # non-baseline SOF
-        elif marker == 0xDD:
-            return None                     # restart intervals out of scope
+        elif marker == 0xDD:                # DRI
+            if len(seg) < 2:
+                return None
+            restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                # SOS
             if comps is None or len(seg) < 1 + 2 * len(comps) + 3 \
                     or seg[0] != len(comps):
@@ -265,8 +286,19 @@ def decode_jpeg(payload: bytes | None):
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     preds = [0] * len(comps)
+    mcu_no = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            # restart boundary: every `restart_interval` MCUs the stream
+            # carries an RSTn marker (n cycles 0-7) and DC prediction
+            # resets — what camera JPEGs emit for error resilience
+            if restart_interval and mcu_no \
+                    and mcu_no % restart_interval == 0:
+                if not reader.sync_restart(
+                        (mcu_no // restart_interval - 1) % 8):
+                    return None
+                preds = [0] * len(comps)
+            mcu_no += 1
             # interleaved MCU: Vi×Hi blocks per component, row-major
             for ci, c in enumerate(comps):
                 for bi in range(c["sv"]):
@@ -435,6 +467,12 @@ class _BitWriter:
         if self.nbits:
             self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
 
+    def emit_rst(self, n: int):
+        """Byte-align with 1-fill bits, then the RSTn marker (raw — RST
+        markers are never byte-stuffed)."""
+        self.flush()
+        self.out += bytes([0xFF, 0xD0 + (n & 7)])
+
 
 def _size_of(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
@@ -492,7 +530,8 @@ def _block_at(plane: bytes, w: int, h: int, bx: int, by: int) -> list[float]:
 
 def _jpeg_file(w: int, h: int, qt: list[int], ncomp: int,
                entropy: bytes,
-               samplings: list[int] | None = None) -> bytes:
+               samplings: list[int] | None = None,
+               restart_interval: int = 0) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
@@ -500,21 +539,25 @@ def _jpeg_file(w: int, h: int, qt: list[int], ncomp: int,
     dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
     dht = seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
         + seg(0xC4, bytes([0x10]) + _AC_COUNTS + _AC_SYMBOLS)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
     sof_comps = b"".join(bytes([c + 1, samplings[c], 0])
                          for c in range(ncomp))
     sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
               + bytes([ncomp]) + sof_comps)
     sos_comps = b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
     sos = seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + entropy + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + entropy + b"\xff\xd9"
 
 
 def encode_jpeg_gray(w: int, h: int, pixels: bytes,
-                     quant: int = 16) -> bytes:
+                     quant: int = 16, restart_interval: int = 0) -> bytes:
     """A real baseline grayscale JPEG: float FDCT, flat quantization table
     (all entries = ``quant``), spec Annex K Huffman tables, byte-stuffed
     entropy stream. Lossy in general; EXACT for blockwise-constant even
-    sample values when quant=16 (see module docstring)."""
+    sample values when quant=16 (see module docstring).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many MCUs
+    with DC-predictor resets (the camera-JPEG error-resilience layout)."""
     if len(pixels) != w * h:
         raise ValueError("pixel buffer does not match dims")
     qt = [quant] * 64
@@ -522,12 +565,19 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
     writer = _BitWriter()
     pred = 0
+    mcu_no = 0
     for by in range((h + 7) // 8):
         for bx in range((w + 7) // 8):
+            if restart_interval and mcu_no \
+                    and mcu_no % restart_interval == 0:
+                writer.emit_rst((mcu_no // restart_interval - 1) % 8)
+                pred = 0
+            mcu_no += 1
             pred = _encode_block(writer, _block_at(pixels, w, h, bx, by),
                                  pred, qt, dc_codes, ac_codes)
     writer.flush()
-    return _jpeg_file(w, h, qt, 1, bytes(writer.out))
+    return _jpeg_file(w, h, qt, 1, bytes(writer.out),
+                      restart_interval=restart_interval)
 
 
 def encode_jpeg_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
@@ -556,7 +606,8 @@ def encode_jpeg_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
 
 def encode_jpeg_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
                           sh: int = 2, sv: int = 2,
-                          quant: int = 16) -> bytes:
+                          quant: int = 16,
+                          restart_interval: int = 0) -> bytes:
     """A real CHROMA-SUBSAMPLED baseline color JPEG: luma sampling
     (sh, sv) ∈ {1,2}², chroma (1,1) — sh=sv=2 is 4:2:0 (the format most
     real-world JPEGs use), sh=2/sv=1 is 4:2:2. ``y`` is the full w×h luma
@@ -574,8 +625,14 @@ def encode_jpeg_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
     ac_codes = _encode_codes(_AC_COUNTS, _AC_SYMBOLS)
     writer = _BitWriter()
     preds = [0, 0, 0]
+    mcu_no = 0
     for my in range((h + 8 * sv - 1) // (8 * sv)):
         for mx in range((w + 8 * sh - 1) // (8 * sh)):
+            if restart_interval and mcu_no \
+                    and mcu_no % restart_interval == 0:
+                writer.emit_rst((mcu_no // restart_interval - 1) % 8)
+                preds = [0, 0, 0]
+            mcu_no += 1
             for bi in range(sv):                    # luma: sv×sh blocks
                 for bj in range(sh):
                     preds[0] = _encode_block(
@@ -588,4 +645,5 @@ def encode_jpeg_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
                     preds[ci], qt, dc_codes, ac_codes)
     writer.flush()
     return _jpeg_file(w, h, qt, 3, bytes(writer.out),
-                      samplings=[(sh << 4) | sv, 0x11, 0x11])
+                      samplings=[(sh << 4) | sv, 0x11, 0x11],
+                      restart_interval=restart_interval)

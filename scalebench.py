@@ -28,12 +28,14 @@ import subprocess
 import sys
 
 INPUT_DIR = "/tmp/scalebench_input"
+SKEWED_INPUT_DIR = "/tmp/scalebench_input_skewed"   # hot_factor=200
 
 WORKER = r'''
 import json, os, sys, time, statistics
 
-cores, replicas, runs, input_dir = (int(sys.argv[1]), int(sys.argv[2]),
-                                    int(sys.argv[3]), sys.argv[4])
+cores, replicas, runs, input_dir, segmented = (
+    int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+    bool(int(sys.argv[5])))
 os.sched_setaffinity(0, set(range(cores)))
 sys.path.insert(0, "/root/repo")
 os.environ["SPARK_DRIVER_MEM"] = "60g"
@@ -56,7 +58,7 @@ n_turns = tdf.count()          # cache fill excluded from timing
 
 def job():
     extracted = run_extraction(tdf)
-    reassemble_conversations(extracted, segmented=True) \
+    reassemble_conversations(extracted, segmented=segmented) \
         .write.mode("overwrite").format("noop").save()
 
 for _ in range(2):             # warm-up: worker spawn + imports + JIT
@@ -72,9 +74,10 @@ spark.stop()
 '''
 
 
-def prepare_input(n_convs: int):
-    marker = os.path.join(INPUT_DIR, "_CONVS")
-    if (os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS"))
+def prepare_input(n_convs: int, input_dir: str = INPUT_DIR,
+                  hot_factor: int = 50):
+    marker = os.path.join(input_dir, "_CONVS")
+    if (os.path.exists(os.path.join(input_dir, "_SUCCESS"))
             and os.path.exists(marker)
             and open(marker).read().strip() == str(n_convs)):
         return
@@ -82,17 +85,19 @@ def prepare_input(n_convs: int):
     from docext_spark.session import get_spark
     from docext_spark.synth import transcripts_df
     spark = get_spark(app_name="scalebench_prep", master="local[32]")
-    transcripts_df(spark, n_convs=n_convs, median_turns=8, hot_factor=50,
-                   partitions=64).write.mode("overwrite").parquet(INPUT_DIR)
+    transcripts_df(spark, n_convs=n_convs, median_turns=8,
+                   hot_factor=hot_factor,
+                   partitions=64).write.mode("overwrite").parquet(input_dir)
     spark.stop()
     with open(marker, "w") as f:
         f.write(str(n_convs))
 
 
-def measure(cores: int, replicas: int, runs: int) -> dict:
+def measure(cores: int, replicas: int, runs: int,
+            input_dir: str = INPUT_DIR, segmented: bool = True) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(replicas), str(runs),
-         INPUT_DIR],
+         input_dir, str(int(segmented))],
         capture_output=True, text=True, check=True)
     sample = json.loads(out.stdout.strip().splitlines()[-1])
     tps = statistics.median(sample["tps"])
@@ -116,6 +121,12 @@ def main():
     ap.add_argument("--convs", type=int, default=40000)
     ap.add_argument("--replicas", type=int, default=1)
     ap.add_argument("--out", default="BENCH/scaling.json")
+    ap.add_argument("--mode", choices=["uniform", "skewed"],
+                    default="uniform",
+                    help="skewed: hot_factor=200 input (one conversation "
+                         "~200x the median), measured N→4N with segmented "
+                         "(salted) reassembly ON and OFF — the north "
+                         "rule's hot-conversation-skew evidence")
     args = ap.parse_args()
 
     # a scaling ratio from a contended box is WORSE than no number: r4 saw
@@ -128,6 +139,30 @@ def main():
               file=sys.stderr)
         sys.exit(3)
 
+    if args.mode == "skewed":
+        prepare_input(args.convs, SKEWED_INPUT_DIR, hot_factor=200)
+        block = {"hot_factor": 200, "loadavg_start": load}
+        for label, seg in (("salted", True), ("unsalted", False)):
+            lo = measure(args.n, args.replicas, args.runs,
+                         SKEWED_INPUT_DIR, segmented=seg)
+            hi = measure(args.n * 4, args.replicas, args.runs,
+                         SKEWED_INPUT_DIR, segmented=seg)
+            eff = hi["median_turns_per_sec"] / (4 * lo["median_turns_per_sec"])
+            block[label] = {"N": lo, "fourN": hi,
+                            "scaling_efficiency": round(eff, 3)}
+        block["target"] = 0.8
+        block["pass"] = block["salted"]["scaling_efficiency"] >= 0.8
+        print(json.dumps(block, indent=2))
+        if args.out and args.out != "/dev/null":
+            existing = {}
+            if os.path.exists(args.out):
+                with open(args.out) as f:
+                    existing = json.load(f)
+            existing["skewed"] = block
+            with open(args.out, "w") as f:
+                json.dump(existing, f, indent=2)
+        return
+
     prepare_input(args.convs)
     lo = measure(args.n, args.replicas, args.runs)
     hi = measure(args.n * 4, args.replicas, args.runs)
@@ -135,6 +170,12 @@ def main():
     result = {"N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
               "target": 0.8, "pass": eff >= 0.8,
               "loadavg_start": load}
+    # keep a previously measured skewed block when re-running uniform
+    if args.out and args.out != "/dev/null" and os.path.exists(args.out):
+        with open(args.out) as f:
+            prev = json.load(f)
+        if "skewed" in prev:
+            result["skewed"] = prev["skewed"]
     print(json.dumps(result, indent=2))
     if args.out and args.out != "/dev/null":
         with open(args.out, "w") as f:

@@ -257,3 +257,41 @@ def test_sampling_factor_above_two_returns_none():
     assert b[i + 4 + 7] == 0x22
     b[i + 4 + 7] = 0x41
     assert jpegpix.decode_jpeg(bytes(b)) is None
+
+
+def test_restart_interval_gray_exact():
+    """DRI/RSTn layout (camera-JPEG error resilience): blockwise-constant
+    fixtures round-trip exactly through restart boundaries, with DC
+    predictors reset at each RSTn and modulo-8 sequence numbers."""
+    w, h = 32, 16            # 8 MCUs
+    px = bytes((((x // 8) * 3 + (yy // 8) * 5) % 128) * 2
+               for yy in range(h) for x in range(w))
+    b = jpegpix.encode_jpeg_gray(w, h, px, restart_interval=2)
+    assert b"\xff\xdd" in b  # DRI present
+    n_rst = sum(b.count(bytes([0xFF, 0xD0 + i])) for i in range(8))
+    assert n_rst == 3        # 8 MCUs / interval 2 -> boundaries at 2,4,6
+    assert jpegpix.decode_jpeg(b) == (w, h, 1, px)
+
+
+def test_restart_interval_subsampled_exact():
+    w, h = 32, 16
+    y = bytes((((x // 8) * 3 + (yy // 8) * 5) % 128) * 2
+              for yy in range(h) for x in range(w))
+    cb, cr = bytes([120]) * 128, bytes([140]) * 128
+    b = jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 2,
+                                      restart_interval=1)
+    plain = jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, 2, 2)
+    assert jpegpix.decode_jpeg(b)[3] == jpegpix.decode_jpeg(plain)[3]
+
+
+def test_restart_bad_sequence_and_truncation_rejected():
+    w, h = 32, 16
+    px = bytes([100]) * (w * h)
+    b = jpegpix.encode_jpeg_gray(w, h, px, restart_interval=2)
+    i = b.find(b"\xff\xd0")
+    bad = bytearray(b)
+    bad[i + 1] = 0xD5        # wrong modulo-8 sequence
+    assert jpegpix.decode_jpeg(bytes(bad)) is None
+    for cut in range(0, len(b), 11):
+        r = jpegpix.decode_jpeg(b[:cut])
+        assert r is None or isinstance(r, tuple)
