@@ -197,9 +197,20 @@ def grits_con_from_html(true_html: str, pred_html: str) -> float:
 def grits_grid_clipped(html: str) -> bool:
     """True when a table's grid exceeds the executor-protection bound and
     its GRITS score was computed on the truncated grid — the lineage
-    signal a pipeline counts so clipping is observable, never silent."""
-    grid = cells_to_text_grid(html_table_to_cells(html))
-    return _bound(grid) is not grid
+    signal a pipeline counts so clipping is observable, never silent.
+    Checks the bound arithmetic on the cell-span dims directly instead of
+    materializing the (possibly huge) grid — the whole point of flagging
+    oversize tables is not to build them a second time."""
+    cells = html_table_to_cells(html)
+    if not cells:
+        return False
+    rows = max(max(c["row_nums"]) for c in cells) + 1
+    cols = max(max(c["column_nums"]) for c in cells) + 1
+    keep_cols = min(cols, MAX_GRID_COLS)
+    keep_rows = min(rows, MAX_GRID_ROWS)
+    if keep_cols > 0:
+        keep_rows = min(keep_rows, max(1, MAX_GRID_AREA // keep_cols))
+    return keep_rows != rows or keep_cols != cols
 
 
 def cells_to_relspan_grid(cells: list[dict]) -> list[list[str]]:

@@ -85,7 +85,10 @@ _PY_CONSTS = {"True": "true", "False": "false", "None": "null"}
 _JSON_WORDS = {"true", "false", "null", "NaN", "Infinity"}
 _BARE_VALUE_RE = re.compile(
     r"(:\s*)([A-Za-z_][A-Za-z0-9_\- ]*?)(\s*[,}\]])")
-_WORD_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]*\b")
+# a Python constant counts only as a STANDALONE value/array element (next
+# significant char closes or continues the container) — 'True story' is a
+# bare string that must be quoted verbatim, not half-lowercased
+_PY_CONST_RE = re.compile(r"(?<![\w\"'])(True|False|None)(?=\s*(?:[,\]\}]|$))")
 
 
 def _map_outside_strings(s: str, fn) -> str:
@@ -115,20 +118,31 @@ def _map_outside_strings(s: str, fn) -> str:
     return "".join(out)
 
 
-def _fix_tokens(seg: str) -> str:
-    """Python constants → JSON, then quote remaining bare-word values."""
-    seg = _WORD_RE.sub(lambda m: _PY_CONSTS.get(m.group(0), m.group(0)), seg)
-    return _BARE_VALUE_RE.sub(
+def _fix_structural(seg: str) -> str:
+    """All structural repairs for one outside-string segment, in an order
+    where each step cannot re-trigger on the previous step's output: quote
+    unquoted keys, convert standalone Python constants, quote bare-word
+    values, drop trailing commas."""
+    seg = _UNQUOTED_KEY_RE.sub(
+        lambda m: m.group(1) + json.dumps(m.group(2)) + m.group(3), seg)
+    seg = _PY_CONST_RE.sub(lambda m: _PY_CONSTS[m.group(1)], seg)
+    seg = _BARE_VALUE_RE.sub(
         lambda m: m.group(1)
         + (m.group(2) if m.group(2) in _JSON_WORDS
            else json.dumps(m.group(2)))
         + m.group(3), seg)
+    return _TRAILING_COMMA_RE.sub(r"\1", seg)
 
 
 def _parse_concatenated(s: str):
-    """Concatenated top-level values ('{..}{..}' or '{..}\\n[..]') → list,
-    mirroring json_repair's multi-object recovery. None unless at least
-    two complete values consume the whole string."""
+    """Concatenated top-level CONTAINERS ('{..}{..}' or '{..}\\n[..]') →
+    list, mirroring json_repair's multi-object recovery. Restricted to
+    inputs starting with '{'/'[': free text like '2025-01-01' must stay
+    unparsed (the raw-text fallback), not become a garbage scalar list.
+    None unless at least two complete values consume the whole string."""
+    s = s.strip()
+    if not s or s[0] not in "{[":
+        return None
     dec = json.JSONDecoder()
     vals = []
     i, n = 0, len(s)
@@ -137,6 +151,8 @@ def _parse_concatenated(s: str):
             i += 1
         if i >= n:
             break
+        if s[i] not in "{[":
+            return None
         try:
             v, i = dec.raw_decode(s, i)
         except Exception:
@@ -156,10 +172,11 @@ def repair_json(text: str):
         return json.loads(s)
     except Exception:
         pass
+    # requote first (every string becomes double-quoted), then ALL
+    # structural regexes run only on outside-string segments — a comma or
+    # 'key:'-looking text inside a payload string must never be edited
     fixed = _requote_single_quoted(s)
-    fixed = _UNQUOTED_KEY_RE.sub(lambda m: m.group(1) + json.dumps(m.group(2)) + m.group(3), fixed)
-    fixed = _TRAILING_COMMA_RE.sub(r"\1", fixed)
-    fixed = _map_outside_strings(fixed, _fix_tokens)
+    fixed = _map_outside_strings(fixed, _fix_structural)
     try:
         return json.loads(fixed)
     except Exception:

@@ -120,8 +120,13 @@ def _signatures_udf(dim: int, n_planes: int, n_tables: int):
     IEEE-754 double mul/add, and ``np.cumsum`` over the elementwise product
     performs the same operations in the same order (numpy's pairwise-sum
     shortcut applies to ``sum``, not ``cumsum``), so every sign bit —
-    including near-zero dots — matches. A null vector yields the all-'0'
-    signature, matching ``when(null >= 0)``'s otherwise-branch."""
+    including near-zero dots — matches. Degenerate inputs mirror the
+    literal path exactly too: a NULL or wrong-length vector folds to a
+    null dot, and ``when(null >= 0)`` falls to '0'; a NaN dot (NaN
+    element, or inf−inf arising mid-fold) compares ``NaN >= 0`` as TRUE
+    under Spark's NaN-greatest ordering, so the bit is '1' — hence the
+    ``| isnan`` below (plain numpy ``>=`` would say False and silently
+    split buckets between the two paths)."""
     import numpy as np
     from pyspark.sql import types as T
     from pyspark.sql.pandas.functions import pandas_udf
@@ -133,12 +138,12 @@ def _signatures_udf(dim: int, n_planes: int, n_tables: int):
 
     @pandas_udf(out_t)
     def sigs(vecs: pd.Series) -> pd.Series:
-        planes = planes_matrix(dim, n_planes, n_tables)   # cached per-batch
+        planes = planes_matrix(dim, n_planes, n_tables)   # lru-cached
         out = []
         vals = [None if v is None else np.asarray(v, dtype=np.float64)
                 for v in vecs]
         ok_idx = [i for i, v in enumerate(vals)
-                  if v is not None and len(v) == dim and not np.isnan(v).any()]
+                  if v is not None and len(v) == dim]
         bits = None
         if ok_idx:
             mat = np.stack([vals[i] for i in ok_idx])      # (m, dim)
@@ -148,7 +153,7 @@ def _signatures_udf(dim: int, n_planes: int, n_tables: int):
             sgn = np.empty((len(ok_idx), planes.shape[0]), dtype=bool)
             for j in range(planes.shape[0]):
                 d = np.cumsum(mat * planes[j], axis=1)[:, -1]
-                sgn[:, j] = d >= 0
+                sgn[:, j] = (d >= 0) | np.isnan(d)   # Spark: NaN >= 0 → true
             bits = {row_i: sgn[mi] for mi, row_i in enumerate(ok_idx)}
         for i, v in enumerate(vals):
             if bits is not None and i in bits:
@@ -159,8 +164,8 @@ def _signatures_udf(dim: int, n_planes: int, n_tables: int):
                                     for j in range(n_planes))}
                     for t in range(n_tables)])
             else:
-                # null / wrong-length / NaN vec: literal path gives '0'
-                # for every when(dot >= 0) — mirror it
+                # null / wrong-length vec: the literal path's dot is null
+                # and when(null >= 0) falls to '0' — mirror it
                 out.append([{"tbl": t, "sig": zero_sig}
                             for t in range(n_tables)])
         return pd.Series(out)

@@ -106,12 +106,9 @@ def measure(cores: int, replicas: int, runs: int,
             "median_turns_per_sec": round(tps, 1)}
 
 
-def read_load1() -> float:
-    try:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        return -1.0
+# shared with bench.py (single source for the contention threshold — a
+# future tuning must not leave one gate at the old value)
+from bench import LOAD_CONTENDED, read_load1  # noqa: E402
 
 
 def main():
@@ -133,10 +130,10 @@ def main():
     # a nonsensical super-linear 1.218 under contention. Refuse outright —
     # unlike bench.py this is run by hand, not by the driver.
     load = read_load1()
-    if load > 0.6:
-        print(f"REFUSING: loadavg {load:.2f} > 0.6 — a contended box "
-              "produces meaningless scaling ratios. Retry when idle.",
-              file=sys.stderr)
+    if load > LOAD_CONTENDED:
+        print(f"REFUSING: loadavg {load:.2f} > {LOAD_CONTENDED} — a "
+              "contended box produces meaningless scaling ratios. Retry "
+              "when idle.", file=sys.stderr)
         sys.exit(3)
 
     if args.mode == "skewed":

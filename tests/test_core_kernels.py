@@ -251,3 +251,29 @@ def test_repair_well_formed_untouched():
     # stage-1 parse short-circuits: exotic-but-valid JSON is returned as-is
     assert repair_json('{"a": "x,}{", "n": 1e5, "i": Infinity}') \
         == {"a": "x,}{", "n": 1e5, "i": float("inf")}
+
+
+def test_repair_free_text_stays_unparsed():
+    """Code-review r5 #1: scalar streams must NOT become garbage lists —
+    '2025-01-01' previously parsed as [2025, 0, 1, 0, 1]."""
+    assert repair_json("2025-01-01") is None
+    assert repair_json("version 2") is None
+    assert repair_json("1 2 3") is None
+    # single scalars still parse (plain json.loads path)
+    assert repair_json("42") == 42
+
+
+def test_repair_structural_regexes_skip_strings():
+    """Code-review r5 #2: commas / key-shaped text INSIDE strings survive."""
+    assert repair_json('{"t": "x,}", "n": 1,}') == {"t": "x,}", "n": 1}
+    assert repair_json('{"t": "a, b: c", }') == {"t": "a, b: c"}
+    assert repair_json("{'t': 'k: v,', }") == {"t": "k: v,"}
+
+
+def test_repair_constants_only_standalone():
+    """Code-review r5 #4: 'True story' is a bare string, not a half-cased
+    boolean."""
+    assert repair_json('{"a": True story}') == {"a": "True story"}
+    assert repair_json('{"a": True, "b": [False, None]}') \
+        == {"a": True, "b": [False, None]}
+    assert repair_json('{"a": None of it,}') == {"a": "None of it"}

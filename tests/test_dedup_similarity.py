@@ -648,18 +648,26 @@ def test_banded_signatures_udf_matches_literal_bit_exact(spark):
     rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
     rows.append((60, None))
     rows.append((61, [1.0] * 9))                       # wrong length
-    rows.append((62, [float("nan")] + [0.5] * 15))     # NaN element
     df = spark.createDataFrame(
         pd.DataFrame(rows, columns=["vec_id", "embedding"]),
         "vec_id int, embedding array<double>")
+    # a GENUINE NaN element (pandas createDataFrame launders float('nan')
+    # into NULL, which would test nothing — code-review r5 #3): Spark
+    # orders NaN above 0, so NaN dots give all-'1' signatures on BOTH paths
+    df = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 59,
+               F.expr("array_repeat(double('NaN'), 16)"))
+         .otherwise(F.col("embedding")))
     lit = {(r["vec_id"], r["bucket"]) for r in banded_signatures(
         df, "embedding", 16, 8, 3, impl="literal").collect()}
     udf = {(r["vec_id"], r["bucket"]) for r in banded_signatures(
         df, "embedding", 16, 8, 3, impl="udf").collect()}
     assert lit == udf
-    zero = "0" * 8
-    for vid in (60, 61, 62):
+    zero, ones = "0" * 8, "1" * 8
+    for vid in (60, 61):
         assert {(vid, f"{t}:{zero}") for t in range(3)} <= udf
+    assert {(59, f"{t}:{ones}") for t in range(3)} <= udf
 
 
 def test_banded_signatures_udf_plan_stays_small_at_dim768(spark):
