@@ -914,6 +914,59 @@ def _sample_split(spark, sf_dir):
             .filter(F.col("n_docs") > 0))
 
 
+def _pack_sequences(spark, sf_dir):
+    """Sequence packing (operators/packing.py): documents' token counts
+    packed into capacity-64 training sequences, next-fit over
+    (len DESC, id) within 8 content-addressed groups. Packing is
+    inherently sequential state, so the scale shape is bounded per-group
+    applyInPandas; the oracle replays the exact walk with a
+    rank-synchronized recursive CTE (step k assigns every group's rank-k
+    item), pinning every bin assignment and running fill."""
+    from docext_spark.operators.packing import pack_sequences
+    from docext_spark.operators.textops import token_count
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(F.col("doc_id").alias("sample_id"),
+                     token_count(F.col("text")).alias("n_tokens"))
+    out = pack_sequences(items, capacity=64, id_col="sample_id",
+                         len_col="n_tokens", n_groups=8)
+    return out.select(F.col("id").cast("long").alias("doc_id"), "length",
+                      "grp", "rank", "bin_idx", "bin_fill_after",
+                      "oversize")
+
+
+_PACK_SEQUENCES_SQL = """
+WITH RECURSIVE items AS (
+  SELECT doc_id::VARCHAR AS id,
+         (CASE WHEN trim(text) = '' THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+           AS len,
+         floor((('0x' || substr(sha256('0|' || coalesce(doc_id::VARCHAR, '')),
+                                1, 13))::UBIGINT / 4503599627370496.0)
+               * 8)::INT AS grp
+  FROM documents
+), ranked AS (
+  -- the id tiebreak is the STRING id (the operator packs over a string
+  -- id column), so '10' sorts before '9' on both engines
+  SELECT id, len, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY len DESC, id)::INT AS rk
+  FROM items
+), packed(grp, rk, id, len, bin_idx, fill) AS (
+  SELECT grp, rk, id, len, 0, len FROM ranked WHERE rk = 1
+  UNION ALL
+  SELECT r.grp, r.rk, r.id, r.len,
+         CASE WHEN p.fill + r.len <= 64 THEN p.bin_idx
+              ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + r.len <= 64 THEN p.fill + r.len
+              ELSE r.len END
+  FROM packed p JOIN ranked r ON r.grp = p.grp AND r.rk = p.rk + 1
+)
+SELECT id::BIGINT AS doc_id, len AS length, grp, rk AS rank,
+       bin_idx::INT AS bin_idx, fill::BIGINT AS bin_fill_after,
+       len > 64 AS oversize
+FROM packed
+"""
+
+
 _SAMPLE_SPLIT_SQL = """
 WITH u AS (
   SELECT doc_id,
@@ -3207,7 +3260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_resize_dims": _s5_resize_dims,
         "t_bpe_token_count": _t_bpe_token_count,
         "dedup_exact": _dedup_exact,
-        "dedup_jaccard": _dedup_jaccard,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_clusters": _dedup_clusters,
         "curate_funnel": _curate_funnel,
@@ -3236,10 +3288,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
+        "pack_sequences": _pack_sequences,
         # -- oracle-paired overflow (positions 51+, long-green; rotated
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "a1_edit_similarity": _a1_edit_similarity,
+        "dedup_jaccard": _dedup_jaccard,
         "a4_exact_match": _a4_exact_match,
         "a5_multivalue_fold": _a5_multivalue_fold,
         "a6_distinct_labels": _a6_distinct_labels,
@@ -3343,6 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition": _REPETITION_SQL,
         "q4_order_priority": _Q4_SQL,
         "q12_priority_class": _Q12_SQL,
+        "pack_sequences": _PACK_SEQUENCES_SQL,
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_token_budget": _SAMPLE_BUDGET_SQL,
         "mixture_sources": _mixture_sql(),
