@@ -2736,6 +2736,42 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _jpeg_progressive_pixels(spark, sf_dir):
+    """PROGRESSIVE JPEG decode (SOF2, core/jpegpix.py): spectral-selection
+    band scans + successive approximation (DC raw-bit refine, AC ±1
+    refinement with correction bits) + EOB-run coding, accumulated into a
+    coefficient store and IDCT'd at EOI. Progressive is a lossless
+    re-coding of the same quantized coefficients, so these fixtures (the
+    jpeg_resample_pixels block rule, re-encoded progressively) decode to
+    IDENTICAL pixels and the oracle replays the same closed-form rule —
+    the SQL twin is shared verbatim with the baseline pair, which is
+    itself the strongest statement of the decoder's correctness."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        px = bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                   for y in range(h) for x in range(w))
+        rows.append((i, "image",
+                     jpegpix.encode_jpeg_progressive_gray(w, h, px)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=12)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
 def _jpeg_color_pixels(spark, sf_dir):
     """REAL baseline COLOR JPEG decode (3-component 4:4:4, interleaved
     MCUs with per-component DC predictors, BT.601 YCbCr→RGB with
@@ -3281,10 +3317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
         "image_resample_pixels": _image_resample_pixels,
-        "gif_resample_pixels": _gif_resample_pixels,
         "jpeg_resample_pixels": _jpeg_resample_pixels,
         "jpeg_color_pixels": _jpeg_color_pixels,
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
+        "jpeg_progressive_pixels": _jpeg_progressive_pixels,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -3294,6 +3330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "a1_edit_similarity": _a1_edit_similarity,
         "dedup_jaccard": _dedup_jaccard,
+        "gif_resample_pixels": _gif_resample_pixels,
         "a4_exact_match": _a4_exact_match,
         "a5_multivalue_fold": _a5_multivalue_fold,
         "a6_distinct_labels": _a6_distinct_labels,
@@ -3389,6 +3426,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
         "jpeg_color_pixels": _JPEG_COLOR_SQL,
         "jpeg_subsampled_pixels": _JPEG_SUBSAMPLED_SQL,
+        # progressive re-codes the same coefficients losslessly, so the
+        # baseline-gray SQL twin applies verbatim — sharing it IS the claim
+        "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

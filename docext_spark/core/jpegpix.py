@@ -8,14 +8,21 @@ EXTEND sign recovery, run/size AC coding with ZRL/EOB, dezigzag, dequant,
 and the exact float 2-D IDCT from the JPEG spec (A.3.3) with level shift.
 
 Scope (honest, like the PCM-only WAV and non-interlaced GIF decoders):
-8-bit BASELINE (SOF0), GRAYSCALE or 3-component YCbCr with per-component
-sampling factors in {1,2} — 4:4:4, 4:2:2, 4:4:0, and 4:2:0 (what nearly
-every real-world camera/web JPEG uses): interleaved MCUs (Vi×Hi blocks
-per component), per-component DC predictors, sample-replication chroma
-upsample, BT.601 full-range conversion per ITU-T T.871, and DRI/RSTn
-restart intervals (modulo-8 sequence validated, DC predictors reset).
-Progressive streams and sampling factors >2 return None — at 100 TB
-those route to a codec fleet; the scan must never die on one blob.
+8-bit BASELINE (SOF0) **and PROGRESSIVE (SOF2)**, GRAYSCALE or
+3-component YCbCr with per-component sampling factors in {1,2} — 4:4:4,
+4:2:2, 4:4:0, and 4:2:0 (what nearly every real-world camera/web JPEG
+uses): interleaved MCUs (Vi×Hi blocks per component), per-component DC
+predictors, sample-replication chroma upsample, BT.601 full-range
+conversion per ITU-T T.871, DRI/RSTn restart intervals (modulo-8
+sequence validated, predictors/EOB-runs reset). Progressive covers the
+full spec G.2 surface: spectral-selection band scans, successive
+approximation (DC raw-bit refinement, AC ±1-at-bit refinement with
+correction bits), EOB-run coding, interleaved multi-component DC scans.
+Since progressive is a lossless RE-CODING of the same quantized
+coefficients, decode(progressive(px)) == decode(baseline(px)) exactly —
+the property the tests fuzz. Arithmetic/lossless/hierarchical SOFs and
+sampling factors >2 return None — at 100 TB those route to a codec
+fleet; the scan must never die on one blob.
 
 Exactness: JPEG is lossy in general, but a block whose 64 samples are one
 CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
@@ -183,6 +190,9 @@ def decode_jpeg(payload: bytes | None):
     w = h = None
     restart_interval = 0
     comps: list[dict] | None = None
+    progressive = False
+    prog_ready = False
+    hmax = vmax = mcux = mcuy = 0
     i, n = 2, len(payload)
     data_start = None
     while i + 1 < n:
@@ -195,8 +205,10 @@ def decode_jpeg(payload: bytes | None):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:
-            return None                     # EOI before SOS
+        if marker == 0xD9:                  # EOI
+            if progressive and prog_ready:
+                break                       # all scans consumed: finalize
+            return None                     # EOI before any image data
         if i + 4 > n:
             return None
         seg_len = struct.unpack(">H", payload[i + 2:i + 4])[0]
@@ -225,11 +237,12 @@ def decode_jpeg(payload: bytes | None):
                 table = _HuffTable(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + total
-        elif marker == 0xC0:                # SOF0 baseline
+        elif marker in (0xC0, 0xC2):        # SOF0 baseline / SOF2 progressive
             if len(seg) < 6:
                 return None
             if seg[0] != 8:
                 return None                 # 8-bit only
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
@@ -241,27 +254,73 @@ def decode_jpeg(payload: bytes | None):
                 if sh not in (1, 2) or sv not in (1, 2):
                     return None     # factors 1-2 cover 4:4:4/4:2:2/4:2:0/4:4:0
                 comps.append({"id": cid, "qt": tq, "sh": sh, "sv": sv})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if len(comps) == 1:
+                # single-component scans are non-interleaved: the MCU is
+                # one block regardless of declared factors (spec A.2.2)
+                comps[0]["sh"] = comps[0]["sv"] = 1
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                     # non-baseline SOF
+            return None                     # other SOF types out of scope
         elif marker == 0xDD:                # DRI
             if len(seg) < 2:
                 return None
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                # SOS
-            if comps is None or len(seg) < 1 + 2 * len(comps) + 3 \
-                    or seg[0] != len(comps):
+            if comps is None or not w or not h or len(seg) < 1:
+                return None
+            ns = seg[0]
+            if not 1 <= ns <= len(comps) or len(seg) < 1 + 2 * ns + 3:
                 return None
             by_id = {c["id"]: c for c in comps}
-            for c in range(len(comps)):
+            scan = []
+            for c in range(ns):
                 cs, tb = seg[1 + 2 * c], seg[2 + 2 * c]
                 if cs not in by_id:
                     return None
                 by_id[cs]["dc"] = tb >> 4
                 by_id[cs]["ac"] = tb & 0x0F
-            data_start = i + 2 + seg_len
-            break
+                scan.append(by_id[cs])
+            ss_, se_, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah_, al_ = ahal >> 4, ahal & 0x0F
+            if not progressive:
+                if ns != len(comps) or ss_ != 0 or se_ != 63 or ahal != 0:
+                    return None
+                data_start = i + 2 + seg_len
+                break
+            # ---- progressive scan: decode inline, keep walking markers
+            if w * h > MAX_PIXELS:
+                return None                 # guard BEFORE the coef store
+            if not prog_ready:
+                hmax = max(c["sh"] for c in comps)
+                vmax = max(c["sv"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    c["cw"] = (w * c["sh"] + hmax - 1) // hmax
+                    c["ch"] = (h * c["sv"] + vmax - 1) // vmax
+                    c["bw"] = mcux * c["sh"]
+                    c["bh"] = mcuy * c["sv"]
+                    # scan-order (zigzag-indexed) quantized coefficients
+                    c["coefs"] = [[0] * 64
+                                  for _ in range(c["bw"] * c["bh"])]
+                prog_ready = True
+            reader = _BitReader(payload[i + 2 + seg_len:])
+            if not _decode_prog_scan(reader, scan, comps, dc_tables,
+                                     ac_tables, ss_, se_, ah_, al_,
+                                     mcux, mcuy, restart_interval):
+                return None
+            # resume the marker walk at the next REAL marker (skip any
+            # entropy remainder / fill bytes the scan left behind)
+            i += 2 + seg_len + reader.pos
+            while i + 1 < n and not (payload[i] == 0xFF
+                                     and payload[i + 1] not in (0x00, 0xFF)):
+                i += 1
+            continue
         i += 2 + seg_len
+    if progressive:
+        if not prog_ready:
+            return None
+        return _finalize_progressive(w, h, comps, qtables, hmax, vmax)
     if data_start is None or not w or not h or comps is None \
             or any("dc" not in c for c in comps):
         return None
@@ -344,6 +403,253 @@ def _upsample(plane: bytearray, cw: int, w: int, h: int,
         for xx in range(w):
             out[orow + xx] = plane[row + xx * sh // hmax]
     return out
+
+
+def _decode_prog_scan(reader: _BitReader, scan: list[dict],
+                      comps: list[dict], dc_tables, ac_tables,
+                      ss: int, se: int, ah: int, al: int,
+                      mcux: int, mcuy: int, restart_interval: int) -> bool:
+    """One progressive scan (spec G.2): DC first/refine (interleaved when
+    Ns>1, else non-interleaved) or AC first/refine (always one component,
+    one spectral band, with EOB-run coding). Coefficients accumulate in
+    each component's zigzag-ordered ``coefs`` store."""
+    if ss == 0:                              # ---- DC scan
+        if se != 0 or al > 13 or (ah and ah != al + 1):
+            return False
+        for c in scan:
+            if ah == 0 and c["dc"] not in dc_tables:
+                return False                 # refinement reads raw bits
+        preds = [0] * len(scan)
+
+        def dc_one(ci: int, idx: int) -> bool:
+            coefs = scan[ci]["coefs"][idx]
+            if ah == 0:
+                size = reader.read_symbol(dc_tables[scan[ci]["dc"]])
+                if size is None or size > 11:
+                    return False
+                bits = reader.read_bits(size)
+                if bits is None:
+                    return False
+                preds[ci] += _extend(bits, size)
+                coefs[0] = preds[ci] << al
+            else:
+                bit = reader.read_bits(1)
+                if bit is None:
+                    return False
+                coefs[0] += bit << al
+            return True
+
+        if len(scan) > 1:                    # interleaved MCU walk
+            mcu_no = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and mcu_no \
+                            and mcu_no % restart_interval == 0:
+                        if not reader.sync_restart(
+                                (mcu_no // restart_interval - 1) % 8):
+                            return False
+                        preds = [0] * len(scan)
+                    mcu_no += 1
+                    for ci, c in enumerate(scan):
+                        for bi in range(c["sv"]):
+                            for bj in range(c["sh"]):
+                                idx = (my * c["sv"] + bi) * c["bw"] \
+                                    + mx * c["sh"] + bj
+                                if not dc_one(ci, idx):
+                                    return False
+            return True
+        c = scan[0]
+        return _walk_noninterleaved(
+            reader, c, restart_interval,
+            lambda idx: dc_one(0, idx),
+            on_restart=lambda: preds.__setitem__(0, 0))
+
+    # ---- AC scan: exactly one component, band inside 1..63
+    if len(scan) != 1 or not 1 <= ss <= se <= 63 \
+            or (ah and ah != al + 1) or al > 13:
+        return False
+    c = scan[0]
+    if c["ac"] not in ac_tables:
+        return False
+    ac_t = ac_tables[c["ac"]]
+    state = {"eobrun": 0}
+
+    def ac_one(idx: int) -> bool:
+        coefs = c["coefs"][idx]
+        if ah == 0:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return True
+            k = ss
+            while k <= se:
+                sym = reader.read_symbol(ac_t)
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:              # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        b = reader.read_bits(r)
+                        if b is None:
+                            return False
+                        state["eobrun"] += b
+                    break
+                k += r
+                if k > se:
+                    return False
+                b = reader.read_bits(s)
+                if b is None:
+                    return False
+                coefs[k] = _extend(b, s) << al
+                k += 1
+            return True
+        new_eobrun = _refine_ac_block(reader, ac_t, coefs, ss, se, al,
+                                      state["eobrun"])
+        if new_eobrun is None:
+            return False
+        state["eobrun"] = new_eobrun
+        return True
+
+    return _walk_noninterleaved(
+        reader, c, restart_interval, ac_one,
+        on_restart=lambda: state.__setitem__("eobrun", 0))
+
+
+def _walk_noninterleaved(reader: _BitReader, c: dict,
+                         restart_interval: int, fn, on_restart) -> bool:
+    """Visit the component's VISIBLE blocks (ceil(cw/8) × ceil(ch/8))
+    row-major — non-interleaved scans never code the MCU padding blocks —
+    with RSTn sync + state reset every ``restart_interval`` blocks."""
+    nbw = (c["cw"] + 7) // 8
+    nbh = (c["ch"] + 7) // 8
+    blk_no = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and blk_no \
+                    and blk_no % restart_interval == 0:
+                if not reader.sync_restart(
+                        (blk_no // restart_interval - 1) % 8):
+                    return False
+                on_restart()
+            blk_no += 1
+            if not fn(by * c["bw"] + bx):
+                return False
+    return True
+
+
+def _refine_ac_block(reader: _BitReader, ac_t: _HuffTable,
+                     coefs: list[int], ss: int, se: int, al: int,
+                     eobrun: int):
+    """AC successive-approximation refinement for one block (spec G.2,
+    the libjpeg decode_mcu_AC_refine control flow): run/size symbols place
+    new ±1-at-this-bit coefficients after r ZERO-HISTORY positions, every
+    nonzero-history coefficient passed on the way reads a correction bit,
+    and an EOB-run plays correction bits out to the band end. Returns the
+    updated eobrun, or None on a corrupt stream. Works on Python ints,
+    whose infinite two's complement makes ``coef & p1`` behave exactly
+    like the C implementation on negative values."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.read_symbol(ac_t)
+            if sym is None:
+                return None
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        b = reader.read_bits(r)
+                        if b is None:
+                            return None
+                        eobrun += b
+                    break
+                # r == 15 (ZRL): advance over 16 zero-history positions
+            else:
+                if s != 1:
+                    return None              # refinement codes only ±1
+                b = reader.read_bits(1)
+                if b is None:
+                    return None
+                val = p1 if b else m1
+            while k <= se:
+                if coefs[k] != 0:
+                    b = reader.read_bits(1)
+                    if b is None:
+                        return None
+                    if b and (coefs[k] & p1) == 0:
+                        coefs[k] += p1 if coefs[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coefs[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                b = reader.read_bits(1)
+                if b is None:
+                    return None
+                if b and (coefs[k] & p1) == 0:
+                    coefs[k] += p1 if coefs[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize_progressive(w: int, h: int, comps: list[dict], qtables,
+                          hmax: int, vmax: int):
+    """Dequant + IDCT every visible block of the accumulated coefficient
+    store, then the same plane → upsample → BT.601 tail as baseline."""
+    for c in comps:
+        if c["qt"] not in qtables:
+            return None
+        qt = qtables[c["qt"]]
+        plane = bytearray(c["cw"] * c["ch"])
+        nbw = (c["cw"] + 7) // 8
+        nbh = (c["ch"] + 7) // 8
+        for by in range(nbh):
+            for bx in range(nbw):
+                coefs = c["coefs"][by * c["bw"] + bx]
+                natural = [0.0] * 64
+                has_ac = False
+                for k in range(64):
+                    v = coefs[k]
+                    if v:
+                        natural[ZIGZAG[k]] = v * qt[k]
+                        if k:
+                            has_ac = True
+                if has_ac:
+                    spatial = idct2d(natural)
+                else:
+                    spatial = [_C[0] * _C[0] * natural[0] / 4] * 64
+                cw, ch = c["cw"], c["ch"]
+                for yy in range(8):
+                    py = by * 8 + yy
+                    if py >= ch:
+                        break
+                    row = py * cw
+                    for xx in range(8):
+                        px = bx * 8 + xx
+                        if px >= cw:
+                            break
+                        v = int(round(spatial[yy * 8 + xx])) + 128
+                        plane[row + px] = 0 if v < 0 else \
+                            (255 if v > 255 else v)
+        c["plane"] = plane
+    if len(comps) == 1:
+        return (w, h, 1, bytes(comps[0]["plane"]))
+    full = [_upsample(c["plane"], c["cw"], w, h, c["sh"], hmax,
+                      c["sv"], vmax) for c in comps]
+    return (w, h, 3, _ycbcr_to_rgb(full[0], full[1], full[2]))
 
 
 def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
@@ -578,6 +884,309 @@ def encode_jpeg_gray(w: int, h: int, pixels: bytes,
     writer.flush()
     return _jpeg_file(w, h, qt, 1, bytes(writer.out),
                       restart_interval=restart_interval)
+
+
+# Progressive AC scans need EOBn symbols ((r<<4)|0 for r>0), which Annex
+# K's baseline table does not define — progressive files ship their own
+# tables. This one is deliberately trivial: every (run, size) symbol at a
+# flat 9 bits (176 codes ≤ 511, the all-ones code unused) — valid
+# canonical Huffman, terrible compression, perfect for fixtures.
+_PROG_AC_SYMBOLS = bytes((r << 4) | s for r in range(16) for s in range(11))
+_PROG_AC_COUNTS = bytes([0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7)
+
+
+def _quantized_blocks(plane: bytes, w: int, h: int,
+                      qt: list[int]) -> list[list[int]]:
+    """Row-major blocks of zigzag-ordered quantized coefficients — the
+    shared input for the progressive scan encoders."""
+    out = []
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            coef = fdct2d(_block_at(plane, w, h, bx, by))
+            out.append([int(round(coef[ZIGZAG[k]] / qt[k]))
+                        for k in range(64)])
+    return out
+
+
+class _EobRun:
+    """Encoder-side EOB-run + buffered-correction-bit state (libjpeg's
+    EOBRUN/BE): refinement bits buffered during a run are emitted right
+    after the EOBn symbol, exactly as the decoder replays them."""
+
+    def __init__(self, wtr: _BitWriter, ac_codes):
+        self.wtr = wtr
+        self.ac_codes = ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def flush(self):
+        if self.run > 0:
+            r = self.run.bit_length() - 1
+            code, ln = self.ac_codes[r << 4]
+            self.wtr.write(code, ln)
+            if r:
+                self.wtr.write(self.run - (1 << r), r)
+            self.run = 0
+        for b in self.bits:
+            self.wtr.write(b, 1)
+        self.bits.clear()
+
+
+def _encode_ac_first(wtr: _BitWriter, ac_codes, blocks, ss: int, se: int,
+                     al: int):
+    """AC first scan (G.1.2.2): run/size over abs>>Al magnitudes with
+    cross-block EOB runs."""
+    eob = _EobRun(wtr, ac_codes)
+    for q in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = q[k]
+            m = (-v if v < 0 else v) >> al
+            if m == 0:
+                r += 1
+                continue
+            eob.flush()
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                r -= 16
+            size = m.bit_length()
+            code, ln = ac_codes[(r << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(m if v > 0 else (1 << size) - 1 - m, size)
+            r = 0
+        if r > 0:
+            eob.run += 1
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def _encode_ac_refine(wtr: _BitWriter, ac_codes, blocks, ss: int, se: int,
+                      al: int):
+    """AC refinement scan (G.1.2.3): newly-significant coefficients coded
+    as run/1 + sign over ZERO-HISTORY runs, correction bits for already-
+    nonzero coefficients buffered and emitted after each symbol (or after
+    the EOBn of a run)."""
+    eob = _EobRun(wtr, ac_codes)
+    for q in blocks:
+        mags = [((-v if v < 0 else v) >> al) for v in q]
+        last_new = 0
+        for k in range(ss, se + 1):
+            if mags[k] == 1:
+                last_new = k                 # newly significant here
+        r = 0
+        pend: list[int] = []                 # this block's correction bits
+        for k in range(ss, se + 1):
+            m = mags[k]
+            if m == 0:
+                r += 1
+                continue
+            if m > 1:                        # history nonzero: correction
+                pend.append(m & 1)
+                continue
+            # newly significant (m == 1)
+            eob.flush()
+            while r > 15 and k <= last_new:
+                code, ln = ac_codes[0xF0]
+                wtr.write(code, ln)
+                for b in pend:
+                    wtr.write(b, 1)
+                pend.clear()
+                r -= 16
+            code, ln = ac_codes[(r << 4) | 1]
+            wtr.write(code, ln)
+            wtr.write(1 if q[k] > 0 else 0, 1)
+            for b in pend:
+                wtr.write(b, 1)
+            pend.clear()
+            r = 0
+        if r > 0 or pend:
+            eob.run += 1
+            eob.bits.extend(pend)
+            if eob.run == 0x7FFF:
+                eob.flush()
+    eob.flush()
+
+
+def encode_jpeg_progressive_gray(w: int, h: int, pixels: bytes,
+                                 quant: int = 16) -> bytes:
+    """A real PROGRESSIVE grayscale JPEG (SOF2) with the classic
+    spectral-selection + successive-approximation scan script:
+
+        1. DC first  (Al=1)         4. DC refine (Ah=1 → Al=0)
+        2. AC 1-5    first (Al=1)   5. AC 1-5  refine
+        3. AC 6-63   first (Al=1)   6. AC 6-63 refine
+
+    Progressive coding is a LOSSLESS re-arrangement of the same quantized
+    coefficients, so decode(progressive(px)) == decode(baseline(px)) for
+    EVERY input — the equality the tests pin. Uses the same Annex K
+    Huffman tables and flat quant as the baseline encoder."""
+    if len(pixels) != w * h:
+        raise ValueError("pixel buffer does not match dims")
+    qt = [quant] * 64
+    blocks = _quantized_blocks(pixels, w, h, qt)
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al: int, data: bytearray) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) \
+            + bytes(data)
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0x00]) + bytes(qt))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
+        + seg(0xC4, bytes([0x10]) + _PROG_AC_COUNTS + _PROG_AC_SYMBOLS)
+
+    # 1: DC first, Al=1 (arithmetic shift: floor semantics match the
+    # decoder's pred << 1 + refinement-bit reconstruction exactly)
+    wtr = _BitWriter()
+    pred = 0
+    for q in blocks:
+        v = q[0] >> 1
+        diff = v - pred
+        pred = v
+        size = _size_of(diff)
+        code, ln = dc_codes[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    wtr.flush()
+    out += sos(0, 0, 0, 1, wtr.out)
+    # 2-3: AC first scans at Al=1
+    for band in ((1, 5), (6, 63)):
+        wtr = _BitWriter()
+        _encode_ac_first(wtr, ac_codes, blocks, band[0], band[1], 1)
+        wtr.flush()
+        out += sos(band[0], band[1], 0, 1, wtr.out)
+    # 4: DC refine (raw bits, no Huffman)
+    wtr = _BitWriter()
+    for q in blocks:
+        wtr.write(q[0] & 1, 1)
+    wtr.flush()
+    out += sos(0, 0, 1, 0, wtr.out)
+    # 5-6: AC refinement scans to full precision
+    for band in ((1, 5), (6, 63)):
+        wtr = _BitWriter()
+        _encode_ac_refine(wtr, ac_codes, blocks, band[0], band[1], 0)
+        wtr.flush()
+        out += sos(band[0], band[1], 1, 0, wtr.out)
+    return out + b"\xff\xd9"
+
+
+def _quantized_blocks_grid(plane: bytes, cw: int, ch: int, qt: list[int],
+                           bw: int, bh: int) -> list[list[int]]:
+    """Like _quantized_blocks but over an explicit (bw × bh) block grid —
+    interleaved scans also code the MCU padding blocks beyond ceil dims
+    (edge-replicated, exactly like the baseline encoder emits them)."""
+    out = []
+    for by in range(bh):
+        for bx in range(bw):
+            coef = fdct2d(_block_at(plane, cw, ch, bx, by))
+            out.append([int(round(coef[ZIGZAG[k]] / qt[k]))
+                        for k in range(64)])
+    return out
+
+
+def encode_jpeg_progressive_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes,
+                                      cr: bytes, sh: int = 2, sv: int = 2,
+                                      quant: int = 16) -> bytes:
+    """PROGRESSIVE color JPEG with chroma subsampling: an interleaved DC
+    scan (all three components, Vi×Hi luma blocks per MCU, per-component
+    predictors) followed by per-component AC band scans with successive
+    approximation, then DC/AC refinement — the full real-world progressive
+    layout. Same lossless-re-coding property as the gray encoder:
+    decode(progressive) == decode(encode_jpeg_ycbcr_sub) for every input
+    (identical quantized coefficients, different scan arrangement)."""
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    cw, ch = (w + sh - 1) // sh, (h + sv - 1) // sv
+    if len(y) != w * h or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane buffers do not match dims")
+    qt = [quant] * 64
+    mcux = (w + 8 * sh - 1) // (8 * sh)
+    mcuy = (h + 8 * sv - 1) // (8 * sv)
+    # per-component padded block grids (luma bw = mcux*sh etc.)
+    grids = [
+        {"sh": sh, "sv": sv, "bw": mcux * sh, "bh": mcuy * sv,
+         "cw": w, "ch": h, "plane": y},
+        {"sh": 1, "sv": 1, "bw": mcux, "bh": mcuy,
+         "cw": cw, "ch": ch, "plane": cb},
+        {"sh": 1, "sv": 1, "bw": mcux, "bh": mcuy,
+         "cw": cw, "ch": ch, "plane": cr},
+    ]
+    for g in grids:
+        g["blocks"] = _quantized_blocks_grid(g["plane"], g["cw"], g["ch"],
+                                             qt, g["bw"], g["bh"])
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    ac_codes = _encode_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8" + seg(0xDB, bytes([0x00]) + bytes(qt))
+    sof_comps = bytes([1, (sh << 4) | sv, 0]) + bytes([2, 0x11, 0]) \
+        + bytes([3, 0x11, 0])
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+               + sof_comps)
+    out += seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS) \
+        + seg(0xC4, bytes([0x10]) + _PROG_AC_COUNTS + _PROG_AC_SYMBOLS)
+
+    def mcu_blocks():
+        """(comp_idx, block_idx) in interleaved MCU order."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, g in enumerate(grids):
+                    for bi in range(g["sv"]):
+                        for bj in range(g["sh"]):
+                            yield ci, (my * g["sv"] + bi) * g["bw"] \
+                                + mx * g["sh"] + bj
+
+    # 1: interleaved DC first (Al=1)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, idx in mcu_blocks():
+        v = grids[ci]["blocks"][idx][0] >> 1
+        diff = v - preds[ci]
+        preds[ci] = v
+        size = _size_of(diff)
+        code, ln = dc_codes[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+    wtr.flush()
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])) \
+        + bytes(wtr.out)
+
+    def visible_blocks(g):
+        nbw, nbh = (g["cw"] + 7) // 8, (g["ch"] + 7) // 8
+        return [g["blocks"][by * g["bw"] + bx]
+                for by in range(nbh) for bx in range(nbw)]
+
+    # 2-7: per-component AC first scans at Al=1
+    for cid, g in ((1, grids[0]), (2, grids[1]), (3, grids[2])):
+        wtr = _BitWriter()
+        _encode_ac_first(wtr, ac_codes, visible_blocks(g), 1, 63, 1)
+        wtr.flush()
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x01])) + bytes(wtr.out)
+    # 8: interleaved DC refine (raw bits)
+    wtr = _BitWriter()
+    for ci, idx in mcu_blocks():
+        wtr.write(grids[ci]["blocks"][idx][0] & 1, 1)
+    wtr.flush()
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])) \
+        + bytes(wtr.out)
+    # 9-11: per-component AC refinement (Ah=1 → Al=0)
+    for cid, g in ((1, grids[0]), (2, grids[1]), (3, grids[2])):
+        wtr = _BitWriter()
+        _encode_ac_refine(wtr, ac_codes, visible_blocks(g), 1, 63, 0)
+        wtr.flush()
+        out += seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x10])) + bytes(wtr.out)
+    return out + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,

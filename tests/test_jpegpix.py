@@ -295,3 +295,80 @@ def test_restart_bad_sequence_and_truncation_rejected():
     for cut in range(0, len(b), 11):
         r = jpegpix.decode_jpeg(b[:cut])
         assert r is None or isinstance(r, tuple)
+
+
+def test_progressive_equals_baseline_gray():
+    """Progressive (SOF2) is a lossless re-coding of the same quantized
+    coefficients: decode(progressive(px)) == decode(baseline(px)) for
+    every input — spectral selection, successive approximation, EOB runs
+    and refinement correction bits all exact."""
+    import random
+    rng = random.Random(41)
+    for _ in range(8):
+        w = 8 * rng.randint(1, 4) + rng.choice([0, 3, 5])
+        h = 8 * rng.randint(1, 4) + rng.choice([0, 2, 7])
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        assert jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_progressive_gray(w, h, px)) \
+            == jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(w, h, px)), (w, h)
+
+
+def test_progressive_equals_baseline_color_subsampled():
+    import random
+    rng = random.Random(42)
+    for sh, sv in ((2, 2), (2, 1), (1, 1)):
+        w, h = 8 * rng.randint(1, 3) + 5, 8 * rng.randint(1, 3) + 3
+        cw, ch = (w + sh - 1) // sh, (h + sv - 1) // sv
+        y = bytes(rng.randrange(256) for _ in range(w * h))
+        cb = bytes(rng.randrange(256) for _ in range(cw * ch))
+        cr = bytes(rng.randrange(256) for _ in range(cw * ch))
+        assert jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_progressive_ycbcr_sub(w, h, y, cb, cr,
+                                                      sh, sv)) \
+            == jpegpix.decode_jpeg(
+                jpegpix.encode_jpeg_ycbcr_sub(w, h, y, cb, cr, sh, sv)), \
+            (w, h, sh, sv)
+
+
+def test_progressive_smooth_image_exercises_eob_runs():
+    """A constant image makes every AC scan a single maximal EOB run
+    (EOBRUN > 1 decoding), and blockwise-constant-even pixels round-trip
+    exactly as in baseline."""
+    w, h = 32, 24
+    px = bytes((((x // 8) * 3 + (yy // 8) * 5) % 128) * 2
+               for yy in range(h) for x in range(w))
+    dec = jpegpix.decode_jpeg(jpegpix.encode_jpeg_progressive_gray(w, h, px))
+    assert dec == (w, h, 1, px)
+
+
+def test_progressive_truncation_total():
+    """Truncation anywhere — including mid-scan and between scans — never
+    raises; partial-scan files may render partially (that is progressive's
+    point) but must stay total."""
+    w, h = 16, 16
+    px = bytes((i * 7) % 256 for i in range(w * h))
+    b = jpegpix.encode_jpeg_progressive_gray(w, h, px)
+    for cut in range(0, len(b), 13):
+        r = jpegpix.decode_jpeg(b[:cut])
+        assert r is None or (isinstance(r, tuple) and r[0] == w)
+
+
+def test_progressive_dc_only_prefix_renders():
+    """Keeping only the DC-first scan + EOI yields the classic blurry
+    first-pass render: every 8x8 block becomes its (Al-truncated) mean."""
+    import struct
+    w = h = 16
+    px = bytes([100] * 128 + [200] * 128)
+    b = jpegpix.encode_jpeg_progressive_gray(w, h, px)
+    # locate the end of the first SOS scan (next 0xFF-marker after it)
+    i = b.find(b"\xff\xda")
+    seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+    j = i + 2 + seg_len
+    while j + 1 < len(b) and not (b[j] == 0xFF and b[j + 1] not in (0, 0xFF)):
+        j += 1
+    dec = jpegpix.decode_jpeg(b[:j] + b"\xff\xd9")
+    assert dec is not None and dec[:3] == (w, h, 1)
+    # DC coded at Al=1: value 100 -> q_dc round((100-128)*8/16)=-14 ->
+    # (-14>>1)<<1 = -14 -> reconstructed 128-14*16/8 = 100 (even values
+    # at flat-16 quant stay exact even through the Al=1 truncation)
+    assert set(dec[3]) == {100, 200}
