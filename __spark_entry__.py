@@ -3264,8 +3264,8 @@ SELECT * FROM (VALUES
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 81 queries carry an oracle_sql
-    twin; the 31 overflow pairs (positions 51-81, all long-green) and the
+    representative per operator family. 83 queries carry an oracle_sql
+    twin; the 33 overflow pairs (positions 51-83, all long-green) and the
     6 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r5.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,

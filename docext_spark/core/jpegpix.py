@@ -238,6 +238,9 @@ def decode_jpeg(payload: bytes | None):
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + total
         elif marker in (0xC0, 0xC2):        # SOF0 baseline / SOF2 progressive
+            if comps is not None:
+                return None     # a second frame header is corrupt — and
+                                # would orphan the progressive coef store
             if len(seg) < 6:
                 return None
             if seg[0] != 8:
@@ -899,13 +902,8 @@ def _quantized_blocks(plane: bytes, w: int, h: int,
                       qt: list[int]) -> list[list[int]]:
     """Row-major blocks of zigzag-ordered quantized coefficients — the
     shared input for the progressive scan encoders."""
-    out = []
-    for by in range((h + 7) // 8):
-        for bx in range((w + 7) // 8):
-            coef = fdct2d(_block_at(plane, w, h, bx, by))
-            out.append([int(round(coef[ZIGZAG[k]] / qt[k]))
-                        for k in range(64)])
-    return out
+    return _quantized_blocks_grid(plane, w, h, qt,
+                                  (w + 7) // 8, (h + 7) // 8)
 
 
 class _EobRun:
@@ -982,18 +980,24 @@ def _encode_ac_refine(wtr: _BitWriter, ac_codes, blocks, ss: int, se: int,
             if m == 0:
                 r += 1
                 continue
-            if m > 1:                        # history nonzero: correction
-                pend.append(m & 1)
-                continue
-            # newly significant (m == 1)
-            eob.flush()
+            # the ZRL check runs at EVERY nonzero coefficient — including
+            # history-nonzero correction positions — exactly as libjpeg's
+            # jcphuff.c does, or a correction coefficient beyond the 16th
+            # zero of a long run desynchronizes the decoder's zero-history
+            # skip (code-review r5: reproduced pixel corruption)
             while r > 15 and k <= last_new:
+                eob.flush()
                 code, ln = ac_codes[0xF0]
                 wtr.write(code, ln)
                 for b in pend:
                     wtr.write(b, 1)
                 pend.clear()
                 r -= 16
+            if m > 1:                        # history nonzero: correction
+                pend.append(m & 1)
+                continue
+            # newly significant (m == 1)
+            eob.flush()
             code, ln = ac_codes[(r << 4) | 1]
             wtr.write(code, ln)
             wtr.write(1 if q[k] > 0 else 0, 1)

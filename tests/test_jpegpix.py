@@ -372,3 +372,52 @@ def test_progressive_dc_only_prefix_renders():
     # (-14>>1)<<1 = -14 -> reconstructed 128-14*16/8 = 100 (even values
     # at flat-16 quant stay exact even through the Al=1 truncation)
     assert set(dec[3]) == {100, 200}
+
+
+def test_refine_correction_beyond_zrl_run():
+    """Code-review r5: a nonzero-history coefficient beyond the 16th
+    zero-history position of a long run (coefs {0:4, 22:2, 23:1}) must
+    keep encoder and decoder in sync — the ZRL emission runs at EVERY
+    nonzero coefficient, with only the pre-ZRL correction bits flushed."""
+    from docext_spark.core.jpegpix import ZIGZAG, idct2d
+    natural = [0.0] * 64
+    for k, v in ((0, 4), (22, 2), (23, 1)):
+        natural[ZIGZAG[k]] = v * 16
+    spatial = idct2d(natural)
+    px = bytes(min(255, max(0, int(round(s)) + 128)) for s in spatial)
+    assert jpegpix.decode_jpeg(jpegpix.encode_jpeg_progressive_gray(8, 8, px)) \
+        == jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(8, 8, px))
+
+
+def test_progressive_smooth_with_detail_equality():
+    """The long-zero-run + late-tiny-coefficient family that exposed the
+    refinement desync (was ~1/300 failing before the fix)."""
+    import random
+    rng = random.Random(13)
+    for _ in range(40):
+        w = h = 16
+        cx, cy = rng.randrange(w), rng.randrange(h)
+        px = bytes(min(255, (x + y) * 4 + (200 if (x, y) == (cx, cy) else 0))
+                   for y in range(h) for x in range(w))
+        assert jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_progressive_gray(w, h, px)) \
+            == jpegpix.decode_jpeg(jpegpix.encode_jpeg_gray(w, h, px)), \
+            (cx, cy)
+
+
+def test_duplicate_sof_returns_none():
+    """Code-review r5: a duplicated frame header must yield None (the
+    never-raise totality contract), not a KeyError from an orphaned
+    progressive coefficient store."""
+    import struct
+    b = jpegpix.encode_jpeg_progressive_gray(16, 16, bytes(range(256)))
+    i = b.find(b"\xff\xc2")
+    ln = struct.unpack(">H", b[i + 2:i + 4])[0]
+    dup = b[:i + 2 + ln] + b[i:i + 2 + ln] + b[i + 2 + ln:]
+    assert jpegpix.decode_jpeg(dup) is None
+    # baseline too
+    g = jpegpix.encode_jpeg_gray(8, 8, bytes([7]) * 64)
+    j = g.find(b"\xff\xc0")
+    ln = struct.unpack(">H", g[j + 2:j + 4])[0]
+    assert jpegpix.decode_jpeg(g[:j + 2 + ln] + g[j:j + 2 + ln]
+                               + g[j + 2 + ln:]) is None
