@@ -1,0 +1,155 @@
+"""Streaming conversation → training-sample emission — the streaming twin
+of plans/training.py (same sessionize + budget-boundary packing rule),
+built on ``applyInPandasWithState``.
+
+Per-entity state carries the OPEN tail: current session index, the
+session's running token count, and the open chunk's buffered events
+(bounded — a chunk holds at most budget_tokens plus one straddling
+event). A sample is emitted the moment it CLOSES — either the session's
+cumulative token count crosses a budget boundary (the next event starts a
+new chunk) or the inactivity gap starts a new session. Closed samples are
+byte-identical to the batch plan's rows for the same prefix of events
+(asserted in tests); the still-open chunk stays in the state store and
+survives restarts, so a resumed feed continues exactly where it left off.
+
+Ordering caveat (same as every stream sessionizer, incl. stateful.py):
+the boundary rule is sequential in event time, so per-entity arrival must
+be in (ts, tiebreak) order ACROSS micro-batches (within a batch we sort);
+an upstream watermark-ordered stage provides that in production. At 100TB
+the state is per-entity and budget-bounded — it scales with executors via
+the state store, never with history length.
+"""
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from docext_spark.core.textstats import token_count
+
+SEP = "\n"
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("session_idx", T.LongType()),
+    T.StructField("chunk_idx", T.LongType()),
+    T.StructField("session_toks", T.LongType()),   # tokens before open chunk's end
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n_events", T.LongType()),       # open chunk
+    T.StructField("chunk_toks", T.LongType()),
+    T.StructField("start_us", T.LongType()),
+    T.StructField("end_us", T.LongType()),
+    T.StructField("text_buf", T.StringType()),
+])
+
+OUTPUT_SCHEMA = T.StructType([
+    T.StructField("entity", T.StringType()),
+    T.StructField("session_idx", T.LongType()),
+    T.StructField("session_id", T.StringType()),
+    T.StructField("chunk_idx", T.LongType()),
+    T.StructField("sample_id", T.StringType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("n_tokens", T.LongType()),
+    T.StructField("sample_start_us", T.LongType()),
+    T.StructField("sample_end_us", T.LongType()),
+    T.StructField("sample_text", T.StringType()),
+])
+
+
+def make_emitter(gap_minutes: float, budget_tokens: int):
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+
+    def emit(key: tuple, batches: Iterator[pd.DataFrame],
+             state: GroupState) -> Iterator[pd.DataFrame]:
+        (entity,) = key
+        if state.exists:
+            (session_idx, chunk_idx, session_toks, last_us,
+             n_events, chunk_toks, start_us, end_us, text_buf) = state.get
+        else:
+            session_idx = 0          # no session open yet
+            chunk_idx = session_toks = n_events = chunk_toks = 0
+            last_us = start_us = end_us = -1
+            text_buf = ""
+        out = []
+
+        def close_chunk():
+            out.append({
+                "entity": entity, "session_idx": session_idx,
+                "session_id": f"{entity}#{session_idx}",
+                "chunk_idx": chunk_idx,
+                "sample_id": f"{entity}#{session_idx}/{chunk_idx}",
+                "n_events": n_events, "n_tokens": chunk_toks,
+                "sample_start_us": start_us, "sample_end_us": end_us,
+                "sample_text": text_buf})
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for ts, text in zip(pdf["ts"], pdf["text"]):
+                ev_us = int(pd.Timestamp(ts).value // 1000)
+                toks = token_count(text or "")
+                new_session = session_idx == 0 \
+                    or (ev_us - last_us) > gap_us
+                if new_session:
+                    if n_events:
+                        close_chunk()
+                    session_idx += 1
+                    chunk_idx = session_toks = 0
+                    n_events = chunk_toks = 0
+                    text_buf = ""
+                else:
+                    ev_chunk = session_toks // budget_tokens
+                    if ev_chunk > chunk_idx:
+                        if n_events:
+                            close_chunk()
+                        chunk_idx = ev_chunk
+                        n_events = chunk_toks = 0
+                        text_buf = ""
+                if n_events == 0:
+                    start_us = ev_us
+                text_buf = (text_buf + SEP + (text or "")) if n_events \
+                    else (text or "")
+                n_events += 1
+                chunk_toks += toks
+                session_toks += toks
+                end_us = ev_us
+                last_us = ev_us
+        state.update((session_idx, chunk_idx, session_toks, last_us,
+                      n_events, chunk_toks, start_us, end_us, text_buf))
+        if out:
+            yield pd.DataFrame(out)
+
+    return emit
+
+
+def run_training_stream(spark: SparkSession, input_dir: str, schema,
+                        checkpoint_dir: str, output_dir: str,
+                        entity_col: str = "user_id",
+                        gap_minutes: float = 30.0,
+                        budget_tokens: int = 16) -> DataFrame:
+    """availableNow run: events landing as parquet → CLOSED training
+    samples appended to ``output_dir``. Re-running with the same
+    checkpoint resumes the per-entity open-chunk state (exactly-once on
+    the emitted samples via the streaming checkpoint + idempotent batch
+    ids, same recipe as extract_stream)."""
+    stream = (spark.readStream.schema(schema).parquet(input_dir)
+              .select(F.col(entity_col).cast("string").alias("entity"),
+                      F.col("event_id"), F.col("ts"), F.col("text")))
+    emitted = (stream.groupBy("entity")
+               .applyInPandasWithState(
+                   make_emitter(gap_minutes, budget_tokens),
+                   OUTPUT_SCHEMA, STATE_SCHEMA, "append",
+                   GroupStateTimeout.NoTimeout))
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(output_dir)
+
+    q = (emitted.writeStream.foreachBatch(_sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(output_dir)

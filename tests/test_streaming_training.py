@@ -1,0 +1,94 @@
+"""Streaming training-sample emission: closed samples equal the batch
+plan's rows for the same events, and the open-chunk state survives a
+second availableNow run (resume continues mid-session)."""
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docext_spark.plans.training import sessions_to_training_samples
+from docext_spark.streaming.training_stream import run_training_stream
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame([(i, T0 + dt.timedelta(minutes=m), u, t)
+                      for i, (u, m, t) in enumerate(rows)],
+                     columns=["event_id", "ts", "user_id", "text"]),
+        SCHEMA)
+
+
+ROWS_A = [
+    (1, 0, "a b c"), (1, 1, "d e f"), (1, 2, "g h"),      # session 1
+    (1, 60, "i j k l"),                                    # session 2
+    (2, 5, "m n"),
+]
+ROWS_B = [
+    (1, 61, "o p"),            # continues user 1 session 2
+    (1, 200, "q"),             # new session 3 -> closes session 2's chunk
+    (2, 300, "r s t"),         # new session for user 2
+]
+
+
+def _closed(rows):
+    return {(r["sample_id"]): (r["n_events"], r["n_tokens"],
+                               r["sample_text"]) for r in rows}
+
+
+def test_stream_matches_batch_closed_samples(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _df(spark, ROWS_A).coalesce(1).write.mode("append").parquet(in_dir)
+    got = _closed(run_training_stream(spark, in_dir, SCHEMA, ck, out,
+                                      budget_tokens=4).collect())
+    # batch twin over the same events: budget 4, gap 30
+    batch = {r["sample_id"]: (r["n_events"], r["n_tokens"], r["sample_text"])
+             for r in sessions_to_training_samples(
+                 _df(spark, ROWS_A), "user_id", "ts", "text", 30, 4,
+                 "event_id").collect()}
+    # session 1 of user 1: 3+3=6 toks -> chunk 0 closes when "g h" starts
+    # chunk 1; then the minute-60 gap event closes chunk 1 too (new
+    # session). Session 2's chunk and user 2's chunk stay OPEN.
+    assert got == {"1#1/0": batch["1#1/0"], "1#1/1": batch["1#1/1"]}
+    assert batch["1#1/0"] == (2, 6, "a b c\nd e f")
+    assert batch["1#1/1"] == (1, 2, "g h")
+
+
+def test_stream_resume_continues_open_chunks(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _df(spark, ROWS_A).coalesce(1).write.mode("append").parquet(in_dir)
+    run_training_stream(spark, in_dir, SCHEMA, ck, out, budget_tokens=4)
+    # second run: more files land; state resumes mid-session
+    _df(spark, ROWS_B).coalesce(1).write.mode("append").parquet(in_dir)
+    got = _closed(run_training_stream(spark, in_dir, SCHEMA, ck, out,
+                                      budget_tokens=4).collect())
+    # all events in one batch plan = ground truth for every CLOSED sample
+    batch = {r["sample_id"]: (r["n_events"], r["n_tokens"], r["sample_text"])
+             for r in sessions_to_training_samples(
+                 _df(spark, ROWS_A + ROWS_B), "user_id", "ts", "text",
+                 30, 4, "event_id").collect()}
+    # closed by now: 1#1/0 + 1#1/1 (run 1); 1#2/0 ("i j k l", closed when
+    # "o p" crossed the budget boundary), 1#2/1 ("o p", closed by the
+    # minute-200 gap), 2#1/0 (closed by user 2's 300-min event)
+    assert set(got) == {"1#1/0", "1#1/1", "1#2/0", "1#2/1", "2#1/0"}
+    for sid, v in got.items():
+        assert v == batch[sid], sid
+    # open tails (1#3/0 and 2#2/0) are not emitted yet
+    assert "1#3/0" not in got and "2#2/0" not in got
