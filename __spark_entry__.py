@@ -239,6 +239,149 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def _q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year — the canonical two-dimension-lookups-per-fact-row join (supplier
+    nation AND customer nation resolve against the SAME broadcast dim
+    under different aliases; the big fact tables shuffle only on their
+    join keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_9")
+             & (F.col("cust_nation") == "NATION_10")) \
+        | ((F.col("supp_nation") == "NATION_10")
+           & (F.col("cust_nation") == "NATION_9"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+            .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue, count(*)::BIGINT AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+     OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def _q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter — fact joins shuffle on keys, the nation dim broadcasts, and
+    the top-N has an explicit c_custkey tiebreak (ties differ across
+    engines otherwise)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= "1997-01-01")
+                 & (F.col("o_orderdate") < "1997-07-01")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-07-01')
+GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def _q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 shape: promo-revenue share — a conditional-aggregate
+    ratio in ONE pass over the part join (no per-branch re-scan)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= "1997-03-01")
+                  & (F.col("l_shipdate") < "1997-04-01")))
+    p = _t(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .agg(F.round(100 * F.sum(F.when(promo, vol).otherwise(0.0))
+                         / F.sum(vol), 4).alias("promo_revenue_pct"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+_Q14_SQL = """
+SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def _doc_length_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of document length per
+    language — Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the same interpolation rule, so the values pair exactly at 4dp. (The
+    sketch-based approx_percentile variant is rows-only territory: its
+    error bound is asserted in pytest instead — same split as HLL.)"""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
+_PERCENTILES_SQL = """
+SELECT lang,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _a14_cube(spark, sf_dir):
     """Grouping-sets breadth: CUBE over (returnflag, linestatus) with
     grouping-null markers normalized to 'ALL' on both engines."""
@@ -265,6 +408,22 @@ def _a15_approx_distinct(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
                   F.countDistinct("l_partkey").alias("exact_parts"))
+
+
+def _approx_percentiles(spark, sf_dir):
+    """Sketch-based percentile_approx beside the exact percentile —
+    sketch internals are engine-specific → rows-only (the 100 TB path:
+    the sketch is mergeable/partial-aggregatable where the exact
+    percentile needs a per-group sort; the pytest twin bounds the error
+    vs exact, same split as the HLL pair)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.expr("percentile_approx(n_chars, 0.5, 1000)").alias("ap50"),
+                 F.expr("percentile_approx(n_chars, 0.99, 1000)").alias("ap99"),
+                 F.expr("percentile(n_chars, 0.5)").alias("ex50"),
+                 F.expr("percentile(n_chars, 0.99)").alias("ex99"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
 
 
 def _j1_field_alignment(spark, sf_dir):
@@ -3264,14 +3423,15 @@ SELECT * FROM (VALUES
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 83 queries carry an oracle_sql
-    twin; the 33 overflow pairs (positions 51-83, all long-green) and the
-    6 rows-only tail entries are full-sweep-verified every round via
+    representative per operator family. 87 queries carry an oracle_sql
+    twin; the 37 overflow pairs (positions 51-87, all long-green) and the
+    7 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r5.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
-    perception pUDFs (byte-pinned by pytest goldens), GRITS, VLM message
-    assembly, and the xxhash64 LSH variant (pytest parity-gated vs the
-    sha256 oracle path)."""
+    approx-percentile sketch (error-bounded in pytest), perception pUDFs
+    (byte-pinned by pytest goldens), GRITS, VLM message assembly, and the
+    xxhash64 LSH variant (pytest parity-gated vs the sha256 oracle
+    path)."""
     return {
         # -- oracle-paired, window positions 1-50: newest pairs rotated
         #    in each round (VERDICT r4 #10), one per operator family --
@@ -3357,12 +3517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": _t_repetition,
         "q4_order_priority": _q4_order_priority,
         "q12_priority_class": _q12_priority_class,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_effect": _q14_promo_effect,
+        "doc_length_percentiles": _doc_length_percentiles,
         "sample_split": _sample_split,
         "sample_token_budget": _sample_token_budget,
         "mixture_sources": _mixture_sources,
         "frame_sample_plan": _frame_sample_plan,
         # -- rows-only (perception / sketches / non-SQL-expressible) --
         "a15_approx_distinct": _a15_approx_distinct,
+        "approx_percentiles": _approx_percentiles,
         "x1_turn_markdown": _x1_turn_markdown,
         "flagship_reassembly": _flagship_reassembly,
         "grits_similarity": _grits_similarity,
@@ -3437,6 +3602,10 @@ def oracle_sql() -> dict[str, str]:
         "t_repetition": _REPETITION_SQL,
         "q4_order_priority": _Q4_SQL,
         "q12_priority_class": _Q12_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q10_returned_items": _Q10_SQL,
+        "q14_promo_effect": _Q14_SQL,
+        "doc_length_percentiles": _PERCENTILES_SQL,
         "pack_sequences": _PACK_SEQUENCES_SQL,
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_token_budget": _SAMPLE_BUDGET_SQL,

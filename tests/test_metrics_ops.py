@@ -112,3 +112,18 @@ def test_grits_clipped_udf_flags_oversize_tables(spark):
     # the lineage counter shape: sum of clipped flags
     n = df.agg(F.sum(grits_clipped_udf("gt", "pred").cast("int"))).collect()
     assert n[0][0] == 1
+
+
+def test_approx_percentiles_error_bounded(spark):
+    """percentile_approx(accuracy=1000) must land within 5% relative
+    error of the exact percentile on the sf0.01 documents table (the
+    HLL-style accuracy gate for the rows-only sketch query; the sketch
+    returns an actual data element while the exact form interpolates, so
+    the bound absorbs one inter-element gap on top of sketch error)."""
+    import __spark_entry__ as entry
+    rows = entry.queries()["approx_percentiles"](
+        spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        for a, e in (("ap50", "ex50"), ("ap99", "ex99")):
+            assert abs(r[a] - r[e]) <= max(0.05 * r[e], 3.0), (r["lang"], a)
