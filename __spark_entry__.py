@@ -3437,8 +3437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in each round (VERDICT r4 #10), one per operator family --
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q10_returned_items": _q10_returned_items,
+        "q14_promo_effect": _q14_promo_effect,
         "a14_cube": _a14_cube,
         "j1_field_alignment": _j1_field_alignment,
         "a3_vqa_best_of": _a3_vqa_best_of,
@@ -3452,9 +3453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sha_b64": _scalar_sha_b64,
         "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
-        "t_quality": _t_quality,
+        "doc_length_percentiles": _doc_length_percentiles,
         "s5_resize_dims": _s5_resize_dims,
-        "t_bpe_token_count": _t_bpe_token_count,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_clusters": _dedup_clusters,
@@ -3489,6 +3489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "a1_edit_similarity": _a1_edit_similarity,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "t_quality": _t_quality,
+        "t_bpe_token_count": _t_bpe_token_count,
         "dedup_jaccard": _dedup_jaccard,
         "gif_resample_pixels": _gif_resample_pixels,
         "a4_exact_match": _a4_exact_match,
@@ -3517,10 +3521,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": _t_repetition,
         "q4_order_priority": _q4_order_priority,
         "q12_priority_class": _q12_priority_class,
-        "q7_volume_shipping": _q7_volume_shipping,
-        "q10_returned_items": _q10_returned_items,
-        "q14_promo_effect": _q14_promo_effect,
-        "doc_length_percentiles": _doc_length_percentiles,
         "sample_split": _sample_split,
         "sample_token_budget": _sample_token_budget,
         "mixture_sources": _mixture_sources,

@@ -86,37 +86,45 @@ def make_emitter(gap_minutes: float, budget_tokens: int):
                 "sample_start_us": start_us, "sample_end_us": end_us,
                 "sample_text": text_buf})
 
-        for pdf in batches:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for ts, text in zip(pdf["ts"], pdf["text"]):
-                ev_us = int(pd.Timestamp(ts).value // 1000)
-                toks = token_count(text or "")
-                new_session = session_idx == 0 \
-                    or (ev_us - last_us) > gap_us
-                if new_session:
+        # ONE sort over the group's whole micro-batch: the iterator yields
+        # Arrow chunks (default 10k rows), and sorting each chunk
+        # independently would fold a large entity's events out of order
+        # (code-review r5: reproduced wrong sample membership at
+        # maxRecordsPerBatch=2). Memory is the entity's per-batch volume —
+        # the same bound the fold itself already implies.
+        pdfs = list(batches)
+        merged = (pd.concat(pdfs) if pdfs else
+                  pd.DataFrame(columns=["ts", "event_id", "text"]))
+        merged = merged.sort_values(["ts", "event_id"], kind="mergesort")
+        for ts, text in zip(merged["ts"], merged["text"]):
+            ev_us = int(pd.Timestamp(ts).value // 1000)
+            toks = token_count(text or "")
+            new_session = session_idx == 0 \
+                or (ev_us - last_us) > gap_us
+            if new_session:
+                if n_events:
+                    close_chunk()
+                session_idx += 1
+                chunk_idx = session_toks = 0
+                n_events = chunk_toks = 0
+                text_buf = ""
+            else:
+                ev_chunk = session_toks // budget_tokens
+                if ev_chunk > chunk_idx:
                     if n_events:
                         close_chunk()
-                    session_idx += 1
-                    chunk_idx = session_toks = 0
+                    chunk_idx = ev_chunk
                     n_events = chunk_toks = 0
                     text_buf = ""
-                else:
-                    ev_chunk = session_toks // budget_tokens
-                    if ev_chunk > chunk_idx:
-                        if n_events:
-                            close_chunk()
-                        chunk_idx = ev_chunk
-                        n_events = chunk_toks = 0
-                        text_buf = ""
-                if n_events == 0:
-                    start_us = ev_us
-                text_buf = (text_buf + SEP + (text or "")) if n_events \
-                    else (text or "")
-                n_events += 1
-                chunk_toks += toks
-                session_toks += toks
-                end_us = ev_us
-                last_us = ev_us
+            if n_events == 0:
+                start_us = ev_us
+            text_buf = (text_buf + SEP + (text or "")) if n_events \
+                else (text or "")
+            n_events += 1
+            chunk_toks += toks
+            session_toks += toks
+            end_us = ev_us
+            last_us = ev_us
         state.update((session_idx, chunk_idx, session_toks, last_us,
                       n_events, chunk_toks, start_us, end_us, text_buf))
         if out:
@@ -131,10 +139,15 @@ def run_training_stream(spark: SparkSession, input_dir: str, schema,
                         gap_minutes: float = 30.0,
                         budget_tokens: int = 16) -> DataFrame:
     """availableNow run: events landing as parquet → CLOSED training
-    samples appended to ``output_dir``. Re-running with the same
-    checkpoint resumes the per-entity open-chunk state (exactly-once on
-    the emitted samples via the streaming checkpoint + idempotent batch
-    ids, same recipe as extract_stream)."""
+    samples appended to ``output_dir`` through the NATIVE parquet file
+    sink — its ``_spark_metadata`` transaction log commits each batch
+    idempotently (the extract_stream recipe), so a crash between writing
+    files and committing offsets replays WITHOUT duplicating samples; a
+    foreachBatch blind-append would be at-least-once. The sink also
+    creates the output path at stream start, so a cold run over an empty
+    input directory returns an empty frame instead of raising.
+    Re-running with the same checkpoint resumes the per-entity
+    open-chunk state."""
     stream = (spark.readStream.schema(schema).parquet(input_dir)
               .select(F.col(entity_col).cast("string").alias("entity"),
                       F.col("event_id"), F.col("ts"), F.col("text")))
@@ -143,13 +156,10 @@ def run_training_stream(spark: SparkSession, input_dir: str, schema,
                    make_emitter(gap_minutes, budget_tokens),
                    OUTPUT_SCHEMA, STATE_SCHEMA, "append",
                    GroupStateTimeout.NoTimeout))
-
-    def _sink(batch_df, batch_id):
-        batch_df.write.mode("append").parquet(output_dir)
-
-    q = (emitted.writeStream.foreachBatch(_sink)
+    q = (emitted.writeStream.format("parquet")
+         .option("path", output_dir)
          .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    return spark.read.parquet(output_dir)
+    return spark.read.schema(OUTPUT_SCHEMA).parquet(output_dir)

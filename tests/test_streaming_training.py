@@ -92,3 +92,32 @@ def test_stream_resume_continues_open_chunks(spark, tmp_path):
         assert v == batch[sid], sid
     # open tails (1#3/0 and 2#2/0) are not emitted yet
     assert "1#3/0" not in got and "2#2/0" not in got
+
+
+def test_multi_arrow_chunk_group_stays_ordered(spark, tmp_path):
+    """Code-review r5: a group spanning several Arrow record batches must
+    be sorted as ONE batch — per-chunk sorting scrambled session folds
+    (reproduced at maxRecordsPerBatch=2 with descending-ts input)."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    rows = [(1, 5 - i, f"w{5 - i}") for i in range(6)]   # descending ts
+    _df(spark, rows).coalesce(1).write.mode("append").parquet(in_dir)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = _closed(run_training_stream(spark, in_dir, SCHEMA, ck, out,
+                                          budget_tokens=4).collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # 6 one-token events, budget 4: chunk 0 = w0..w3 closes when w4 starts
+    # chunk 1; w4/w5 stay open
+    assert got == {"1#1/0": (4, 4, "w0\nw1\nw2\nw3")}
+
+
+def test_cold_start_empty_input_returns_empty(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out = run_training_stream(spark, in_dir, SCHEMA,
+                              str(tmp_path / "ck"), str(tmp_path / "out"))
+    assert out.count() == 0
