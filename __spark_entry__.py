@@ -71,6 +71,38 @@ def _edit_sim_sql(pred: str, gt: str) -> str:
             f"/ greatest(length({pred}), length({gt})) END")
 
 
+def _dsum(col, ndigits=2):
+    """Partition-order-independent rounded sum. round(sum(double), n)
+    flips its last digit when the scheduling-dependent partial-sum order
+    changes and the total sits one ulp from a rounding boundary (round-5
+    verdict #1, the event_sessionization driver flake). Fix: quantize each
+    value to DECIMAL(18,6) (deterministic per row, exact for the <=2dp
+    fixture values), sum exactly (decimal addition is associative), round,
+    cast back to double. Both engines round decimal halves away from zero
+    and cast sub-2^53 decimals to double identically (verified)."""
+    return F.round(F.sum(col.cast("decimal(18,6)")), ndigits).cast("double")
+
+
+def _dsum_sql(expr, ndigits=2):
+    """DuckDB twin of _dsum."""
+    return f"round(sum(({expr})::DECIMAL(18,6)), {ndigits})::DOUBLE"
+
+
+def _dmean(col, ndigits=4):
+    """Partition-order-independent rounded mean: exact DECIMAL(28,12) sum,
+    ONE double division, round (same rationale as _dsum; scale 12 so
+    ratio-valued inputs like edit similarities keep full precision)."""
+    return F.round(F.sum(col.cast("decimal(28,12)")).cast("double")
+                   / F.count(col), ndigits)
+
+
+def _dmean_sql(expr, ndigits=4):
+    """DuckDB twin of _dmean (count(expr) skips NULLs, matching F.count)."""
+    return (f"round(sum(({expr})::DECIMAL(28,12))::DOUBLE "
+            f"/ count({expr}), {ndigits})")
+
+
+
 def _lang_ratio_sql():
     """Shared builders for the language-ratio columns, argmax CASE, and
     best expression used by both the LID and quality-filter oracles."""
@@ -89,23 +121,23 @@ def _q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+                 _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       2).alias("sum_disc_price"),
+                 _dmean(F.col("l_quantity"), 4).alias("avg_qty"),
+                 _dmean(F.col("l_discount"), 4).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
-_Q1_SQL = """
+_Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                              AS sum_qty,
-       round(sum(l_extendedprice), 2)                         AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-       round(avg(l_quantity), 4)                              AS avg_qty,
-       round(avg(l_discount), 4)                              AS avg_disc,
-       count(*)                                               AS count_order
+       {_dsum_sql('l_quantity')} AS sum_qty,
+       {_dsum_sql('l_extendedprice')} AS sum_base_price,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_dmean_sql('l_quantity')} AS avg_qty,
+       {_dmean_sql('l_discount')} AS avg_disc,
+       count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
@@ -121,14 +153,14 @@ def _q5_revenue_by_nation(spark, sf_dir):
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       2).alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
 
 
-_Q5_SQL = """
+_Q5_SQL = f"""
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -146,8 +178,8 @@ def _q3_shipping_priority(spark, sf_dir):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-                  .alias("revenue"))
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                       2).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10)
             .select("l_orderkey",
@@ -155,9 +187,9 @@ def _q3_shipping_priority(spark, sf_dir):
                     "revenue"))
 
 
-_Q3_SQL = """
+_Q3_SQL = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -174,8 +206,8 @@ def _q6_forecast_revenue(spark, sf_dir):
                       & (F.col("l_shipdate") < "1998-01-01")
                       & (F.col("l_discount").between(0.03, 0.07))
                       & (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-                  .alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"),
+                       2).alias("revenue"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -231,8 +263,8 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
 
-_Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+_Q6_SQL = f"""
+SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue, count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -265,16 +297,15 @@ def _q7_volume_shipping(spark, sf_dir):
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"),
+            .agg(_dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 2).alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
-_Q7_SQL = """
+_Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-       round(sum(volume), 2) AS revenue, count(*)::BIGINT AS n_lines
+       {_dsum_sql('volume')} AS revenue, count(*)::BIGINT AS n_lines
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -306,15 +337,14 @@ def _q10_returned_items(spark, sf_dir):
             .join(c, o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
+            .agg(_dsum(F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")), 2).alias("revenue"))
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))
 
 
-_Q10_SQL = """
-SELECT c_custkey, c_name, n_name, round(sum(volume), 2) AS revenue
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, {_dsum_sql('volume')} AS revenue
 FROM (
   SELECT c_custkey, c_name, n_name,
          l_extendedprice * (1 - l_discount) AS volume
@@ -387,17 +417,17 @@ def _a14_cube(spark, sf_dir):
     grouping-null markers normalized to 'ALL' on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"),
                  F.count(F.lit(1)).alias("n"))
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
                     "sum_qty", "n"))
 
 
-_A14_SQL = """
+_A14_SQL = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       {_dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -441,7 +471,7 @@ def _j1_field_alignment(spark, sf_dir):
                     F.col("o_orderkey").alias("pos"))
     aligned = align_pred_gt(gt, pred, ["key"], "label", "value", pos_col="pos")
     return aligned.agg(
-        F.round(F.avg(edit_similarity(F.col("pred_value"), F.col("value"))), 6)
+        _dmean(edit_similarity(F.col("pred_value"), F.col("value")), 6)
          .alias("kie_score"),
         F.count(F.lit(1)).alias("n_fields"))
 
@@ -456,7 +486,7 @@ WITH pred AS (
   FROM customer LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p
        ON c_custkey = p.key
 )
-SELECT round(avg({_edit_sim_sql("pred_value", "gt_value")}), 6) AS kie_score,
+SELECT {_dmean_sql(_edit_sim_sql("pred_value", "gt_value"), 6)} AS kie_score,
        count(*) AS n_fields
 FROM aligned
 """
@@ -466,13 +496,13 @@ def _a1_edit_similarity(spark, sf_dir):
     from docext_spark.operators.metrics import edit_similarity
     p = _t(spark, sf_dir, "part")
     return p.agg(
-        F.round(F.avg(edit_similarity(F.col("p_name"), F.col("p_type"))), 6)
+        _dmean(edit_similarity(F.col("p_name"), F.col("p_type")), 6)
          .alias("mean_sim"),
         F.count(F.lit(1)).alias("n"))
 
 
 _A1_SQL = f"""
-SELECT round(avg({_edit_sim_sql("p_name", "p_type")}), 6) AS mean_sim,
+SELECT {_dmean_sql(_edit_sim_sql("p_name", "p_type"), 6)} AS mean_sim,
        count(*) AS n
 FROM part
 """
@@ -495,17 +525,19 @@ WITH exploded AS (
   SELECT key, max({_edit_sim_sql("pred", "ans")}) AS best_sim
   FROM exploded GROUP BY key
 )
-SELECT round(avg(best_sim), 6) AS vqa_score FROM per_doc
+SELECT {_dmean_sql('best_sim', 6)} AS vqa_score FROM per_doc
 """
 
 
 def _a4_exact_match(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    return e.agg(F.round(F.avg((F.col("event_type") == "click").cast("double")), 6)
+    return e.agg(_dmean((F.col("event_type") == "click").cast("double"), 6)
                  .alias("accuracy"))
 
 
-_A4_SQL = "SELECT round(avg(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS accuracy FROM events"
+_A4_SQL = ("SELECT " + _dmean_sql(
+    "CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END", 6)
+    + " AS accuracy FROM events")
 
 
 def _a5_multivalue_fold(spark, sf_dir):
@@ -537,13 +569,13 @@ _A6_SQL = "SELECT DISTINCT event_type AS label FROM events"
 def _a9_cost_accounting(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_cost"),
-                 F.round(F.avg("l_discount"), 6).alias("mean_discount")))
+            .agg(_dsum(F.col("l_extendedprice"), 2).alias("total_cost"),
+                 _dmean(F.col("l_discount"), 6).alias("mean_discount")))
 
 
-_A9_SQL = """
-SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_cost,
-       round(avg(l_discount), 6) AS mean_discount
+_A9_SQL = f"""
+SELECT l_returnflag, {_dsum_sql('l_extendedprice')} AS total_cost,
+       {_dmean_sql('l_discount', 6)} AS mean_discount
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -552,7 +584,7 @@ def _a10_score_matrix(spark, sf_dir):
     e = _t(spark, sf_dir, "events").withColumn(
         "model", F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
     pivoted = (e.groupBy("event_type").pivot("model", ["0", "1", "2"])
-               .agg(F.round(F.avg("value"), 4)))
+               .agg(_dmean(F.col("value"), 4)))
     out = pivoted.select(
         "event_type",
         F.col("0").alias("m0"), F.col("1").alias("m1"), F.col("2").alias("m2"))
@@ -560,12 +592,12 @@ def _a10_score_matrix(spark, sf_dir):
     return out.withColumn("average", avg_expr)
 
 
-_A10_SQL = """
+_A10_SQL = f"""
 WITH p AS (
   SELECT event_type,
-         round(avg(CASE WHEN user_id % 3 = 0 THEN value END), 4) AS m0,
-         round(avg(CASE WHEN user_id % 3 = 1 THEN value END), 4) AS m1,
-         round(avg(CASE WHEN user_id % 3 = 2 THEN value END), 4) AS m2
+         {_dmean_sql('CASE WHEN user_id % 3 = 0 THEN value END')} AS m0,
+         {_dmean_sql('CASE WHEN user_id % 3 = 1 THEN value END')} AS m1,
+         {_dmean_sql('CASE WHEN user_id % 3 = 2 THEN value END')} AS m2
   FROM events GROUP BY event_type
 )
 SELECT event_type, m0, m1, m2, round((m0 + m1 + m2) / 3.0, 4) AS average FROM p
@@ -824,7 +856,7 @@ def _t_quality(spark, sf_dir):
     from docext_spark.operators.textops import quality_score
     d = _t(spark, sf_dir, "documents")
     return (d.groupBy("source")
-            .agg(F.round(F.avg(quality_score(F.col("text"))), 4).alias("avg_quality"),
+            .agg(_dmean(quality_score(F.col("text")), 4).alias("avg_quality"),
                  F.count(F.lit(1)).alias("n_docs")))
 
 
@@ -849,8 +881,7 @@ WITH base AS (
   FROM base
 )
 SELECT source,
-       round(avg(0.4 * least(1.0, n_tok / 100.0) + 0.3 * alpha_ratio
-                 + 0.3 * least(1.0, sr / 0.4)), 4) AS avg_quality,
+       {_dmean_sql("0.4 * least(1.0, n_tok / 100.0) + 0.3 * alpha_ratio + 0.3 * least(1.0, sr / 0.4)")} AS avg_quality,
        count(*) AS n_docs
 FROM feat GROUP BY source
 """
@@ -3194,7 +3225,7 @@ SELECT user_id, session_idx,
        min(ts) AS session_start, max(ts) AS session_end,
        (date_diff('microsecond', min(ts), max(ts)) // 1000000)::BIGINT
          AS duration_s,
-       round(sum(value), 6) AS sum_value
+       sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
 FROM sess GROUP BY 1, 2, 3
 """
 

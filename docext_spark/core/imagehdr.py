@@ -27,7 +27,10 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 
 
 def sniff_format(payload: bytes | None) -> str | None:
-    """Container sniff from magic bytes: 'png' | 'jpeg' | 'gif' | None."""
+    """Container sniff from magic bytes: 'png' | 'jpeg' | 'gif' | 'bmp' |
+    'tiff' | 'webp' | None. webp is sniffed (RIFF....WEBP) but its pixel
+    decode stays an honest None — VP8/VP8L entropy decode is genuinely
+    library territory."""
     if not payload:
         return None
     if payload[:8] == PNG_SIG:
@@ -36,6 +39,12 @@ def sniff_format(payload: bytes | None) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -90,17 +99,82 @@ def gif_dims(payload: bytes) -> tuple[int, int] | None:
     return (w, h) if w > 0 and h > 0 else None
 
 
+def bmp_dims(payload: bytes) -> tuple[int, int] | None:
+    """BMP width/height: i32 at DIB offsets 18/22 (negative height means
+    top-down storage; dims are its magnitude)."""
+    if len(payload) < 26 or payload[:2] != b"BM":
+        return None
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", payload, 18)
+    return (w, abs(h)) if w > 0 and h != 0 else None
+
+
+def tiff_dims(payload: bytes) -> tuple[int, int] | None:
+    """TIFF width/height: tags 256/257 in the first IFD (both byte
+    orders), via the baseline IFD walker in core/tiffpix.py."""
+    if len(payload) < 8 or payload[:4] not in (b"II*\x00", b"MM\x00*"):
+        return None
+    bo = "<" if payload[:2] == b"II" else ">"
+    from docext_spark.core import tiffpix
+    ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
+    if ifd_off + 2 > len(payload):
+        return None
+    n = struct.unpack(bo + "H", payload[ifd_off:ifd_off + 2])[0]
+    if ifd_off + 2 + 12 * n > len(payload):
+        return None
+    w = h = None
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(bo + "HHI", payload[e:e + 8])
+        if tag in (256, 257):
+            vals = tiffpix._read_values(payload, bo, typ, count,
+                                        payload[e + 8:e + 12])
+            if not vals:
+                return None
+            if tag == 256:
+                w = vals[0]
+            else:
+                h = vals[0]
+    return (w, h) if w and h and w > 0 and h > 0 else None
+
+
+def webp_dims(payload: bytes) -> tuple[int, int] | None:
+    """WebP dims from the VP8/VP8L/VP8X chunk headers (header-level only;
+    the pixel decode itself is an honest None — library territory)."""
+    if len(payload) < 30 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        return None
+    chunk = payload[12:16]
+    if chunk == b"VP8X":                  # extended: 24-bit w-1/h-1 at 24
+        w = int.from_bytes(payload[24:27], "little") + 1
+        h = int.from_bytes(payload[27:30], "little") + 1
+        return (w, h)
+    if chunk == b"VP8 ":                  # lossy: u14 pairs after 3-byte
+        if payload[23:26] != b"\x9d\x01\x2a":   # frame tag + start code
+            return None
+        w = struct.unpack_from("<H", payload, 26)[0] & 0x3FFF
+        h = struct.unpack_from("<H", payload, 28)[0] & 0x3FFF
+        return (w, h) if w > 0 and h > 0 else None
+    if chunk == b"VP8L":                  # lossless: 14-bit pairs after 0x2f
+        if payload[20] != 0x2F:
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return (w, h)
+    return None
+
+
 def parse_dims(payload: bytes | None) -> tuple[str, int, int] | None:
     """(format, width, height) from real payload bytes, or None."""
     fmt = sniff_format(payload)
-    if fmt == "png":
-        dims = png_dims(payload)
-    elif fmt == "jpeg":
-        dims = jpeg_dims(payload)
-    elif fmt == "gif":
-        dims = gif_dims(payload)
-    else:
+    parsers = {"png": png_dims, "jpeg": jpeg_dims, "gif": gif_dims,
+               "bmp": bmp_dims, "tiff": tiff_dims, "webp": webp_dims}
+    if fmt not in parsers:
         return None
+    dims = parsers[fmt](payload)
     return (fmt, dims[0], dims[1]) if dims else None
 
 

@@ -1,0 +1,249 @@
+"""Pure-Python baseline TIFF PIXEL decode — stdlib struct only, no PIL.
+
+The reference's accepted-extension predicate includes ``tiff``
+(reference docext/core/utils.py:56-70; PIL decodes it at
+core/utils.py:13-15) — this engine decodes the real bytes itself.
+Baseline TIFF (TIFF 6.0 spec, part 1) is a tag-directory walk plus raw
+or PackBits-compressed strips:
+
+    header:  byte order ('II' little / 'MM' big) + magic 42 + IFD offset
+    IFD:     n × 12-byte entries (tag, type, count, value-or-offset)
+    strips:  RowsPerStrip rows each, at StripOffsets[i], StripByteCounts[i]
+
+Scope (baseline, the formats a pipeline actually meets): 8 bits per
+sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar
+config, Compression 1 (none) or 32773 (PackBits, the spec's own RLE),
+PhotometricInterpretation 0/1/2 (WhiteIsZero is inverted on decode so
+consumers always see black=0), both byte orders, multi-strip files.
+Anything else — LZW/JPEG-in-TIFF, 16-bit, tiles, planar=2 — returns
+None: a 100TB scan must never die on one odd blob; filter on the null
+and route exotica to a codec fleet. WebP stays an honest documented
+None in imagehdr (VP8 entropy decode is genuinely library territory).
+
+Output convention matches pngpix/gifpix/bmppix: (width, height,
+channels, samples) row-major top-down interleaved, black=0.
+"""
+from __future__ import annotations
+
+import struct
+
+# decode-bomb guard, same rationale/value as pngpix/gifpix/bmppix: IFD
+# dims are attacker-controlled, and a tiny PackBits stream can claim a
+# huge output — both the allocation and the RLE expansion are bounded
+MAX_PIXELS = 4_000_000
+
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4}          # BYTE, SHORT, LONG
+
+
+def packbits_decode(data: bytes, max_out: int) -> bytes | None:
+    """TIFF 6.0 PackBits (Apple RLE): n in 0..127 → copy n+1 literal
+    bytes; n in -127..-1 → repeat next byte 1-n times; -128 is a no-op.
+    Returns None on truncation or if the output would exceed max_out."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:                      # -128: no-op
+            continue
+        if c < 128:                       # literal run of c+1
+            if i + c + 1 > n or len(out) + c + 1 > max_out:
+                return None
+            out += data[i:i + c + 1]
+            i += c + 1
+        else:                             # repeat run of 257-c
+            run = 257 - c
+            if i >= n or len(out) + run > max_out:
+                return None
+            out += bytes((data[i],)) * run
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Spec-faithful PackBits encoder (fixture/test side): repeat runs of
+    ≥3 become replicate runs, the rest literal runs of ≤128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length of identical bytes
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes((257 - (j - i), data[i]))
+            i = j
+            continue
+        # literal run: until the next ≥3 repeat or 128 bytes
+        lit = i
+        while i < n and i - lit < 128:
+            j = i + 1
+            while j < n and j - i < 3 and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = j
+        out += bytes((i - lit - 1,)) + data[lit:i]
+    return bytes(out)
+
+
+def _read_values(payload: bytes, bo: str, typ: int, count: int,
+                 raw: bytes) -> list[int] | None:
+    size = _TYPE_SIZE.get(typ)
+    if size is None:
+        return None
+    total = size * count
+    if total <= 4:
+        buf = raw[:total]
+    else:
+        off = struct.unpack(bo + "I", raw)[0]
+        if off + total > len(payload):
+            return None
+        buf = payload[off:off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack(bo + fmt * count, buf))
+
+
+def decode_tiff(payload: bytes | None):
+    """(width, height, channels, samples top-down, black=0) or None."""
+    if not payload or len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    ifd_off = struct.unpack(bo + "I", payload[4:8])[0]
+    if ifd_off + 2 > len(payload):
+        return None
+    n_entries = struct.unpack(bo + "H", payload[ifd_off:ifd_off + 2])[0]
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        return None
+
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack(bo + "HHI", payload[e:e + 8])
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+            vals = _read_values(payload, bo, typ, count, payload[e + 8:e + 12])
+            if vals is None:
+                return None
+            tags[tag] = vals
+
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+        strip_offs = tags[273]
+        strip_counts = tags[279]
+    except KeyError:
+        return None
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1])
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0] or h
+    planar = tags.get(284, [1])[0]
+
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        return None                       # decode-bomb guard (see above)
+    if spp not in (1, 3) or planar != 1 or photometric not in (0, 1, 2):
+        return None
+    if any(b != 8 for b in bits) or len(bits) not in (1, spp):
+        return None
+    if compression not in (1, 32773):
+        return None
+    if len(strip_offs) != len(strip_counts):
+        return None
+
+    row_bytes = w * spp
+    out = bytearray()
+    rows_left = h
+    for off, cnt in zip(strip_offs, strip_counts):
+        if off + cnt > len(payload):
+            return None
+        strip_rows = min(rows_per_strip, rows_left)
+        if strip_rows <= 0:
+            return None                   # more strips than rows claim
+        expect = strip_rows * row_bytes
+        raw = payload[off:off + cnt]
+        if compression == 32773:
+            raw = packbits_decode(raw, expect)
+            if raw is None:
+                return None
+        if len(raw) != expect:
+            return None
+        out += raw
+        rows_left -= strip_rows
+    if rows_left != 0:
+        return None
+    if photometric == 0:                  # WhiteIsZero → normalize black=0
+        out = bytearray(255 - b for b in out)
+    return (w, h, spp, bytes(out))
+
+
+def encode_tiff(width: int, height: int, channels: int, samples: bytes,
+                byte_order: str = "<", compression: int = 1,
+                rows_per_strip: int | None = None,
+                photometric: int | None = None) -> bytes:
+    """Valid baseline TIFF from top-down samples (fixture/test side):
+    header + pixel strips + trailing IFD, multi-strip when
+    ``rows_per_strip`` < height, optional PackBits."""
+    if channels not in (1, 3):
+        raise ValueError("encode_tiff: channels must be 1 or 3")
+    if len(samples) != width * height * channels:
+        raise ValueError("encode_tiff: samples length != w*h*ch")
+    if compression not in (1, 32773):
+        raise ValueError("encode_tiff: compression must be 1 or 32773")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("encode_tiff: byte_order must be '<' or '>'")
+    rps = rows_per_strip or height
+    if photometric is None:
+        photometric = 2 if channels == 3 else 1
+    row_bytes = width * channels
+
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        raw = samples[y0 * row_bytes:(y0 + rows) * row_bytes]
+        strips.append(packbits_encode(raw) if compression == 32773 else raw)
+
+    head = (b"II*\x00" if bo == "<" else b"MM\x00*")
+    pos = 8
+    offs, cnts = [], []
+    for s in strips:
+        offs.append(pos)
+        cnts.append(len(s))
+        pos += len(s)
+    ifd_off = pos
+
+    def entry(tag, typ, vals, extra_off=None):
+        count = len(vals)
+        size = _TYPE_SIZE[typ] * count
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        if size <= 4:
+            raw = struct.pack(bo + fmt * count, *vals)
+            raw += b"\x00" * (4 - size)
+            return struct.pack(bo + "HHI", tag, typ, count) + raw, b""
+        blob = struct.pack(bo + fmt * count, *vals)
+        return (struct.pack(bo + "HHII", tag, typ, count, extra_off), blob)
+
+    # IFD layout: count + entries + next=0, then overflow value blobs
+    fields = [
+        (256, 4, [width]), (257, 4, [height]),
+        (258, 3, [8] * channels), (259, 3, [compression]),
+        (262, 3, [photometric]), (273, 4, offs),
+        (277, 3, [channels]), (278, 4, [rps]), (279, 4, cnts),
+        (284, 3, [1]),
+    ]
+    n = len(fields)
+    blob_off = ifd_off + 2 + 12 * n + 4
+    entries, blobs = b"", b""
+    for tag, typ, vals in fields:
+        e, blob = entry(tag, typ, vals, blob_off + len(blobs))
+        entries += e
+        blobs += blob
+    ifd = struct.pack(bo + "H", n) + entries + struct.pack(bo + "I", 0)
+    return (head + struct.pack(bo + "I", ifd_off)
+            + b"".join(strips) + ifd + blobs)

@@ -23,6 +23,33 @@ def edit_similarity(pred: Column, gt: Column) -> Column:
         1.0 - F.levenshtein(p, g) / max_len)
 
 
+def det_mean(col: Column, scale: int = 6) -> Column:
+    """Partition-order-independent rounded mean of a double column.
+
+    ``F.avg(double)`` sums partials in scheduling-dependent order, so when
+    the true mean sits within one ulp of a 10^-scale rounding boundary the
+    last digit — and any cross-engine value hash — can flip between runs
+    (round-5 verdict #1: the event_sessionization driver flake). The fix:
+    quantize each value to DECIMAL(28,12) (deterministic per row), sum
+    exactly (decimal addition is associative — any partial-aggregation
+    order yields the same digits), then do ONE double division and round.
+    The DuckDB oracle twin is round(sum(x::DECIMAL(28,12))::DOUBLE /
+    count(x), scale): both engines round decimal halves away from zero and
+    cast sub-2^53 decimals to double identically (verified empirically).
+    """
+    return F.round(
+        F.sum(col.cast("decimal(28,12)")).cast("double") / F.count(col),
+        scale)
+
+
+def det_sum(col: Column, scale: int = 2,
+            cast_type: str = "decimal(18,6)") -> Column:
+    """Partition-order-independent rounded sum (same rationale as
+    det_mean): exact decimal sum, round, cast back to double. Oracle twin:
+    round(sum(x::DECIMAL(18,6)), scale)::DOUBLE."""
+    return F.round(F.sum(col.cast(cast_type)), scale).cast("double")
+
+
 def align_pred_gt(gt: DataFrame, pred: DataFrame,
                   keys: list[str], label_col: str = "label",
                   value_col: str = "value",
@@ -48,9 +75,10 @@ def align_pred_gt(gt: DataFrame, pred: DataFrame,
 def kie_score(aligned: DataFrame, gt_value: str = "value",
               pred_value: str = "pred_value") -> DataFrame:
     """A1 — mean normalized edit similarity over all aligned fields."""
-    return aligned.agg(
-        F.round(F.avg(edit_similarity(F.col(pred_value), F.col(gt_value))), 6)
-         .alias("kie_score"))
+    return (aligned
+            .withColumn("_sim",
+                        edit_similarity(F.col(pred_value), F.col(gt_value)))
+            .agg(det_mean(F.col("_sim"), 6).alias("kie_score")))
 
 
 def vqa_best_of(gt_answers: DataFrame, keys: list[str],
@@ -62,14 +90,14 @@ def vqa_best_of(gt_answers: DataFrame, keys: list[str],
                .groupBy(*keys)
                .agg(F.max(edit_similarity(F.col(pred_col), F.col("_ans")))
                      .alias("best_sim")))
-    return per_doc.agg(F.round(F.avg("best_sim"), 6).alias("vqa_score"))
+    return per_doc.agg(det_mean(F.col("best_sim"), 6).alias("vqa_score"))
 
 
 def exact_match_accuracy(df: DataFrame, gt_col: str, pred_col: str) -> DataFrame:
     """A4 — classification exact-match accuracy."""
-    return df.agg(F.round(F.avg(
+    return df.agg(det_mean(
         (F.coalesce(F.col(gt_col), F.lit("")) ==
-         F.coalesce(F.col(pred_col), F.lit(""))).cast("double")), 6)
+         F.coalesce(F.col(pred_col), F.lit(""))).cast("double"), 6)
         .alias("accuracy"))
 
 

@@ -100,7 +100,13 @@ def pack_sequences(df: DataFrame, capacity: int,
                    seed: int = 0) -> DataFrame:
     """(id, length, grp, rank, bin_idx, bin_fill_after, oversize) — one
     row per input sample; join back on id for the payload. bin identity
-    is (grp, bin_idx), content-addressed and cluster-size-independent."""
+    is (grp, bin_idx), content-addressed and cluster-size-independent.
+
+    ``id_col`` values must be NON-NULL and UNIQUE (like hash_unit's
+    contract): a NULL id would hash every such row into one shared group
+    slot, and duplicate ids would share a single deterministic draw —
+    both silently corrupt the oracle-pinned bin assignment, so they fail
+    loudly here instead."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive: {capacity}")
     if strategy not in ("nextfit", "ffd"):
@@ -110,8 +116,21 @@ def pack_sequences(df: DataFrame, capacity: int,
         F.coalesce(F.col(len_col).cast("long"), F.lit(0)).alias("length"),
         F.floor(hash_unit(F.col(id_col), seed, "sha256")
                 * n_groups).cast("int").alias("grp"))
+    # null ids fail loudly at scan time (JVM-side, no extra action); dup
+    # ids fail inside the task below — equal ids always hash to the SAME
+    # group, so the per-group check is complete without a global shuffle
+    items = items.withColumn(
+        "id", F.when(F.col("id").isNull(),
+                     F.raise_error(F.lit(
+                         "pack_sequences: null sample id (ids must be "
+                         "non-null and unique)"))).otherwise(F.col("id")))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        dup = pdf["id"].duplicated()
+        if dup.any():
+            raise ValueError(
+                "pack_sequences: duplicate sample ids: "
+                + ", ".join(sorted(pdf.loc[dup, "id"].unique()[:5])))
         return pack_group(pdf, capacity, strategy)
 
     return items.groupBy("grp").applyInPandas(_pack, PACK_SCHEMA)
@@ -128,6 +147,11 @@ def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("n_items").alias("n_items"),
         F.sum("fill").alias("total_tokens"),
+        # deterministic despite the double round: the sum is over LONGs
+        # (integer addition is exact and associative at any partition
+        # order), and the single long/long division is one IEEE op — no
+        # scheduling-dependent double accumulation here (r5 verdict #1
+        # sweep: exempt, unlike round(sum(double)) sites)
         F.round(F.sum(F.least(F.col("fill"), F.lit(capacity)))
                 / (F.count(F.lit(1)) * capacity), 6).alias("fill_ratio"),
         F.sum("has_oversize").alias("n_oversize_bins"))

@@ -88,7 +88,16 @@ def session_stats(df: DataFrame, entity_col: str = "user_id",
                     f"max({ts_col}))") / F.lit(1_000_000))
             .cast("long").alias("duration_s")]
     if value_col is not None:
-        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+        # exact decimal sum, NOT round(sum(double), 6): double partials
+        # accumulate in scheduling-dependent order, and a fixture whose
+        # session sums sit one ulp from a 1e-6 boundary flips the 6th
+        # decimal between runs (round-5 driver flake). Quantizing each
+        # value to micro precision first makes the sum associative-exact
+        # and the digest stable at any parallelism; cast back to double so
+        # the output schema is unchanged. Oracle twin:
+        # sum(value::DECIMAL(18,6))::DOUBLE.
+        aggs.append(F.sum(F.col(value_col).cast("decimal(18,6)"))
+                    .cast("double").alias("sum_value"))
     return (s.groupBy(F.col(entity_col), F.col("session_idx"),
                       F.col("session_id"))
              .agg(*aggs))

@@ -393,11 +393,17 @@ def kmeans_fit(vectors: DataFrame, dim: int, n_lists: int = 8,
     for _ in range(iters):
         cdf = centroids_to_df(vectors.sparkSession, cents)
         assigned = ivf_assign_broadcast(v, cdf, "vec", probe=1)
+        # exact decimal sums, not F.avg(double): double partials accumulate
+        # in scheduling-dependent order, and a 1-ulp centroid wobble can
+        # flip a borderline assignment next iteration — the quantizer must
+        # be bit-stable at any parallelism (r5 verdict #1 sweep)
         means = (assigned.groupBy("ivf_list")
                  .agg(F.count(F.lit(1)).alias("n"),
-                      *[F.avg(F.element_at(F.col("vec"), i + 1)).alias(f"c{i}")
+                      *[F.sum(F.element_at(F.col("vec"), i + 1)
+                              .cast("decimal(28,12)")).alias(f"s{i}")
                         for i in range(dim)]))
-        new = {int(r["ivf_list"]): [float(r[f"c{i}"]) for i in range(dim)]
+        new = {int(r["ivf_list"]): [float(r[f"s{i}"]) / r["n"]
+                                    for i in range(dim)]
                for r in means.collect()}
         cents = [(cid, new.get(cid, old)) for cid, old in cents]
     return cents

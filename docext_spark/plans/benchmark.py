@@ -27,6 +27,13 @@ CLS_LABELS = ["invoice", "receipt", "passport", "report"]
 TASKS = ["CLASSIFICATION", "KIE", "OCR", "TABLE", "VQA"]
 
 
+def _davg(col):
+    """Unrounded partition-order-independent mean (see metrics.det_mean):
+    exact decimal sum + one double division, so the score digest is stable
+    at any parallelism — score_benchmark rounds once at the end."""
+    return F.sum(col.cast("decimal(28,12)")).cast("double") / F.count(col)
+
+
 def score_benchmark(fixtures: DataFrame) -> DataFrame:
     """Run + score every task; returns (task, score, n_docs)."""
     fixtures = fixtures.cache()
@@ -45,7 +52,7 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
                       F.col("g.value").alias("gt_value")))
     kie_scored = (kie_gt.join(kie, ["doc_id", "field"], "left")
                   .withColumn("pred", F.coalesce("pred", F.lit("")))
-                  .agg(F.avg(edit_similarity(F.col("pred"), F.col("gt_value")))
+                  .agg(_davg(edit_similarity(F.col("pred"), F.col("gt_value")))
                         .alias("score"),
                        F.countDistinct("doc_id").alias("n_docs"))
                   .select(F.lit("KIE").alias("task"), "score", "n_docs"))
@@ -54,7 +61,7 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
     # (ocr.py:10-28)
     ocr = (fixtures.filter(F.col("task") == "OCR")
            .withColumn("pred", turn_extract_udf(F.col("text"))["md"])
-           .agg(F.avg(edit_similarity(F.col("pred"), F.col("gt"))).alias("score"),
+           .agg(_davg(edit_similarity(F.col("pred"), F.col("gt"))).alias("score"),
                 F.countDistinct("doc_id").alias("n_docs"))
            .select(F.lit("OCR").alias("task"), "score", "n_docs"))
 
@@ -66,7 +73,7 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
            .withColumn("ans", F.explode("gt_answers"))
            .groupBy("doc_id", "pred")
            .agg(F.max(edit_similarity(F.col("pred"), F.col("ans"))).alias("best"))
-           .agg(F.avg("best").alias("score"),
+           .agg(_davg(F.col("best")).alias("score"),
                 F.count(F.lit(1)).alias("n_docs"))
            .select(F.lit("VQA").alias("task"), "score", "n_docs"))
 
@@ -74,14 +81,14 @@ def score_benchmark(fixtures: DataFrame) -> DataFrame:
     cls_udf = make_classify_udf(CLS_LABELS)
     cls = (fixtures.filter(F.col("task") == "CLASSIFICATION")
            .withColumn("pred", cls_udf(F.col("text")))
-           .agg(F.avg((F.col("pred") == F.col("gt")).cast("double")).alias("score"),
+           .agg(_davg((F.col("pred") == F.col("gt")).cast("double")).alias("score"),
                 F.count(F.lit(1)).alias("n_docs"))
            .select(F.lit("CLASSIFICATION").alias("task"), "score", "n_docs"))
 
     # TABLE: GRITS_Con between gt and pred HTML (tables.py:9-22)
     tbl = (fixtures.filter(F.col("task") == "TABLE")
            .withColumn("g", grits_con_udf(F.col("gt_html"), F.col("pred_html")))
-           .agg(F.avg("g").alias("score"), F.count(F.lit(1)).alias("n_docs"))
+           .agg(_davg(F.col("g")).alias("score"), F.count(F.lit(1)).alias("n_docs"))
            .select(F.lit("TABLE").alias("task"), "score", "n_docs"))
 
     return (kie_scored.unionByName(ocr).unionByName(vqa)
@@ -102,12 +109,16 @@ def accuracy_matrix(scores: DataFrame, model: str = "native",
     if tasks is None:
         tasks = [r["task"] for r in scores.select("task").distinct().collect()]
     else:
-        extra = (scores.filter(~F.col("task").isin(list(tasks)))
+        # NULL-safe: `~isin` evaluates to NULL for a NULL task, which the
+        # filter would drop — and the pivot would then silently drop those
+        # rows too, the exact failure this guard exists to catch
+        extra = (scores.filter(F.col("task").isNull()
+                               | ~F.col("task").isin(list(tasks)))
                  .select("task").distinct().collect())
         if extra:
             raise ValueError(
                 "accuracy_matrix: scored tasks not in pivot columns: "
-                + ", ".join(sorted(r["task"] for r in extra)))
+                + ", ".join(sorted(str(r["task"]) for r in extra)))
     pivoted = (scores.withColumn("model", F.lit(model))
                .groupBy("model").pivot("task", sorted(tasks))
                .agg(F.first("score")))
