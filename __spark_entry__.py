@@ -3137,6 +3137,187 @@ FROM bounded b JOIN stats s USING (media_id)
 """
 
 
+def _bmp_pixels(spark, sf_dir):
+    """REAL BMP pixel decode (core/bmppix.py — the round-5 'what's
+    missing' #1, first half): payloads are complete BI_RGB 24bpp BMPs
+    BUILT FROM NATIVE EXPRESSIONS (multimodal.bmp_rgb_fixture_hex — BMP
+    is uncompressed, so unlike PNG the WHOLE container is closed-form),
+    stored bottom-up in BGR with 4-byte row padding, then DECODED FOR
+    REAL in mapInPandas (row flip + channel swap + padding walk undone)
+    through the shared resample + featurize path. Widths 3..16 cycle all
+    four pad widths. The oracle replays the pixel generator
+    v(x,y,c) = (5x+11y+17c+7·id) mod 256 through the NN map analytically
+    — a wrong row order, channel order, or stride breaks the checksum.
+    Reference parity: the accepted-extension predicate includes bmp
+    (reference docext/core/utils.py:56-70; PIL decode at 13-15)."""
+    from docext_spark.operators.multimodal import (bmp_rgb_fixture_hex,
+                                                   extract_features,
+                                                   resample_images)
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    width = (F.lit(3) + F.col("doc_id") % 14).cast("int")         # 3..16
+    height = (F.lit(2) + (F.col("doc_id") * 7) % 13).cast("int")  # 2..14
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(bmp_rgb_fixture_hex(F.col("doc_id"), width, height))
+         .alias("payload"))
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_BMP_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         (3 + doc_id % 14)::INT AS w,
+         (2 + (doc_id * 7) % 13)::INT AS h
+  FROM documents WHERE doc_id < 120
+), bounded AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(w * (8.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(h * (8.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), out_vals AS (
+  -- flat index -> (x, y, c) -> NN source pixel -> generator value
+  SELECT media_id, i,
+         ((((((i // 3) % nw) * w) // nw) * 5
+           + (((i // (nw * 3)) * h) // nh) * 11
+           + (i % 3) * 17 + media_id * 7) % 256) AS v
+  FROM (SELECT media_id, w, h, nw, nh,
+               unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+        FROM bounded)
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         ((((i // 3) % w) * 5 + (i // (w * 3)) * 11
+           + (i % 3) * 17 + media_id * 7) % 256) AS v
+  FROM (SELECT media_id, w, h,
+               unnest(generate_series(0, w * h * 3 - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'bmp' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
+"""
+
+
+def _tiff_pixels(spark, sf_dir):
+    """REAL baseline TIFF pixel decode (core/tiffpix.py — the round-5
+    'what's missing' #1, second half): 100 fixtures sweep the whole
+    baseline matrix — byte order alternates II/MM by id, compression
+    alternates none/PackBits (id%3), rows_per_strip cycles 1..3 (every
+    file is multi-strip), ids divisible by 5 are grayscale, and gray ids
+    ≡5 (mod 10) are stored WhiteIsZero-INVERTED (the decoder normalizes
+    to black=0, so the oracle replays one rule with no branch). Payloads
+    are real IFD-walked strip files from the repo's own spec-faithful
+    encoder; the decode (tag walk, strip reassembly, PackBits RLE, byte
+    orders, photometric normalize) runs in mapInPandas through the shared
+    resample + featurize path. Oracle replays
+    v = (3x+7y+19c+5·id) mod 256 with ch∈{1,3} folded into the flat-index
+    math. Reference parity: accepted-extension predicate includes tiff
+    (reference docext/core/utils.py:56-70; PIL decode at 13-15)."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 3 + i % 12, 2 + (i * 5) % 11
+        ch = 1 if i % 5 == 0 else 3
+        vals = bytes((x * 3 + y * 7 + c * 19 + i * 5) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        white_is_zero = ch == 1 and i % 10 == 5
+        payload = tiffpix.encode_tiff(
+            w, h, ch,
+            bytes(255 - b for b in vals) if white_is_zero else vals,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=32773 if i % 3 == 0 else 1,
+            rows_per_strip=1 + i % 3,
+            photometric=0 if white_is_zero else None)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_TIFF_SQL = """
+WITH dims AS (
+  SELECT i AS media_id, (3 + i % 12)::INT AS w, (2 + (i * 5) % 11)::INT AS h,
+         CASE WHEN i % 5 = 0 THEN 1 ELSE 3 END AS ch
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h, ch,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(w * (8.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(h * (8.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), out_vals AS (
+  -- flat index over nw*nh*ch -> (x, y, c) -> NN source -> rule value
+  -- (for ch=1 the c term is identically 0, so one expression serves both)
+  SELECT media_id, i,
+         ((((((i // ch) % nw) * w) // nw) * 3
+           + (((i // (nw * ch)) * h) // nh) * 7
+           + (i % ch) * 19 + media_id * 5) % 256) AS v
+  FROM (SELECT media_id, w, h, ch, nw, nh,
+               unnest(generate_series(0, nw * nh * ch - 1)) AS i
+        FROM bounded)
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         ((((i // ch) % w) * 3 + (i // (w * ch)) * 7
+           + (i % ch) * 19 + media_id * 5) % 256) AS v
+  FROM (SELECT media_id, w, h, ch,
+               unnest(generate_series(0, w * h * ch - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'tiff' AS format, b.w AS width, b.h AS height,
+       b.ch AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
+"""
+
+
 def _audio_waveform_features(spark, sf_dir):
     """REAL WAV/PCM waveform decode (the audio twin of
     image_resample_pixels): payloads are complete RIFF/WAVE 16-bit mono
@@ -3512,6 +3693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_color_pixels": _jpeg_color_pixels,
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
+        "bmp_pixels": _bmp_pixels,
+        "tiff_pixels": _tiff_pixels,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -3625,6 +3808,8 @@ def oracle_sql() -> dict[str, str]:
         # progressive re-codes the same coefficients losslessly, so the
         # baseline-gray SQL twin applies verbatim — sharing it IS the claim
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,
+        "bmp_pixels": _BMP_SQL,
+        "tiff_pixels": _TIFF_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

@@ -82,7 +82,9 @@ def packbits_encode(data: bytes) -> bytes:
                 j += 1
             if j - i >= 3:
                 break
-            i = j
+            # clamp: a 2-byte repeat straddling the 128 cap would push the
+            # literal to 129 bytes, whose header byte 128 is the no-op code
+            i = min(j, lit + 128)
         out += bytes((i - lit - 1,)) + data[lit:i]
     return bytes(out)
 

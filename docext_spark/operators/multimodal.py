@@ -5,14 +5,16 @@ projection), and so is the decode: container sniff + pixel dims are parsed
 from the REAL payload bytes (core/imagehdr.py), and image payloads are
 decoded to REAL PIXELS — PNG via core/pngpix.py (stdlib zlib inflate +
 scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
-width growth + palette mapping), baseline grayscale JPEG via
-core/jpegpix.py (Huffman entropy decode + dequant + IDCT, grayscale and
-YCbCr 4:4:4) — resampled nearest-neighbor, and featurized from the decoded samples; WAV/PCM
-payloads are decoded to REAL WAVEFORM SAMPLES (core/wavpcm.py — RIFF walk
-+ struct-unpacked PCM). Only progressive/subsampled JPEG and compressed
-audio/video codecs remain stubbed — genuinely library territory; those
-payloads fall back to the byte-histogram feature behind the same
-mapInPandas seam.
+width growth + palette mapping), JPEG via core/jpegpix.py (Huffman
+entropy decode + dequant + IDCT: baseline AND progressive, grayscale,
+4:4:4 and subsampled YCbCr), BMP via core/bmppix.py (BI_RGB 8/24/32bpp),
+baseline TIFF via core/tiffpix.py (IFD walk, strips, none/PackBits, both
+byte orders) — resampled nearest-neighbor, and featurized from the
+decoded samples; WAV/PCM payloads are decoded to REAL WAVEFORM SAMPLES
+(core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only WebP (VP8
+entropy decode) and compressed audio/video codecs remain stubbed —
+genuinely library territory; those payloads fall back to the
+byte-histogram feature behind the same mapInPandas seam.
 
 Reference analog: page images are opaque payloads resized/encoded before
 send (core/utils.py:13-15, 49-53; ds.py:135-136, 206-210), decoded with
@@ -27,15 +29,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from docext_spark.core import gifpix, imagehdr, jpegpix, pngpix
+from docext_spark.core import (bmppix, gifpix, imagehdr, jpegpix, pngpix,
+                               tiffpix)
 
 
 def _decode_image_pixels(payload):
     """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
-    inflate + unfilter), GIF (full LZW + palette), or baseline JPEG
-    (Huffman + dequant + IDCT; grayscale or YCbCr 4:4:4) — else None."""
+    inflate + unfilter), GIF (full LZW + palette), baseline/progressive
+    JPEG (Huffman + dequant + IDCT; gray, 4:4:4 and subsampled YCbCr),
+    BMP (BI_RGB 8/24/32bpp, bottom-up + padding undone), or baseline TIFF
+    (IFD walk, strips, none/PackBits, both byte orders) — else None
+    (webp and compressed a/v codecs stay honest library-territory Nones)."""
     return (pngpix.decode_png(payload) or gifpix.decode_gif(payload)
-            or jpegpix.decode_jpeg(payload))
+            or jpegpix.decode_jpeg(payload) or bmppix.decode_bmp(payload)
+            or tiffpix.decode_tiff(payload))
 
 
 MEDIA_SCHEMA = T.StructType([
@@ -57,8 +64,8 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.IntegerType(), False),
     T.StructField("feature", T.ArrayType(T.FloatType()), False),
     # 'pixels' when the feature was computed from fully decoded samples
-    # (PNG / GIF / baseline-JPEG, via _decode_image_pixels), 'bytes' for
-    # the opaque-payload fallback
+    # (PNG / GIF / JPEG / BMP / TIFF, via _decode_image_pixels), 'bytes'
+    # for the opaque-payload fallback
     T.StructField("feature_src", T.StringType(), False),
 ])
 
@@ -274,6 +281,41 @@ def png_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
         _u32be(n + 11), F.lit("49444154"), zlib_hex,       # IDAT
         F.lit("00000000"),                                # idat crc0
         F.lit("00000000" "49454E44" "00000000"))          # IEND
+
+
+def bmp_rgb_fixture_hex(seed: Column, width: Column, height: Column) -> Column:
+    """Hex of a COMPLETE BI_RGB 24bpp BMP built from NATIVE expressions —
+    the uncompressed sibling of png_rgb_fixture_hex (BMP needs no
+    compressor, so the whole container is closed-form): pixel rule
+    v(x,y,c) = (5x + 11y + 17c + 7·seed) mod 256 over top-down RGB, which
+    the FILE stores bottom-up, in BGR order, with rows padded to 4 bytes —
+    so the decoder's row flip, channel swap, and padding walk are
+    genuinely exercised, never a straight memcpy. The SQL oracle replays
+    the rule analytically (reference accepts .bmp at core/utils.py:56-70)."""
+    def v(x, y, c):
+        return (x * 5 + y * 11 + F.lit(c * 17) + seed * 7) % 256
+
+    pad = (4 - (width * 3) % 4) % 4
+    zeros = F.array(F.lit(0), F.lit(0), F.lit(0))
+
+    def file_row(j):
+        y = height - 1 - j                 # bottom-up row storage
+        px = F.flatten(F.transform(
+            F.sequence(F.lit(0), width - 1),
+            lambda x: F.array(v(x, y, 2), v(x, y, 1), v(x, y, 0))))
+        return F.concat(px, F.slice(zeros, F.lit(1), pad))
+
+    data = F.flatten(F.transform(F.sequence(F.lit(0), height - 1), file_row))
+    pix_len = (width * 3 + pad) * height
+    data_hex = F.array_join(F.transform(data, _bhex), "")
+    return F.concat(
+        F.lit("424D"), _u32le(pix_len + 54), F.lit("00000000"),
+        F.lit("36000000"),                 # pixel data offset = 14+40
+        F.lit("28000000"), _u32le(width), _u32le(height),
+        F.lit("0100" "1800" "00000000"),   # 1 plane, 24bpp, BI_RGB
+        _u32le(pix_len),
+        F.lit("130B0000" "130B0000" "00000000" "00000000"),
+        data_hex)
 
 
 AUDIO_SCHEMA = T.StructType([
