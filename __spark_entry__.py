@@ -2242,6 +2242,100 @@ def _grits_similarity(spark, sf_dir):
                      .alias("grits_loc"))
 
 
+def _grits_closed_form(spark, sf_dir):
+    """GRITS_Con hash-checked oracle pair (VERDICT r5 #6 — the last
+    substantial rows-only surface gains a DuckDB twin): five planted case
+    families where the factored 2D-MSS reduces to a closed form the SQL
+    replays with the engine's exact IEEE expression trees —
+      case 0  identical 2×2 grids                      → f = 1
+      case 1  char-disjoint cells (every reward 0)      → f = 0
+      case 2  per-cell distinct-alphabet runs, pred =   → f = Σ 2·min(L,n)
+              length-L prefixes: provably diagonal          /(n+min(L,n))/4
+              alignment, real DP + difflib rewards          (p = r)
+      case 3  pred drops the second row                 → p=1, r=½, f=⅔
+              (precision/recall asymmetry)
+      case 4  single-row swapped chars: the 1D DP       → f = 1 if u=v
+              must refuse the crossing match                 else ½
+    The full DP on arbitrary tables stays pytest-pinned against the
+    published semantics (test_core_grits); this pair puts the kernel
+    under the driver's value-hash gate. Reference: metrics/grits.py
+    13-36 fscore, 86-124 1D DP, 167-221 factored_2dmss, 510-525
+    grits_from_html (arXiv:2203.12555)."""
+    from docext_spark.operators.extract import grits_con_udf
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 150)
+    size, pk = F.col("p_size"), F.col("p_partkey")
+    case = (pk % 5).cast("int")
+    L = (F.lit(1) + size % 7).cast("int")
+
+    def run(ch: str, n):
+        return F.substring(F.lit(ch * 10), F.lit(1), n)
+
+    def html(rows):
+        cells = [F.concat(F.lit("<tr>"),
+                          *[F.concat(F.lit("<td>"), c, F.lit("</td>"))
+                            for c in r], F.lit("</tr>")) for r in rows]
+        return F.concat(F.lit("<table>"), *cells, F.lit("</table>"))
+
+    n = [(F.lit(1) + (size + F.lit(j + 2 * i)) % 9).cast("int")
+         for i in range(2) for j in range(2)]
+    letters = "abcd"
+    gt_runs = [run(letters[k], n[k]) for k in range(4)]
+    pred_runs = [run(letters[k], F.least(L, n[k])) for k in range(4)]
+    u = F.substring(F.lit("pq"), (F.lit(1) + size % 2).cast("int"), F.lit(1))
+    v = F.substring(F.lit("pq"), (F.lit(1) + pk % 2).cast("int"), F.lit(1))
+
+    ident = html([[F.col("p_name"), F.col("p_brand")],
+                  [F.col("p_type"), F.col("p_name")]])
+    gt = (F.when(case == 0, ident)
+           .when(case == 1, html([[run("x", (F.lit(1) + size % 4).cast("int"))] * 2] * 2))
+           .when(case.isin(2, 3), html([gt_runs[:2], gt_runs[2:]]))
+           .otherwise(html([[u, v]])))
+    pred = (F.when(case == 0, ident)
+             .when(case == 1, html([[run("7", (F.lit(1) + size % 5).cast("int"))] * 2] * 2))
+             .when(case == 2, html([pred_runs[:2], pred_runs[2:]]))
+             .when(case == 3, html([gt_runs[:2]]))
+             .otherwise(html([[v, u]])))
+    return p.select(pk.alias("partkey"), case.alias("case_id"),
+                    F.round(grits_con_udf(gt, pred), 6).alias("grits_con"))
+
+
+_GRITS_CLOSED_SQL = """
+WITH c AS (
+  SELECT p_partkey AS partkey, (p_partkey % 5)::INT AS case_id,
+         p_size AS size, 1 + p_size % 7 AS L
+  FROM part WHERE p_partkey <= 150
+), case2 AS (
+  -- match accumulates in the engine's loop order (cell 00, 01, 10, 11),
+  -- each reward with the same 2.0*min/(n+min) double tree as difflib's
+  -- 2*matched/(len_a+len_b)
+  SELECT partkey,
+         ((  (2.0 * least(L, 1 + (size + 0) % 9))
+               / ((1 + (size + 0) % 9) + least(L, 1 + (size + 0) % 9))
+           + (2.0 * least(L, 1 + (size + 1) % 9))
+               / ((1 + (size + 1) % 9) + least(L, 1 + (size + 1) % 9)))
+           + (2.0 * least(L, 1 + (size + 2) % 9))
+               / ((1 + (size + 2) % 9) + least(L, 1 + (size + 2) % 9)))
+           + (2.0 * least(L, 1 + (size + 3) % 9))
+               / ((1 + (size + 3) % 9) + least(L, 1 + (size + 3) % 9)) AS m
+  FROM c
+)
+SELECT partkey, case_id,
+       round(CASE case_id
+         WHEN 0 THEN 1.0
+         WHEN 1 THEN 0.0
+         -- fscore(m, 4, 4): 2*p*r/(p+r) with p = r = m/4, the engine's tree
+         WHEN 2 THEN (2 * (m / 4) * (m / 4)) / ((m / 4) + (m / 4))
+         -- fscore(2, 4, 2): p = 2/2, r = 2/4
+         WHEN 3 THEN (2 * (2.0 / 2) * (2.0 / 4)) / ((2.0 / 2) + (2.0 / 4))
+         -- u = v iff size and partkey have equal parity; else fscore(1,2,2)
+         ELSE CASE WHEN size % 2 = partkey % 2 THEN 1.0
+                   ELSE (2 * (1.0 / 2) * (1.0 / 2)) / ((1.0 / 2) + (1.0 / 2))
+              END
+       END, 6) AS grits_con
+FROM c LEFT JOIN case2 USING (partkey)
+"""
+
+
 def _simhash_signatures(spark, sf_dir):
     """64-bit SimHash (Charikar) per document. Oracle-paired: the md5
     token hash + bit-vote construction replays exactly in DuckDB (md5 hex
@@ -3695,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
         "bmp_pixels": _bmp_pixels,
         "tiff_pixels": _tiff_pixels,
+        "grits_closed_form": _grits_closed_form,
         "audio_waveform_features": _audio_waveform_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -3810,6 +3905,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,
         "bmp_pixels": _BMP_SQL,
         "tiff_pixels": _TIFF_SQL,
+        "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

@@ -175,13 +175,22 @@ MAX_GRID_COLS = 60
 MAX_GRID_AREA = 2400
 
 
-def _bound(grid: list[list[str]]) -> list[list[str]]:
-    rows = len(grid)
-    cols = len(grid[0]) if grid else 0
+def _clip_dims(rows: int, cols: int) -> tuple[int, int]:
+    """(keep_rows, keep_cols) under the executor-protection bound — the ONE
+    home of the clipping rule, shared by _bound (which applies it) and
+    grits_grid_clipped (which flags it) so the lineage signal can never
+    desynchronize from the clipping actually applied."""
     keep_cols = min(cols, MAX_GRID_COLS)
     keep_rows = min(rows, MAX_GRID_ROWS)
     if keep_cols > 0:
         keep_rows = min(keep_rows, max(1, MAX_GRID_AREA // keep_cols))
+    return keep_rows, keep_cols
+
+
+def _bound(grid: list[list[str]]) -> list[list[str]]:
+    rows = len(grid)
+    cols = len(grid[0]) if grid else 0
+    keep_rows, keep_cols = _clip_dims(rows, cols)
     if keep_rows == rows and keep_cols == cols:
         return grid
     return [row[:keep_cols] for row in grid[:keep_rows]]
@@ -206,10 +215,7 @@ def grits_grid_clipped(html: str) -> bool:
         return False
     rows = max(max(c["row_nums"]) for c in cells) + 1
     cols = max(max(c["column_nums"]) for c in cells) + 1
-    keep_cols = min(cols, MAX_GRID_COLS)
-    keep_rows = min(rows, MAX_GRID_ROWS)
-    if keep_cols > 0:
-        keep_rows = min(keep_rows, max(1, MAX_GRID_AREA // keep_cols))
+    keep_rows, keep_cols = _clip_dims(rows, cols)
     return keep_rows != rows or keep_cols != cols
 
 
