@@ -38,39 +38,91 @@ HEADLINE = [
     # MAX_GRID_AREA=2400 per table, so one adversarial grid cannot stall
     # a task (fixture tables are <=6x6)
     "grits_similarity",
+    # the training-data surface (VERDICT r5 #3): the plans a training
+    # pipeline actually runs per-batch — sessionize (one shuffle on
+    # entity), budget-boundary chunking (window exprs, no recursion), and
+    # capacity-bin packing (hash groups × per-group applyInPandas)
+    "event_sessionization",
+    "training_samples",
+    "pack_sequences",
+    # multimodal decode representative: 100 real TIFF strip files through
+    # mapInPandas (IFD walk + PackBits + photometric normalize)
+    "tiff_pixels",
 ]
 
-N_RUNS = 3  # median-of-N per query: kills the ±30% cold-run swing that made
-            # round-over-round comparisons of sub-second queries meaningless
+N_RUNS = 3  # per query: median kills the ±30% cold-run swing; min is also
+            # recorded (VERDICT r5 #4) so one transient spike cannot poison
+            # a number that the median alone would keep inflated
 
-LOAD_CONTENDED = 0.6  # 1-min loadavg above this at start = polluted numbers
-                      # (r4's committed bench read 35% slow purely from a
-                      # concurrent job; the judge had to overrule it)
+# Contention gate (VERDICT r5 #4): the 1-min loadavg alone misclassified in
+# BOTH directions on this hypervisor (r5's committed fastest-ever run was
+# flagged "contended" at load1 1.2 while a run 20 min after a pytest read
+# "idle" at load1 0.16 yet ran 20-60% slow with load5 still 1.7). Gate on
+# the 5-min loadavg AND /proc/pressure/cpu avg60 (the kernel's actual
+# CPU-stall share over the last minute) and record all three in the JSON.
+LOAD_CONTENDED = 0.6   # 5-min loadavg threshold (name kept: scalebench
+                       # imports it as the single source of truth)
+PSI_CONTENDED = 5.0    # % of wall time with runnable-but-stalled tasks
+
+
+def read_load() -> tuple[float, float]:
+    """(1-min, 5-min) loadavg; (-1, -1) when unreadable."""
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+            return float(parts[0]), float(parts[1])
+    except (OSError, ValueError, IndexError):
+        return -1.0, -1.0
 
 
 def read_load1() -> float:
+    return read_load()[0]
+
+
+def read_psi_cpu() -> float:
+    """some avg60 from /proc/pressure/cpu (% of time at least one task
+    stalled on CPU); -1 when PSI is unavailable (non-Linux / old kernel)."""
     try:
-        with open("/proc/loadavg") as f:
-            return float(f.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        return -1.0
+        with open("/proc/pressure/cpu") as f:
+            for line in f:
+                if line.startswith("some"):
+                    for tok in line.split():
+                        if tok.startswith("avg60="):
+                            return float(tok.split("=", 1)[1])
+    except (OSError, ValueError):
+        pass
+    return -1.0
 
 
-def load_gate() -> tuple[float, str]:
-    """Sample start-of-run load; if contended, wait once (30s) for the box
-    to drain, then proceed with a loud flag rather than refuse — the
-    driver runs this unattended and must still get a JSON line."""
-    load = read_load1()
-    if load > LOAD_CONTENDED:
-        print(f"# WARNING: loadavg {load:.2f} > {LOAD_CONTENDED} — waiting "
-              "30s for the box to drain", file=sys.stderr)
-        time.sleep(30)
-        load = read_load1()
-    flag = "contended" if load > LOAD_CONTENDED else "idle"
-    if flag == "contended":
-        print(f"# WARNING: still contended (loadavg {load:.2f}); timings "
-              "below are NOT comparable across rounds", file=sys.stderr)
-    return load, flag
+def is_contended() -> tuple[bool, float, float, float]:
+    """(contended, load1, load5, psi_avg60). Contended when EITHER the
+    5-min loadavg or the CPU-pressure avg60 crosses its threshold — load5
+    catches a box still draining a recent heavy job (cache/steal effects
+    outlive the 1-min window), PSI catches live oversubscription that
+    loadavg under-reports on 32 vCPUs."""
+    load1, load5 = read_load()
+    psi = read_psi_cpu()
+    return (load5 > LOAD_CONTENDED or psi > PSI_CONTENDED,
+            load1, load5, psi)
+
+
+def load_gate() -> tuple[float, float, float, str]:
+    """Sample start-of-run pressure; if contended, wait once (60s — the
+    5-min loadavg decays slowly) for the box to drain, then proceed with a
+    loud flag rather than refuse — the driver runs this unattended and
+    must still get a JSON line."""
+    contended, load1, load5, psi = is_contended()
+    if contended:
+        print(f"# WARNING: contended (load5 {load5:.2f}, psi60 {psi:.1f}) "
+              "— waiting 60s for the box to drain", file=sys.stderr)
+        time.sleep(60)
+        contended, load1, load5, psi = is_contended()
+    flag = "contended" if contended else "idle"
+    if contended:
+        print(f"# WARNING: still contended (load5 {load5:.2f}, psi60 "
+              f"{psi:.1f}); timings below are NOT comparable across "
+              "rounds", file=sys.stderr)
+    return load1, load5, psi, flag
 
 
 def main():
@@ -85,7 +137,7 @@ def main():
     except ValueError:
         sf = 0.0  # non-sf-named dir: still run, report sf as unknown
 
-    load_start, load_flag = load_gate()
+    load_start, load5_start, psi_start, load_flag = load_gate()
 
     import __spark_entry__ as entry
     from docext_spark.session import get_spark
@@ -101,6 +153,7 @@ def main():
         .write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         for _ in range(N_RUNS):
@@ -112,6 +165,7 @@ def main():
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.time() - t0)
         timings[name] = round(sorted(runs)[N_RUNS // 2], 3)
+        timings_min[name] = round(min(runs), 3)
         print(f"# {name}: median {timings[name]}s of "
               f"{[round(r, 3) for r in runs]}", file=sys.stderr)
 
@@ -133,6 +187,7 @@ def main():
         extract_runs.append(time.time() - t0)
     extract_sec = sorted(extract_runs)[N_RUNS // 2]
     timings["flagship_turn_extraction"] = round(extract_sec, 3)
+    timings_min["flagship_turn_extraction"] = round(min(extract_runs), 3)
     turns_per_sec = round(n_turns / extract_sec, 1)
 
     # streaming flagship: the same extraction pUDF through Structured
@@ -154,6 +209,7 @@ def main():
         stream_runs.append(time.time() - t0)
     stream_sec = sorted(stream_runs)[N_RUNS // 2]
     timings["flagship_stream_extraction"] = round(stream_sec, 3)
+    timings_min["flagship_stream_extraction"] = round(min(stream_runs), 3)
     stream_turns_per_sec = round(n_turns / stream_sec, 1)
     print(f"# flagship_stream_extraction: median {stream_sec:.3f}s "
           f"({stream_turns_per_sec} turns/s streaming vs "
@@ -166,6 +222,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "total_min": round(sum(timings_min.values()), 3),
         "sf": sf,
         "turns_per_sec": turns_per_sec,
         "stream_turns_per_sec": stream_turns_per_sec,
@@ -173,6 +231,8 @@ def main():
         "cpus": int(cpus),
         "runs_per_query": N_RUNS,
         "loadavg_start": load_start,
+        "load5_start": load5_start,
+        "psi_cpu_avg60_start": psi_start,
         "load_flag": load_flag,
     }))
     spark.stop()

@@ -106,9 +106,9 @@ def measure(cores: int, replicas: int, runs: int,
             "median_turns_per_sec": round(tps, 1)}
 
 
-# shared with bench.py (single source for the contention threshold — a
+# shared with bench.py (single source for the contention thresholds — a
 # future tuning must not leave one gate at the old value)
-from bench import LOAD_CONTENDED, read_load1  # noqa: E402
+from bench import LOAD_CONTENDED, PSI_CONTENDED, is_contended  # noqa: E402
 
 
 def main():
@@ -128,17 +128,21 @@ def main():
 
     # a scaling ratio from a contended box is WORSE than no number: r4 saw
     # a nonsensical super-linear 1.218 under contention. Refuse outright —
-    # unlike bench.py this is run by hand, not by the driver.
-    load = read_load1()
-    if load > LOAD_CONTENDED:
-        print(f"REFUSING: loadavg {load:.2f} > {LOAD_CONTENDED} — a "
-              "contended box produces meaningless scaling ratios. Retry "
-              "when idle.", file=sys.stderr)
+    # unlike bench.py this is run by hand, not by the driver. Gate on the
+    # 5-min loadavg + CPU PSI (VERDICT r5 #4: the 1-min loadavg
+    # misclassified in both directions on this hypervisor).
+    contended, load, load5, psi = is_contended()
+    if contended:
+        print(f"REFUSING: load5 {load5:.2f} (limit {LOAD_CONTENDED}) / "
+              f"psi60 {psi:.1f} (limit {PSI_CONTENDED}) — a contended box "
+              "produces meaningless scaling ratios. Retry when idle.",
+              file=sys.stderr)
         sys.exit(3)
 
     if args.mode == "skewed":
         prepare_input(args.convs, SKEWED_INPUT_DIR, hot_factor=200)
-        block = {"hot_factor": 200, "loadavg_start": load}
+        block = {"hot_factor": 200, "loadavg_start": load,
+                 "load5_start": load5, "psi_cpu_avg60_start": psi}
         for label, seg in (("salted", True), ("unsalted", False)):
             lo = measure(args.n, args.replicas, args.runs,
                          SKEWED_INPUT_DIR, segmented=seg)
@@ -166,7 +170,8 @@ def main():
     eff = hi["median_turns_per_sec"] / (4 * lo["median_turns_per_sec"])
     result = {"N": lo, "fourN": hi, "scaling_efficiency": round(eff, 3),
               "target": 0.8, "pass": eff >= 0.8,
-              "loadavg_start": load}
+              "loadavg_start": load, "load5_start": load5,
+              "psi_cpu_avg60_start": psi}
     # keep a previously measured skewed block when re-running uniform
     if args.out and args.out != "/dev/null" and os.path.exists(args.out):
         with open(args.out) as f:

@@ -3,23 +3,47 @@ claim at a scale where fixed overheads amortize (1M turns, 200x hot
 conversation), unlike bench.py's conservative cold single-shots.
 
 Usage:
-  python tools/stressbench.py [n_convs]   (default 100000 ≈ 1M turns)
-  python tools/stressbench.py megaconv [n_turns] [--unchunked]
+  python tools/stressbench.py [n_convs] [--record]
+      (default 100000 ≈ 1M turns)
+  python tools/stressbench.py megaconv [n_turns] [--unchunked] [--record]
       ONE conversation of n_turns (default 12M) through the chunked
       reassembly path — the GB-scale-conversation evidence: no task ever
       holds more than one chunk (segment_size × segments_per_chunk turns).
       --unchunked additionally times reassemble_conversations(segmented)
       on the same input, which funnels ALL turns into one reducer row —
       the comparison point the chunked path exists to avoid.
-Prints one JSON line.
+Prints one JSON line. --record merges the result (with the start-of-run
+load/PSI fields, VERDICT r5 #7) into BENCH/scaling.json under the
+"steady_state" / "megaconv" key so rounds can diff the numbers instead of
+re-reading prose.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from bench import is_contended  # noqa: E402  (single contention gate)
+
+
+def _pressure_fields() -> dict:
+    _, load1, load5, psi = is_contended()
+    return {"loadavg_start": load1, "load5_start": load5,
+            "psi_cpu_avg60_start": psi}
+
+
+def _record(key: str, payload: dict,
+            path: str = "/root/repo/BENCH/scaling.json") -> None:
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing[key] = payload
+    with open(path, "w") as f:
+        json.dump(existing, f, indent=2)
 
 
 def _max_stage_peak_memory(spark) -> int | None:
@@ -47,6 +71,7 @@ def megaconv():
     if args:
         n_turns = int(args[0])
     run_unchunked = "--unchunked" in sys.argv
+    pressure = _pressure_fields()        # sampled BEFORE the run starts
     from pyspark.sql import functions as F
 
     from docext_spark.operators.reassemble import (
@@ -73,7 +98,7 @@ def megaconv():
     chunked_sec = time.time() - t0
 
     out = {
-        "mode": "megaconv", "n_turns": n_turns,
+        "mode": "megaconv", "n_turns": n_turns, **pressure,
         "chunked_sec": round(chunked_sec, 1),
         "chunked_turns_per_sec": round(n_turns / chunked_sec, 1),
         "n_parts": stats["n_parts"],
@@ -91,11 +116,15 @@ def megaconv():
          .write.mode("overwrite").format("noop").save())
         out["unchunked_sec"] = round(time.time() - t0, 1)
     print(json.dumps(out))
+    if "--record" in sys.argv:
+        _record("megaconv", out)
     spark.stop()
 
 
 def main():
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_convs = int(args[0]) if args else 100000
+    pressure = _pressure_fields()        # sampled BEFORE the run starts
     from docext_spark.operators.reassemble import reassemble_conversations
     from docext_spark.plans.pipeline import run_extraction
     from docext_spark.session import get_spark
@@ -117,12 +146,15 @@ def main():
         .write.mode("overwrite").format("noop").save()
     e2e_sec = time.time() - t0
 
-    print(json.dumps({
-        "n_turns": n, "hot_factor": 200,
+    out = {
+        "n_turns": n, "hot_factor": 200, **pressure,
         "extract_turns_per_sec": round(n / extract_sec, 1),
         "extract_sec": round(extract_sec, 1),
         "e2e_turns_per_sec": round(n / e2e_sec, 1),
-        "e2e_sec": round(e2e_sec, 1)}))
+        "e2e_sec": round(e2e_sec, 1)}
+    print(json.dumps(out))
+    if "--record" in sys.argv:
+        _record("steady_state", out)
     spark.stop()
 
 
