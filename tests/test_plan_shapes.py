@@ -100,6 +100,45 @@ def test_ivf_topk_broadcasts_centroids_and_probed_queries(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_training_samples_single_entity_shuffle(spark):
+    """The training-sample plan's scale claim (BENCH/PLANS.md): sessionize
+    (lag + cumsum) + budget chunking (one floor-division window) + the
+    sample aggregate must all run off ONE hashpartitioning(user_id)
+    exchange — the groupBy(user_id, session_idx, …) REUSES the window
+    partitioning (its keys are a superset), so no second shuffle — and
+    the whole plan stays native (zero Python nodes)."""
+    import __spark_entry__ as entry
+    plan = _plan(entry.queries()["training_samples"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_event_sessionization_single_shuffle_decimal_sums(spark):
+    """Sessionization is the canonical one-shuffle lag/cumsum shape, with
+    map-side partial aggregation and EXACT decimal(18,6) session sums —
+    the r5 driver-hash flake class (round(sum(double)) under
+    scheduling-dependent summation order) must stay structurally gone."""
+    import __spark_entry__ as entry
+    plan = _plan(entry.queries()["event_sessionization"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan                  # map-side combine
+    assert "decimal(18,6)" in plan                # exact, order-independent
+    assert "round(sum(" not in plan
+
+
+def test_pack_sequences_one_group_per_task(spark):
+    """Packing holds ONE content-addressed hash group per task: a single
+    exchange on grp feeding per-group applyInPandas — the corpus never
+    concentrates on one worker and no extra shuffle sneaks in."""
+    import __spark_entry__ as entry
+    plan = _plan(entry.queries()["pack_sequences"](spark, SF))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(grp" in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_aqe_splits_planted_skew_join(spark):
     """Runtime skew posture: a 95%-hot-key fact×dim SortMergeJoin must come
     out of AQE with the hot partition SPLIT (SortMergeJoin(skew=true)).
