@@ -115,6 +115,38 @@ def test_multi_arrow_chunk_group_stays_ordered(spark, tmp_path):
     assert got == {"1#1/0": (4, 4, "w0\nw1\nw2\nw3")}
 
 
+def test_cross_batch_disorder_is_flagged_not_silent(spark, tmp_path):
+    """VERDICT r5 #8: the docstring's ordering caveat is enforced. An event
+    arriving in a LATER micro-batch with an EARLIER timestamp than the
+    entity's last folded event must (a) fold deterministically in arrival
+    order — joining the open chunk, never retro-opening a closed sample —
+    and (b) be counted in the emitted sample's n_disorder lineage column,
+    while well-ordered samples stay at 0."""
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    # batch 1: two ordered events, chunk 0 stays OPEN (6 toks, budget 4
+    # boundary only takes effect when the NEXT event starts)
+    _df(spark, [(1, 0, "a b c"), (1, 1, "d e f")]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    first = run_training_stream(spark, in_dir, SCHEMA, ck, out,
+                                budget_tokens=4).collect()
+    assert first == []                      # nothing closed yet
+    # batch 2: minute-0.5 event arrives AFTER minute-1 was folded
+    # (cross-batch disorder) → folds into the new chunk 1; the minute-40
+    # gap event then closes that chunk, surfacing the flag
+    _df(spark, [(1, 0.5, "x y"), (1, 40, "w")]) \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    rows = run_training_stream(spark, in_dir, SCHEMA, ck, out,
+                               budget_tokens=4).collect()
+    got = {r["sample_id"]: (r["n_events"], r["n_tokens"], r["sample_text"],
+                            r["n_disorder"]) for r in rows}
+    assert got == {
+        "1#1/0": (2, 6, "a b c\nd e f", 0),   # ordered: flag stays 0
+        "1#1/1": (1, 2, "x y", 1),            # the disorder arrival
+    }
+
+
 def test_cold_start_empty_input_returns_empty(spark, tmp_path):
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
