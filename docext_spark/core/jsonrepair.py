@@ -11,7 +11,10 @@ We replicate exactly that subset (documented per SURVEY.md §7.4 risk #4):
   * unquoted object keys → quoted
   * trailing commas before } / ] removed
   * Python literals True / False / None → true / false / null
-  * bare-word values quoted ({"a": yes} → {"a": "yes"})
+  * bare-word values quoted ({"a": yes} → {"a": "yes"}) — EXCEPT the
+    json.loads words NaN / Infinity (and -Infinity, which the bare-word
+    regex never matches), which pass through as non-finite floats
+    exactly as json_repair returns them
   * concatenated top-level values ({"a":1}{"b":2} → [{"a":1},{"b":2}],
     the list shape json_repair returns, ready for merge_list_of_dicts)
   * list-of-dicts → merged dict, dup keys append into a list

@@ -268,9 +268,12 @@ def test_repair_json_recovers_documented_corruptions(d1, d2, unquote_keys,
             s = repr(d)
         else:
             s = _json.dumps(d)
-        if unquote_keys and not pyconsts:
+        if unquote_keys:
+            # combined with pyconsts this exercises unquoted keys AND
+            # single-quoted string values in one payload (VERDICT r5 #9)
             for k in d:
-                s = s.replace(f'"{k}":', f'{k}:')
+                q = f"'{k}':" if pyconsts else f'"{k}":'
+                s = s.replace(q, f"{k}:")
         return s[:-1] + ",}" if s.endswith("}") and d else s
 
     s = corrupt(d1)
@@ -279,3 +282,56 @@ def test_repair_json_recovers_documented_corruptions(d1, d2, unquote_keys,
         assert out == [d1, d2]
     else:
         assert repair_json(s) == d1
+
+
+@given(st.dictionaries(
+           _IDENT, st.sampled_from(["NaN", "Infinity", "-Infinity"]),
+           min_size=1, max_size=4),
+       st.booleans(), st.booleans(), st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_repair_json_bare_nonfinite_values(d, single_quoted_keys,
+                                           unquoted_keys, trailing):
+    """Property (VERDICT r5 #9, reference benchmark.py:618-656 shapes):
+    bare NaN / Infinity / -Infinity VALUES survive every repair pass
+    unquoted — the bare-word quoting must exempt them (they are json.loads
+    words, not strings) — under unquoted or single-quoted keys and
+    trailing commas."""
+    import math
+
+    from docext_spark.core.jsonrepair import repair_json
+
+    def key(k):
+        if unquoted_keys:
+            return k
+        return f"'{k}'" if single_quoted_keys else f'"{k}"'
+
+    body = ", ".join(f"{key(k)}: {v}" for k, v in d.items())
+    s = "{" + body + (",}" if trailing else "}")
+    out = repair_json(s)
+    assert out is not None and set(out) == set(d)
+    for k, v in d.items():
+        if v == "NaN":
+            assert isinstance(out[k], float) and math.isnan(out[k])
+        else:
+            assert out[k] == float(v)
+
+
+_BAREWORD = st.from_regex(r"[a-z][a-z0-9_\-]{0,3}( [a-z0-9_\-]{1,4}){0,2}",
+                          fullmatch=True).filter(
+    lambda v: v not in {"true", "false", "null", "nan", "infinity"})
+
+
+@given(st.dictionaries(_IDENT, _BAREWORD, min_size=1, max_size=4),
+       st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_repair_json_quotes_bare_word_values(d, unquoted_keys):
+    """Property: bare-word values (incl. multi-word, {"a": yes way}) are
+    quoted verbatim — while the reserved json words are NOT quoted (the
+    exemption the NaN property above relies on)."""
+    from docext_spark.core.jsonrepair import repair_json
+
+    def key(k):
+        return k if unquoted_keys else f'"{k}"'
+
+    s = "{" + ", ".join(f"{key(k)}: {v}" for k, v in d.items()) + "}"
+    assert repair_json(s) == d
