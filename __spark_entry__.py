@@ -71,29 +71,16 @@ def _edit_sim_sql(pred: str, gt: str) -> str:
             f"/ greatest(length({pred}), length({gt})) END")
 
 
-def _dsum(col, ndigits=2):
-    """Partition-order-independent rounded sum. round(sum(double), n)
-    flips its last digit when the scheduling-dependent partial-sum order
-    changes and the total sits one ulp from a rounding boundary (round-5
-    verdict #1, the event_sessionization driver flake). Fix: quantize each
-    value to DECIMAL(18,6) (deterministic per row, exact for the <=2dp
-    fixture values), sum exactly (decimal addition is associative), round,
-    cast back to double. Both engines round decimal halves away from zero
-    and cast sub-2^53 decimals to double identically (verified)."""
-    return F.round(F.sum(col.cast("decimal(18,6)")), ndigits).cast("double")
+# Partition-order-independent rounded sum/mean: ONE home for the decimal
+# quantization scales (operators/metrics.py det_sum/det_mean — see their
+# docstrings for the round-5 flake rationale); only the SQL twins live here
+from docext_spark.operators.metrics import det_mean as _dmean  # noqa: E402
+from docext_spark.operators.metrics import det_sum as _dsum  # noqa: E402
 
 
 def _dsum_sql(expr, ndigits=2):
-    """DuckDB twin of _dsum."""
+    """DuckDB twin of _dsum (metrics.det_sum)."""
     return f"round(sum(({expr})::DECIMAL(18,6)), {ndigits})::DOUBLE"
-
-
-def _dmean(col, ndigits=4):
-    """Partition-order-independent rounded mean: exact DECIMAL(28,12) sum,
-    ONE double division, round (same rationale as _dsum; scale 12 so
-    ratio-valued inputs like edit similarities keep full precision)."""
-    return F.round(F.sum(col.cast("decimal(28,12)")).cast("double")
-                   / F.count(col), ndigits)
 
 
 def _dmean_sql(expr, ndigits=4):

@@ -75,10 +75,6 @@ def read_load() -> tuple[float, float]:
         return -1.0, -1.0
 
 
-def read_load1() -> float:
-    return read_load()[0]
-
-
 def read_psi_cpu() -> float:
     """some avg60 from /proc/pressure/cpu (% of time at least one task
     stalled on CPU); -1 when PSI is unavailable (non-Linux / old kernel)."""

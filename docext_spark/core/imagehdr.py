@@ -7,8 +7,9 @@ pixel dimensions) needs none: PNG/GIF dims sit at fixed offsets and JPEG
 dims sit in the first SOF segment of a well-defined marker stream. That
 is the part of "decode" a data pipeline actually needs at scan time —
 dims for resize planning, format for routing — and it runs here on the
-real payload bytes. The pixel resample itself remains the honestly
-stubbed step (operators/multimodal.py).
+real payload bytes. The full pixel decode lives beside it in
+core/{png,gif,jpeg,bmp,tiff}pix.py; only WebP's VP8 entropy decode and
+compressed a/v codecs remain honestly stubbed (None).
 
 All parsers are defensive: anything malformed returns None rather than
 raising (a 100TB scan must never die on one corrupt blob).

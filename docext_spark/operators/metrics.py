@@ -37,9 +37,15 @@ def det_mean(col: Column, scale: int = 6) -> Column:
     count(x), scale): both engines round decimal halves away from zero and
     cast sub-2^53 decimals to double identically (verified empirically).
     """
-    return F.round(
-        F.sum(col.cast("decimal(28,12)")).cast("double") / F.count(col),
-        scale)
+    return F.round(det_mean_raw(col), scale)
+
+
+def det_mean_raw(col: Column) -> Column:
+    """Unrounded det_mean: exact DECIMAL(28,12) sum + ONE double division —
+    for callers that defer the rounding to the end of a larger expression
+    (plans/benchmark.py score matrix). The quantization scale lives ONLY
+    here and in det_sum."""
+    return F.sum(col.cast("decimal(28,12)")).cast("double") / F.count(col)
 
 
 def det_sum(col: Column, scale: int = 2,

@@ -72,9 +72,9 @@ FEATURE_SCHEMA = T.StructType([
 
 def _histogram8(data: bytes) -> list[float]:
     """Deterministic 8-bin value histogram over a byte buffer — applied to
-    DECODED PIXEL SAMPLES when the payload fully decodes (PNG/GIF/JPEG),
-    else to the raw payload bytes (the fallback a real extractor would
-    route to a codec fleet)."""
+    DECODED PIXEL SAMPLES when the payload fully decodes (PNG / GIF /
+    JPEG / BMP / TIFF), else to the raw payload bytes (the fallback a real
+    extractor would route to a codec fleet)."""
     buckets = [0] * 8
     for b in data or b"":
         buckets[b >> 5] += 1
@@ -95,8 +95,9 @@ def _decode(payload: bytes, kind: str):
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas perception: Arrow batches of binary payloads in; sniffed
     format + dims decoded from the real header bytes + fixed-width features
-    out. Payloads with a decodable pixel stream (PNG, GIF, baseline JPEG)
-    get their feature from the REAL decoded samples (feature_src='pixels');
+    out. Payloads with a decodable pixel stream (PNG, GIF, baseline or
+    progressive JPEG incl. subsampled color, BMP, baseline TIFF) get their
+    feature from the REAL decoded samples (feature_src='pixels');
     everything else falls back to the payload-byte histogram ('bytes').
     Partition-parallel, no shuffle."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -141,9 +142,9 @@ RESAMPLE_SCHEMA = T.StructType([
 
 def resample_images(media: DataFrame, max_size: int = 2048) -> DataFrame:
     """REAL pixel resample (the formerly stubbed codec step): decode the
-    pixel stream (PNG via stdlib zlib, GIF via full LZW, baseline JPEG
-    via Huffman+IDCT — _decode_image_pixels), bound the longest
-    side to ``max_size`` (reference core/utils.py:49-53 rule, never
+    pixel stream (PNG via stdlib zlib, GIF via full LZW, JPEG via
+    Huffman+IDCT, BMP, baseline TIFF — _decode_image_pixels), bound the
+    longest side to ``max_size`` (reference core/utils.py:49-53 rule, never
     upscale), nearest-neighbor resample with the integer floor map
     src = dst·src_dim // dst_dim, and emit a position-weighted checksum +
     mean over the RESAMPLED samples — exact analytic invariants an oracle

@@ -27,11 +27,9 @@ CLS_LABELS = ["invoice", "receipt", "passport", "report"]
 TASKS = ["CLASSIFICATION", "KIE", "OCR", "TABLE", "VQA"]
 
 
-def _davg(col):
-    """Unrounded partition-order-independent mean (see metrics.det_mean):
-    exact decimal sum + one double division, so the score digest is stable
-    at any parallelism — score_benchmark rounds once at the end."""
-    return F.sum(col.cast("decimal(28,12)")).cast("double") / F.count(col)
+# unrounded partition-order-independent mean: score_benchmark rounds once
+# at the end; the decimal quantization scale has ONE home in metrics.py
+from docext_spark.operators.metrics import det_mean_raw as _davg  # noqa: E402
 
 
 def score_benchmark(fixtures: DataFrame) -> DataFrame:

@@ -78,9 +78,13 @@ def make_emitter(gap_minutes: float, budget_tokens: int):
              state: GroupState) -> Iterator[pd.DataFrame]:
         (entity,) = key
         if state.exists:
+            vals = state.get
             (session_idx, chunk_idx, session_toks, last_us,
-             n_events, chunk_toks, start_us, end_us, text_buf,
-             n_disorder) = state.get
+             n_events, chunk_toks, start_us, end_us, text_buf) = vals[:9]
+            # legacy 9-field state (pre-n_disorder checkpoints) — tolerate
+            # if the engine's schema check was relaxed; see the migration
+            # note on run_training_stream
+            n_disorder = vals[9] if len(vals) > 9 else 0
         else:
             session_idx = 0          # no session open yet
             chunk_idx = session_toks = n_events = chunk_toks = 0
@@ -136,8 +140,10 @@ def make_emitter(gap_minutes: float, budget_tokens: int):
                     n_events = chunk_toks = 0
                     text_buf = ""
                     n_disorder = 0
-            if n_events == 0:
-                start_us = ev_us
+            # min/max bounds (not first/last folded): one disorder event
+            # must not leave the sample's [start, end] extent excluding an
+            # event its text contains (code-review r6)
+            start_us = min(start_us, ev_us) if n_events else ev_us
             text_buf = (text_buf + SEP + (text or "")) if n_events \
                 else (text or "")
             n_events += 1
@@ -178,7 +184,14 @@ def run_training_stream(spark: SparkSession, input_dir: str, schema,
     ``plans.training.sessions_to_training_samples`` (ADVICE r5: the two
     'twin' paths must not produce different sample boundaries from their
     defaults); the tiebreak is required here — stream arrival order at
-    equal timestamps is nondeterministic, so ties must break on data."""
+    equal timestamps is nondeterministic, so ties must break on data.
+
+    MIGRATION (state schema v2): adding ``n_disorder`` widened
+    STATE_SCHEMA, and Spark's state-store schema check rejects a resume
+    from a pre-v2 checkpoint at stream start (loud, not corrupting).
+    Upgrading a live feed means a fresh checkpoint_dir AND a fresh
+    output_dir (the parquet sink's transaction log is per-checkpoint, so
+    reprocessing into the old output would duplicate closed samples)."""
     stream = (spark.readStream.schema(schema).parquet(input_dir)
               .select(F.col(entity_col).cast("string").alias("entity"),
                       F.col(ts_col).alias("ts"),
