@@ -3716,52 +3716,54 @@ SELECT * FROM (VALUES
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 87 queries carry an oracle_sql
-    twin; the 37 overflow pairs (positions 51-87, all long-green) and the
+    representative per operator family. 90 queries carry an oracle_sql
+    twin; the 40 overflow pairs (positions 51-90, all long-green) and the
     7 rows-only tail entries are full-sweep-verified every round via
-    tools/check_oracle.py (CORRECTNESS_FULL_r5.md, three SFs). The
+    tools/check_oracle.py (CORRECTNESS_FULL_r6.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
     approx-percentile sketch (error-bounded in pytest), perception pUDFs
-    (byte-pinned by pytest goldens), GRITS, VLM message assembly, and the
-    xxhash64 LSH variant (pytest parity-gated vs the sha256 oracle
-    path)."""
+    (byte-pinned by pytest goldens), the full GRITS DP on arbitrary
+    tables (its closed-form cases ARE hash-checked: grits_closed_form),
+    VLM message assembly, and the xxhash64 LSH variant (pytest
+    parity-gated vs the sha256 oracle path)."""
     return {
-        # -- oracle-paired, window positions 1-50: newest pairs rotated
-        #    in each round (VERDICT r4 #10), one per operator family --
+        # -- oracle-paired, window positions 1-50 (round-6 rotation): the
+        #    r6 pairs (bmp/tiff/grits_closed_form) plus every pair whose
+        #    aggregates moved to exact decimal sums (q3/q6/a1/a4/a9/
+        #    t_quality promoted from overflow), one per operator family --
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "q6_forecast_revenue": _q6_forecast_revenue,
         "q7_volume_shipping": _q7_volume_shipping,
         "q10_returned_items": _q10_returned_items,
         "q14_promo_effect": _q14_promo_effect,
         "a14_cube": _a14_cube,
         "j1_field_alignment": _j1_field_alignment,
+        "a1_edit_similarity": _a1_edit_similarity,
         "a3_vqa_best_of": _a3_vqa_best_of,
+        "a4_exact_match": _a4_exact_match,
+        "a9_cost_accounting": _a9_cost_accounting,
         "a10_score_matrix": _a10_score_matrix,
         "w1_stable_order_concat": _w1_stable_order_concat,
         "w5_event_time_window": _w5_event_time_window,
         "p1_field_norm": _p1_field_norm,
-        "p3_json_field_default": _p3_json_field_default,
         "p9_enclosing_bbox": _p9_enclosing_bbox,
         "s1_extension_predicate": _s1_extension_predicate,
         "scalar_sha_b64": _scalar_sha_b64,
         "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
+        "t_quality": _t_quality,
         "doc_length_percentiles": _doc_length_percentiles,
-        "s5_resize_dims": _s5_resize_dims,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_clusters": _dedup_clusters,
         "curate_funnel": _curate_funnel,
-        "dedup_minhash_sigs": _dedup_minhash_sigs,
         "dedup_lsh_pairs": _dedup_lsh_pairs,
         "dedup_lsh_flood_guard": _dedup_lsh_flood_guard,
-        "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
-        "simhash_flood_guard": _simhash_flood_guard,
         "ann_cosine_topk": _ann_cosine_topk,
-        "ann_ivf_topk": _ann_ivf_topk,
         "ann_ivf_topk_farthest": _ann_ivf_topk_farthest,
         "ann_lsh_topk": _ann_lsh_topk,
-        "dedup_cosine_pairs": _dedup_cosine_pairs,
         "dedup_cosine_lsh": _dedup_cosine_lsh,
         "idp_benchmark_matrix": _idp_benchmark_matrix,
         "x4_kie_fields": _x4_kie_fields,
@@ -3770,8 +3772,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
         "image_resample_pixels": _image_resample_pixels,
-        "jpeg_resample_pixels": _jpeg_resample_pixels,
-        "jpeg_color_pixels": _jpeg_color_pixels,
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
         "bmp_pixels": _bmp_pixels,
@@ -3784,17 +3784,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- oracle-paired overflow (positions 51+, long-green; rotated
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
-        "a1_edit_similarity": _a1_edit_similarity,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "t_quality": _t_quality,
+        "p3_json_field_default": _p3_json_field_default,
+        "s5_resize_dims": _s5_resize_dims,
+        "dedup_minhash_sigs": _dedup_minhash_sigs,
+        "dedup_winnow_flood_guard": _dedup_winnow_flood_guard,
+        "simhash_flood_guard": _simhash_flood_guard,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "dedup_cosine_pairs": _dedup_cosine_pairs,
+        "jpeg_resample_pixels": _jpeg_resample_pixels,
+        "jpeg_color_pixels": _jpeg_color_pixels,
         "t_bpe_token_count": _t_bpe_token_count,
         "dedup_jaccard": _dedup_jaccard,
         "gif_resample_pixels": _gif_resample_pixels,
-        "a4_exact_match": _a4_exact_match,
         "a5_multivalue_fold": _a5_multivalue_fold,
         "a6_distinct_labels": _a6_distinct_labels,
-        "a9_cost_accounting": _a9_cost_accounting,
         "a11_stratified_topk": _a11_stratified_topk,
         "w3_first_match": _w3_first_match,
         "p6_key_remap": _p6_key_remap,
