@@ -30,19 +30,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from docext_spark.core import (bmppix, gifpix, imagehdr, jpegpix, pngpix,
-                               tiffpix)
+                               tiffpix, vp8lpix)
 
 
 def _decode_image_pixels(payload):
     """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
     inflate + unfilter), GIF (full LZW + palette), baseline/progressive
     JPEG (Huffman + dequant + IDCT; gray, 4:4:4 and subsampled YCbCr),
-    BMP (BI_RGB 8/24/32bpp, bottom-up + padding undone), or baseline TIFF
-    (IFD walk, strips, none/PackBits, both byte orders) — else None
-    (webp and compressed a/v codecs stay honest library-territory Nones)."""
+    BMP (BI_RGB 8/24/32bpp, bottom-up + padding undone), baseline TIFF
+    (IFD walk, strips, none/PackBits, both byte orders), or lossless
+    WebP (VP8L: Huffman/LZ77 + color cache + all four transforms) — else
+    None (lossy VP8 and compressed a/v codecs stay honest
+    library-territory Nones)."""
     return (pngpix.decode_png(payload) or gifpix.decode_gif(payload)
             or jpegpix.decode_jpeg(payload) or bmppix.decode_bmp(payload)
-            or tiffpix.decode_tiff(payload))
+            or tiffpix.decode_tiff(payload) or vp8lpix.decode_webp(payload))
 
 
 MEDIA_SCHEMA = T.StructType([
