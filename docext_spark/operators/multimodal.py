@@ -334,13 +334,14 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """REAL waveform decode for WAV/PCM payloads (core/wavpcm.py — RIFF
-    walk + struct-unpacked samples, stdlib only): sample rate, frame
-    count, duration, peak amplitude, zero crossings, and a
-    position-weighted amplitude checksum — all exact integer invariants an
-    analytic oracle replays from the sample generator. Non-PCM/undecodable
-    payloads yield nulls, never an exception. Partition-parallel
-    mapInPandas, no shuffle."""
+    """REAL waveform decode for WAV payloads (core/wavpcm.py — RIFF walk
+    + struct-unpacked PCM, plus IMA ADPCM's published state machine for
+    format tag 0x11, stdlib only): sample rate, frame count, duration,
+    peak amplitude, zero crossings, and a position-weighted amplitude
+    checksum — all exact integer invariants an analytic oracle replays
+    from the sample generator (for ADPCM: a recursive-CTE replay of the
+    adaptation fold). Perceptual-codec/undecodable payloads yield nulls,
+    never an exception. Partition-parallel mapInPandas, no shuffle."""
     from docext_spark.core import wavpcm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

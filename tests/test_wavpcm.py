@@ -113,3 +113,100 @@ def test_zero_sample_rate_rejected():
     b[24:28] = struct.pack("<I", 0)
     assert wavpcm.decode_wav(bytes(b)) is None
     assert wavpcm.wav_features(bytes(b)) is None
+
+
+# ---- IMA ADPCM (format 0x11) ---------------------------------------------
+
+def test_ima_step_hand_trace():
+    """Two hand-computed IMA steps (published shift-add reconstruction):
+    from (0, 0) step=7: nibble 5 (|4,|1) -> diff 7+1=8... full trace in
+    comments, independent of the implementation."""
+    from docext_spark.core import wavpcm
+    # step=7: diff = 7>>3 + (bit1? 7>>2) + (bit2? 7>>1) + (bit4? 7)
+    # nibble 5 = 0b0101: 0 + 1 + 0 + 7 = 8; idx += index_table[5]=4
+    assert wavpcm.ima_step(0, 0, 5) == (8, 4)
+    # from (8, 4) step=11: nibble 13 = 0b1101: -(1 + 2 + 11) = -14;
+    # pred 8-14=-6; idx 4+4=8
+    assert wavpcm.ima_step(8, 4, 13) == (-6, 8)
+    # clamping: predictor pegs at -32768 (index_table[15] = +8)
+    assert wavpcm.ima_step(-32760, 0, 15) == (-32768, 8)
+    # index clamps low: index_table[0] = -1 from index 0 stays 0
+    assert wavpcm.ima_step(0, 0, 0)[1] == 0
+    # index clamps high at 88
+    assert wavpcm.ima_step(0, 88, 4)[1] == 88
+
+
+def test_adpcm_raw_nibbles_decode_exactly():
+    """encode_wav_adpcm_raw carries an analytic nibble stream verbatim;
+    decode must equal the pure state-machine fold (the construction the
+    audio_adpcm_features oracle replays in SQL)."""
+    from docext_spark.core import wavpcm
+    nibs = [(5 * k + 7) % 16 for k in range(48)]
+    enc = wavpcm.encode_wav_adpcm_raw(8000, nibs, init_pred=-500,
+                                      init_index=30)
+    dec = wavpcm.decode_wav(enc)
+    assert dec is not None and dec[:3] == (8000, 1, 4)
+    pred, idx = -500, 30
+    expect = [pred]
+    for nb in nibs:
+        pred, idx = wavpcm.ima_step(pred, idx, nb)
+        expect.append(pred)
+    assert dec[3] == expect
+
+
+def test_adpcm_encoder_roundtrip_snr():
+    """The real lossy encoder tracks a sine at the codec's expected
+    fidelity (IMA 4-bit: >20 dB SNR) across multiple blocks, and output
+    length covers all input samples plus block padding."""
+    import math
+
+    from docext_spark.core import wavpcm
+    rate = 8000
+    s = [int(12000 * math.sin(2 * math.pi * 440 * t / rate))
+         for t in range(2000)]
+    r, ch, bits, out = wavpcm.decode_wav(wavpcm.encode_wav_adpcm(rate, s))
+    assert (r, ch, bits) == (rate, 1, 4) and len(out) >= len(s)
+    err = [a - b for a, b in zip(s, out)]
+    snr = 10 * math.log10(sum(v * v for v in s)
+                          / max(1, sum(e * e for e in err)))
+    assert snr > 20
+
+
+def test_adpcm_stereo_block_interleave():
+    """Stereo blocks carry a 4-byte header per channel then alternating
+    4-byte nibble groups; frames come out channel-interleaved."""
+    import struct
+
+    from docext_spark.core import wavpcm
+    body = (struct.pack("<hBB", 10, 0, 0) + struct.pack("<hBB", -10, 5, 0)
+            + bytes([0x11] * 4) + bytes([0x88] * 4))
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000, len(body), 4, 2, 9)
+    payload = wavpcm._wav_container(fmt, body)
+    r, ch, bits, samples = wavpcm.decode_wav(payload)
+    assert (r, ch) == (8000, 2)
+    left = samples[0::2]
+    right = samples[1::2]
+    assert left[0] == 10 and right[0] == -10
+    # nibble 1 from (10, 0): step 7 -> diff 0 + 1 (7>>2) = ... 7>>3 + 7>>2
+    # = 0 + 1 = 1 upward each step on the left channel
+    assert left[1] == 11
+    # nibble 8 is -0-ish: diff = -(step>>3) -> right drifts down
+    assert right[1] <= -10
+
+
+def test_adpcm_defensive():
+    from docext_spark.core import wavpcm
+    good = wavpcm.encode_wav_adpcm_raw(8000, [1] * 16)
+    # bad index in block header (>88)
+    import struct
+    bad = bytearray(good)
+    off = good.index(b"data") + 8 + 2
+    bad[off] = 100
+    assert wavpcm.decode_wav(bytes(bad)) is None
+    # truncated data chunk: handled by the RIFF walk
+    assert wavpcm.decode_wav(good[:-3]) is None
+    # unsupported perceptual codec tag
+    mp3ish = bytearray(good)
+    tag = good.index(b"fmt ") + 8
+    mp3ish[tag:tag + 2] = struct.pack("<H", 0x55)
+    assert wavpcm.decode_wav(bytes(mp3ish)) is None
