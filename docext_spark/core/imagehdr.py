@@ -8,8 +8,8 @@ dims sit in the first SOF segment of a well-defined marker stream. That
 is the part of "decode" a data pipeline actually needs at scan time —
 dims for resize planning, format for routing — and it runs here on the
 real payload bytes. The full pixel decode lives beside it in
-core/{png,gif,jpeg,bmp,tiff}pix.py; only WebP's VP8 entropy decode and
-compressed a/v codecs remain honestly stubbed (None).
+core/{png,gif,jpeg,bmp,tiff,vp8l}pix.py; only WebP's lossy VP8 path and
+perceptual a/v codecs remain honestly stubbed (None).
 
 All parsers are defensive: anything malformed returns None rather than
 raising (a 100TB scan must never die on one corrupt blob).
@@ -29,9 +29,9 @@ _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
 
 def sniff_format(payload: bytes | None) -> str | None:
     """Container sniff from magic bytes: 'png' | 'jpeg' | 'gif' | 'bmp' |
-    'tiff' | 'webp' | None. webp is sniffed (RIFF....WEBP) but its pixel
-    decode stays an honest None — VP8/VP8L entropy decode is genuinely
-    library territory."""
+    'tiff' | 'webp' | None. Lossless webp (VP8L) pixel-decodes for real
+    in core/vp8lpix.py; lossy VP8 stays an honest None (boolean
+    arithmetic decoder — genuinely library territory)."""
     if not payload:
         return None
     if payload[:8] == PNG_SIG:

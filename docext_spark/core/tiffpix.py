@@ -17,8 +17,7 @@ PhotometricInterpretation 0/1/2 (WhiteIsZero is inverted on decode so
 consumers always see black=0), both byte orders, multi-strip files.
 Anything else — LZW/JPEG-in-TIFF, 16-bit, tiles, planar=2 — returns
 None: a 100TB scan must never die on one odd blob; filter on the null
-and route exotica to a codec fleet. WebP stays an honest documented
-None in imagehdr (VP8 entropy decode is genuinely library territory).
+and route exotica to a codec fleet.
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
 channels, samples) row-major top-down interleaved, black=0.

@@ -9,10 +9,12 @@ width growth + palette mapping), JPEG via core/jpegpix.py (Huffman
 entropy decode + dequant + IDCT: baseline AND progressive, grayscale,
 4:4:4 and subsampled YCbCr), BMP via core/bmppix.py (BI_RGB 8/24/32bpp),
 baseline TIFF via core/tiffpix.py (IFD walk, strips, none/PackBits, both
-byte orders) — resampled nearest-neighbor, and featurized from the
-decoded samples; WAV/PCM payloads are decoded to REAL WAVEFORM SAMPLES
-(core/wavpcm.py — RIFF walk + struct-unpacked PCM). Only WebP (VP8
-entropy decode) and compressed audio/video codecs remain stubbed —
+byte orders), lossless WebP via core/vp8lpix.py (VP8L Huffman/LZ77,
+color cache, all four transforms) — resampled nearest-neighbor, and
+featurized from the decoded samples; WAV payloads are decoded to REAL
+WAVEFORM SAMPLES (core/wavpcm.py — struct-unpacked PCM plus the IMA
+ADPCM state machine). Only lossy WebP (VP8 boolean arithmetic decode)
+and perceptual audio/video codecs (mp3/aac/H.26x) remain stubbed —
 genuinely library territory; those payloads fall back to the
 byte-histogram feature behind the same mapInPandas seam.
 
