@@ -75,7 +75,9 @@ def _edit_sim_sql(pred: str, gt: str) -> str:
 # quantization scales (operators/metrics.py det_sum/det_mean — see their
 # docstrings for the round-5 flake rationale); only the SQL twins live here
 from docext_spark.operators.metrics import det_mean as _dmean  # noqa: E402
+from docext_spark.operators.metrics import det_mean_scaled as _dmeanf  # noqa: E402
 from docext_spark.operators.metrics import det_sum as _dsum  # noqa: E402
+from docext_spark.operators.metrics import det_sum_scaled as _dsumf  # noqa: E402
 
 
 def _dsum_sql(expr, ndigits=2):
@@ -86,6 +88,20 @@ def _dsum_sql(expr, ndigits=2):
 def _dmean_sql(expr, ndigits=4):
     """DuckDB twin of _dmean (count(expr) skips NULLs, matching F.count)."""
     return (f"round(sum(({expr})::DECIMAL(28,12))::DOUBLE "
+            f"/ count({expr}), {ndigits})")
+
+
+def _dsumf_sql(expr, frac, ndigits=2):
+    """DuckDB twin of _dsumf (metrics.det_sum_scaled): same long
+    quantization, same division tree."""
+    f = 10 ** frac
+    return (f"round(sum(round(({expr}) * {f})::BIGINT) / {f}.0, {ndigits})")
+
+
+def _dmeanf_sql(expr, frac, ndigits=4):
+    """DuckDB twin of _dmeanf (metrics.det_mean_scaled)."""
+    f = 10 ** frac
+    return (f"round(sum(round(({expr}) * {f})::BIGINT) / {f}.0 "
             f"/ count({expr}), {ndigits})")
 
 
@@ -108,22 +124,22 @@ def _q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"),
-                 _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-                 _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                       2).alias("sum_disc_price"),
-                 _dmean(F.col("l_quantity"), 4).alias("avg_qty"),
-                 _dmean(F.col("l_discount"), 4).alias("avg_disc"),
+            .agg(_dsumf(F.col("l_quantity"), 2, 2).alias("sum_qty"),
+                 _dsumf(F.col("l_extendedprice"), 2, 2).alias("sum_base_price"),
+                 _dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4, 2).alias("sum_disc_price"),
+                 _dmeanf(F.col("l_quantity"), 2, 4).alias("avg_qty"),
+                 _dmeanf(F.col("l_discount"), 2, 4).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       {_dsum_sql('l_quantity')} AS sum_qty,
-       {_dsum_sql('l_extendedprice')} AS sum_base_price,
-       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-       {_dmean_sql('l_quantity')} AS avg_qty,
-       {_dmean_sql('l_discount')} AS avg_disc,
+       {_dsumf_sql('l_quantity', 2)} AS sum_qty,
+       {_dsumf_sql('l_extendedprice', 2)} AS sum_base_price,
+       {_dsumf_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+       {_dmeanf_sql('l_quantity', 2)} AS avg_qty,
+       {_dmeanf_sql('l_discount', 2)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
@@ -140,14 +156,14 @@ def _q5_revenue_by_nation(spark, sf_dir):
             .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                       2).alias("revenue"),
+            .agg(_dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4, 2).alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines")))
 
 
 _Q5_SQL = f"""
 SELECT n_name,
-       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       {_dsumf_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -165,8 +181,8 @@ def _q3_shipping_priority(spark, sf_dir):
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .join(c, o.o_custkey == c.c_custkey)
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                       2).alias("revenue"))
+            .agg(_dsumf(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                        4, 2).alias("revenue"))
             .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
             .limit(10)
             .select("l_orderkey",
@@ -176,7 +192,7 @@ def _q3_shipping_priority(spark, sf_dir):
 
 _Q3_SQL = f"""
 SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+       {_dsumf_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -193,8 +209,8 @@ def _q6_forecast_revenue(spark, sf_dir):
                       & (F.col("l_shipdate") < "1998-01-01")
                       & (F.col("l_discount").between(0.03, 0.07))
                       & (F.col("l_quantity") < 24))
-            .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"),
-                       2).alias("revenue"),
+            .agg(_dsumf(F.col("l_extendedprice") * F.col("l_discount"),
+                        4, 2).alias("revenue"),
                  F.count(F.lit(1)).alias("n")))
 
 
@@ -251,7 +267,7 @@ GROUP BY l_linestatus ORDER BY l_linestatus
 
 
 _Q6_SQL = f"""
-SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue, count(*) AS n
+SELECT {_dsumf_sql('l_extendedprice * l_discount', 4)} AS revenue, count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
@@ -284,15 +300,15 @@ def _q7_volume_shipping(spark, sf_dir):
             .filter(pair)
             .groupBy("supp_nation", "cust_nation",
                      F.year("l_shipdate").alias("l_year"))
-            .agg(_dsum(F.col("l_extendedprice")
-                       * (1 - F.col("l_discount")), 2).alias("revenue"),
+            .agg(_dsumf(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 4, 2).alias("revenue"),
                  F.count(F.lit(1)).alias("n_lines"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
 _Q7_SQL = f"""
 SELECT supp_nation, cust_nation, l_year,
-       {_dsum_sql('volume')} AS revenue, count(*)::BIGINT AS n_lines
+       {_dsumf_sql('volume', 4)} AS revenue, count(*)::BIGINT AS n_lines
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS l_year,
@@ -324,14 +340,14 @@ def _q10_returned_items(spark, sf_dir):
             .join(c, o["o_custkey"] == c["c_custkey"])
             .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(_dsum(F.col("l_extendedprice")
-                       * (1 - F.col("l_discount")), 2).alias("revenue"))
+            .agg(_dsumf(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")), 4, 2).alias("revenue"))
             .orderBy(F.desc("revenue"), "c_custkey")
             .limit(20))
 
 
 _Q10_SQL = f"""
-SELECT c_custkey, c_name, n_name, {_dsum_sql('volume')} AS revenue
+SELECT c_custkey, c_name, n_name, {_dsumf_sql('volume', 4)} AS revenue
 FROM (
   SELECT c_custkey, c_name, n_name,
          l_extendedprice * (1 - l_discount) AS volume
@@ -355,17 +371,22 @@ def _q14_promo_effect(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.col("p_type").startswith("PROMO")
+    # exact long-quantized sums (det_sum_scaled construction) so the
+    # ratio's digest is partition-order independent like every other
+    # parity aggregate; one double division at the end
+    pv = F.sum(F.round(F.when(promo, vol).otherwise(0.0) * 1e4).cast("long"))
+    tv = F.sum(F.round(vol * 1e4).cast("long"))
     return (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-            .agg(F.round(100 * F.sum(F.when(promo, vol).otherwise(0.0))
-                         / F.sum(vol), 4).alias("promo_revenue_pct"),
+            .agg(F.round(100 * (pv / tv), 4).alias("promo_revenue_pct"),
                  F.count(F.lit(1)).alias("n_lines")))
 
 
 _Q14_SQL = """
-SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN l_extendedprice * (1 - l_discount)
-                            ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4)
+SELECT round(100 * (sum(round(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END * 10000)::BIGINT)
+                   / sum(round(l_extendedprice * (1 - l_discount)
+                               * 10000)::BIGINT)), 4)
          AS promo_revenue_pct,
        count(*)::BIGINT AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -404,7 +425,7 @@ def _a14_cube(spark, sf_dir):
     grouping-null markers normalized to 'ALL' on both engines."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.cube("l_returnflag", "l_linestatus")
-            .agg(_dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            .agg(_dsumf(F.col("l_quantity"), 2, 2).alias("sum_qty"),
                  F.count(F.lit(1)).alias("n"))
             .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
                     F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
@@ -414,7 +435,7 @@ def _a14_cube(spark, sf_dir):
 _A14_SQL = f"""
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
-       {_dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+       {_dsumf_sql('l_quantity', 2)} AS sum_qty, count(*) AS n
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -556,13 +577,13 @@ _A6_SQL = "SELECT DISTINCT event_type AS label FROM events"
 def _a9_cost_accounting(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(_dsum(F.col("l_extendedprice"), 2).alias("total_cost"),
-                 _dmean(F.col("l_discount"), 6).alias("mean_discount")))
+            .agg(_dsumf(F.col("l_extendedprice"), 2, 2).alias("total_cost"),
+                 _dmeanf(F.col("l_discount"), 2, 6).alias("mean_discount")))
 
 
 _A9_SQL = f"""
-SELECT l_returnflag, {_dsum_sql('l_extendedprice')} AS total_cost,
-       {_dmean_sql('l_discount', 6)} AS mean_discount
+SELECT l_returnflag, {_dsumf_sql('l_extendedprice', 2)} AS total_cost,
+       {_dmeanf_sql('l_discount', 2, 6)} AS mean_discount
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -571,7 +592,7 @@ def _a10_score_matrix(spark, sf_dir):
     e = _t(spark, sf_dir, "events").withColumn(
         "model", F.pmod(F.col("user_id"), F.lit(3)).cast("string"))
     pivoted = (e.groupBy("event_type").pivot("model", ["0", "1", "2"])
-               .agg(_dmean(F.col("value"), 4)))
+               .agg(_dmeanf(F.col("value"), 2, 4)))
     out = pivoted.select(
         "event_type",
         F.col("0").alias("m0"), F.col("1").alias("m1"), F.col("2").alias("m2"))
@@ -582,9 +603,9 @@ def _a10_score_matrix(spark, sf_dir):
 _A10_SQL = f"""
 WITH p AS (
   SELECT event_type,
-         {_dmean_sql('CASE WHEN user_id % 3 = 0 THEN value END')} AS m0,
-         {_dmean_sql('CASE WHEN user_id % 3 = 1 THEN value END')} AS m1,
-         {_dmean_sql('CASE WHEN user_id % 3 = 2 THEN value END')} AS m2
+         {_dmeanf_sql('CASE WHEN user_id % 3 = 0 THEN value END', 2)} AS m0,
+         {_dmeanf_sql('CASE WHEN user_id % 3 = 1 THEN value END', 2)} AS m1,
+         {_dmeanf_sql('CASE WHEN user_id % 3 = 2 THEN value END', 2)} AS m2
   FROM events GROUP BY event_type
 )
 SELECT event_type, m0, m1, m2, round((m0 + m1 + m2) / 3.0, 4) AS average FROM p
