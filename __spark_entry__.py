@@ -3637,6 +3637,86 @@ FROM feats
 """
 
 
+def _audio_g711_features(spark, sf_dir):
+    """REAL G.711 μ-law + A-law decode (WAV format tags 7/6 — the
+    telephony companding codecs; core/wavpcm.py ulaw_to_linear /
+    alaw_to_linear, the canonical public-domain Sun g711.c expansion):
+    payloads carry an analytic CODE-BYTE rule verbatim (encode_wav_g711),
+    mixing both laws and mono/stereo interleave across 80 files. Unlike
+    ADPCM the expansion is STATELESS per byte, so the DuckDB twin replays
+    the exact segment/mantissa arithmetic (complement/XOR-0x55, bias,
+    shift-by-segment) inline — any error in the RIFF walk, the law
+    selection, the per-channel interleave, or either expansion formula
+    breaks peak/zero-crossings/checksum."""
+    import pandas as pd
+    from docext_spark.core import wavpcm
+    from docext_spark.operators.multimodal import audio_features
+    rows = []
+    for i in range(80):
+        law = "ulaw" if i % 2 == 0 else "alaw"
+        ch = 1 + (i // 2) % 2
+        n_codes = (40 + 3 * i) * ch
+        codes = [(131 * j + 17 * i) % 256 for j in range(n_codes)]
+        rows.append((i, wavpcm.encode_wav_g711(8000, ch, codes, law)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return audio_features(media)
+
+
+_G711_SQL = """
+WITH params AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 2 = 0 THEN 'u' ELSE 'a' END AS law,
+         (1 + (i // 2) % 2)::INT AS ch,
+         (40 + 3 * i)::INT AS n_frames
+  FROM (SELECT unnest(generate_series(0, 79)) AS i)
+), codes AS (
+  SELECT media_id, law, ch, n_frames,
+         unnest(generate_series(0, n_frames * ch - 1)) AS j
+  FROM params
+), mid AS (
+  SELECT media_id, law, ch, n_frames, j,
+         255 - ((131 * j + 17 * media_id) % 256) AS u,
+         xor((131 * j + 17 * media_id) % 256, 85) AS a
+  FROM codes
+), mags AS (
+  -- Sun g711.c expansion magnitudes: mu-law biased mantissa shifted by
+  -- segment; A-law with the seg-0/1 special cases
+  SELECT media_id, law, ch, n_frames, j, u, a,
+         ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS ut,
+         CASE (a // 16) % 8
+           WHEN 0 THEN (a % 16) * 16 + 8
+           WHEN 1 THEN (a % 16) * 16 + 264
+           ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+         END AS at
+  FROM mid
+), vals AS (
+  SELECT media_id, ch, n_frames, j,
+         CASE WHEN law = 'u'
+              THEN CASE WHEN u >= 128 THEN 132 - ut ELSE ut - 132 END
+              ELSE CASE WHEN a >= 128 THEN at ELSE -at END
+         END AS v
+  FROM mags
+), lagged AS (
+  -- zero crossings are per channel: partition by interleave slot j % ch
+  SELECT media_id, j, v,
+         lag(v) OVER (PARTITION BY media_id, j % ch ORDER BY j) AS pv
+  FROM vals
+), feats AS (
+  SELECT media_id, max(abs(v))::INT AS peak,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END)::INT
+           AS zero_crossings,
+         sum((v + 32768)::BIGINT * (j + 1))::BIGINT AS amp_checksum
+  FROM lagged GROUP BY media_id
+)
+SELECT p.media_id, 8000 AS sample_rate, p.ch AS n_channels, p.n_frames,
+       (p.n_frames * 1000 // 8000)::INT AS duration_ms,
+       f.peak, f.zero_crossings, f.amp_checksum
+FROM params p JOIN feats f USING (media_id)
+"""
+
+
 def _event_sessionization(spark, sf_dir):
     """Gap-based sessionization over the events table (30-min gap,
     event_id tiebreak): one shuffle on user_id, lag + running-sum window
@@ -3938,7 +4018,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_sha_b64": _scalar_sha_b64,
         "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
-        "t_quality": _t_quality,
         "doc_length_percentiles": _doc_length_percentiles,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
@@ -3963,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
+        "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
         "pack_sequences": _pack_sequences,
@@ -3970,6 +4050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "audio_waveform_features": _audio_waveform_features,
+        "t_quality": _t_quality,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
         "p3_json_field_default": _p3_json_field_default,
         "s5_resize_dims": _s5_resize_dims,
@@ -4086,6 +4167,7 @@ def oracle_sql() -> dict[str, str]:
         "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),
         "audio_adpcm_features": _ADPCM_SQL,
+        "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

@@ -10,9 +10,12 @@ codecs (mp3/aac/opus — filterbanks, psychoacoustics) remain honestly out
 of scope and return None (route to a codec fleet; a 100TB scan must
 never die on one blob).
 
-Scope: format tag 1 (integer PCM, 8-bit unsigned or 16-bit signed) and
+Scope: format tag 1 (integer PCM, 8-bit unsigned or 16-bit signed),
 format tag 0x11 (IMA ADPCM, mono or stereo, standard 4-byte-per-channel
-block headers). Everything else → None.
+block headers), and the G.711 companded telephony codecs — format tag 6
+(A-law) and 7 (μ-law), expanded with the canonical segment/mantissa
+arithmetic (ITU-T G.711; the formulas below are the public-domain Sun
+g711.c expansion, stateless per byte). Everything else → None.
 """
 from __future__ import annotations
 
@@ -76,6 +79,57 @@ def _decode_ima_block(body: bytes, channels: int):
     return [st["out"] for st in chans]
 
 
+def ulaw_to_linear(code: int) -> int:
+    """ITU-T G.711 μ-law expansion, bit-exact with the public-domain Sun
+    g711.c ulaw2linear: complement, bias the mantissa, shift by the
+    segment, un-bias. Range ±32124 — stateless, so a SQL oracle replays
+    it as plain arithmetic per byte."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def alaw_to_linear(code: int) -> int:
+    """ITU-T G.711 A-law expansion (Sun g711.c alaw2linear): XOR 0x55,
+    then segment-scaled mantissa with the seg-0/1 special cases. Range
+    ±32256; sign bit SET means positive in A-law."""
+    a = code ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def linear_to_ulaw(sample: int) -> int:
+    """Sun g711.c linear2ulaw (round-trip fixture side): bias, find the
+    segment by magnitude, pack sign/seg/mantissa, complement."""
+    sign = 0x80 if sample < 0 else 0
+    mag = min((-sample if sample < 0 else sample) + 0x84, 0x7FFF)
+    # the biased decode magnitude ((mant<<3)+0x84)<<seg always has its top
+    # bit at position 7+seg, so the segment is just the bit length
+    seg = max(0, min(7, mag.bit_length() - 8))
+    return (~(sign | (seg << 4) | ((mag >> (seg + 3)) & 0x0F))) & 0xFF
+
+
+def linear_to_alaw(sample: int) -> int:
+    """Sun g711.c linear2alaw (round-trip fixture side)."""
+    sign = 0x80 if sample >= 0 else 0
+    mag = min(sample if sample >= 0 else -sample - 1, 0x7FFF)
+    if mag < 0x100:
+        code = mag >> 4
+    else:
+        seg = 1
+        while mag >= (0x100 << seg) and seg < 7:
+            seg += 1
+        code = (seg << 4) | ((mag >> (seg + 3)) & 0x0F)
+    return (sign | code) ^ 0x55
+
+
 def decode_wav(payload: bytes | None):
     """(sample_rate, n_channels, bits, samples) with ``samples`` the
     interleaved integer samples (16-bit: signed, 8-bit: centered by -128
@@ -105,6 +159,9 @@ def decode_wav(payload: bytes | None):
             elif fmt == 0x11:
                 if bits != 4:
                     return None
+            elif fmt in (6, 7):          # G.711 A-law / μ-law
+                if bits != 8:
+                    return None
             else:
                 return None              # perceptual codecs: honest None
         elif cid == b"data":
@@ -130,6 +187,13 @@ def decode_wav(payload: bytes | None):
         for frame in zip(*per_chan):
             samples.extend(frame)
         return (rate, channels, 4, samples)
+    if fmt in (6, 7):
+        # stateless per-byte expansion; channel interleave is preserved
+        # byte-for-byte (one code per channel per frame)
+        if len(data) % channels:
+            return None
+        expand = alaw_to_linear if fmt == 6 else ulaw_to_linear
+        return (rate, channels, 8, [expand(b) for b in data])
     if bits == 16:
         if len(data) % 2:
             return None
@@ -242,6 +306,20 @@ def encode_wav_adpcm_raw(rate: int, nibbles: list[int], init_pred: int = 0,
     fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, rate, block_align, 4, 2,
                       len(nibbles) + 1)
     return _wav_container(fmt, bytes(data))
+
+
+def encode_wav_g711(rate: int, channels: int, codes: list[int],
+                    law: str = "ulaw") -> bytes:
+    """Fixture/test builder: a G.711 WAV (format tag 7 μ-law / 6 A-law)
+    carrying EXACTLY these code bytes — like encode_wav_adpcm_raw, an
+    analytic code rule goes in and the SQL twin replays the stateless
+    expansion arithmetic per byte."""
+    tag = 7 if law == "ulaw" else 6
+    if len(codes) % channels:
+        raise ValueError("code count must be a multiple of channels")
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * channels,
+                      channels, 8)
+    return _wav_container(fmt, bytes(c & 0xFF for c in codes))
 
 
 def encode_wav(rate: int, channels: int, samples: list[int],

@@ -12,8 +12,9 @@ baseline TIFF via core/tiffpix.py (IFD walk, strips, none/PackBits, both
 byte orders), lossless WebP via core/vp8lpix.py (VP8L Huffman/LZ77,
 color cache, all four transforms) — resampled nearest-neighbor, and
 featurized from the decoded samples; WAV payloads are decoded to REAL
-WAVEFORM SAMPLES (core/wavpcm.py — struct-unpacked PCM plus the IMA
-ADPCM state machine). Only lossy WebP (VP8 boolean arithmetic decode)
+WAVEFORM SAMPLES (core/wavpcm.py — struct-unpacked PCM, the IMA ADPCM
+state machine, and G.711 mu-law/A-law companding expansion, format tags
+1/0x11/7/6). Only lossy WebP (VP8 boolean arithmetic decode)
 and perceptual audio/video codecs (mp3/aac/H.26x) remain stubbed —
 genuinely library territory; those payloads fall back to the
 byte-histogram feature behind the same mapInPandas seam.
@@ -337,8 +338,9 @@ AUDIO_SCHEMA = T.StructType([
 
 def audio_features(media: DataFrame) -> DataFrame:
     """REAL waveform decode for WAV payloads (core/wavpcm.py — RIFF walk
-    + struct-unpacked PCM, plus IMA ADPCM's published state machine for
-    format tag 0x11, stdlib only): sample rate, frame count, duration,
+    + struct-unpacked PCM, IMA ADPCM's published state machine for
+    format tag 0x11, and G.711 mu-law/A-law expansion for tags 7/6,
+    stdlib only): sample rate, frame count, duration,
     peak amplitude, zero crossings, and a position-weighted amplitude
     checksum — all exact integer invariants an analytic oracle replays
     from the sample generator (for ADPCM: a recursive-CTE replay of the

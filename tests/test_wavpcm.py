@@ -210,3 +210,70 @@ def test_adpcm_defensive():
     tag = good.index(b"fmt ") + 8
     mp3ish[tag:tag + 2] = struct.pack("<H", 0x55)
     assert wavpcm.decode_wav(bytes(mp3ish)) is None
+
+
+# ---------------------------------------------------------------- G.711
+
+
+def test_g711_known_vectors():
+    # spec endpoints (ITU-T G.711 / Sun g711.c): mu-law 0x00 is the most
+    # negative code, 0xFF/0x7F both decode to zero; A-law 0x55/0xD5 are
+    # the +/-8 codes and 0x2A/0xAA the extremes
+    assert wavpcm.ulaw_to_linear(0x00) == -32124
+    assert wavpcm.ulaw_to_linear(0xFF) == 0
+    assert wavpcm.ulaw_to_linear(0x7F) == 0
+    assert wavpcm.ulaw_to_linear(0x80) == 32124
+    assert wavpcm.alaw_to_linear(0x55) == -8
+    assert wavpcm.alaw_to_linear(0xD5) == 8
+    assert wavpcm.alaw_to_linear(0x2A) == -32256
+    assert wavpcm.alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_code_roundtrip_exhaustive():
+    # every code survives decode->encode, except mu-law negative zero
+    # 0x7F which canonically collapses onto positive zero 0xFF
+    for c in range(256):
+        expect = 0xFF if c == 0x7F else c
+        assert wavpcm.linear_to_ulaw(wavpcm.ulaw_to_linear(c)) == expect
+        assert wavpcm.linear_to_alaw(wavpcm.alaw_to_linear(c)) == c
+
+
+def test_g711_monotone_expansion():
+    # both laws must expand monotonically in the linear domain once codes
+    # are sorted by their decoded value (sanity on segment arithmetic)
+    u = sorted(wavpcm.ulaw_to_linear(c) for c in range(256))
+    a = sorted(wavpcm.alaw_to_linear(c) for c in range(256))
+    assert u[0] == -32124 and u[-1] == 32124
+    assert a[0] == -32256 and a[-1] == 32256
+    # mu-law has one duplicated zero (0x7F/0xFF), A-law all distinct
+    assert len(set(u)) == 255
+    assert len(set(a)) == 256
+
+
+def test_g711_wav_decode_both_laws_and_interleave():
+    pay = wavpcm.encode_wav_g711(8000, 2, [0x00, 0xFF, 0x55, 0xAA], "ulaw")
+    rate, ch, bits, samples = wavpcm.decode_wav(pay)
+    assert (rate, ch, bits) == (8000, 2, 8)
+    assert samples == [wavpcm.ulaw_to_linear(c)
+                       for c in (0x00, 0xFF, 0x55, 0xAA)]
+    pay = wavpcm.encode_wav_g711(8000, 1, [0x55, 0xD5, 0x2A], "alaw")
+    assert wavpcm.decode_wav(pay)[3] == [-8, 8, -32256]
+
+
+def test_g711_features_and_defensive():
+    # alternating +-8 A-law codes: one crossing per adjacent pair
+    pay = wavpcm.encode_wav_g711(8000, 1, [0x55, 0xD5] * 8, "alaw")
+    rate, ch, n_frames, dur, peak, zc, cs = wavpcm.wav_features(pay)
+    assert (rate, ch, n_frames, peak, zc) == (8000, 1, 16, 8, 15)
+    # G.711 requires 8-bit codes: a 16-bit claim is rejected
+    import struct
+    bad = bytearray(pay)
+    off = pay.index(b"fmt ") + 8 + 14
+    bad[off:off + 2] = struct.pack("<H", 16)
+    assert wavpcm.decode_wav(bytes(bad)) is None
+    # data length not a multiple of channels
+    stereo = wavpcm.encode_wav_g711(8000, 2, [1, 2, 3, 4], "ulaw")
+    trunc = bytearray(stereo)
+    dlen_off = stereo.index(b"data") + 4
+    trunc[dlen_off:dlen_off + 4] = struct.pack("<I", 3)
+    assert wavpcm.decode_wav(bytes(trunc[:dlen_off + 4 + 3])) is None
