@@ -3372,6 +3372,52 @@ def _tiff_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
+def _tiff_lzw_pixels(spark, sf_dir):
+    """REAL TIFF LZW decode (compression 5, TIFF 6.0 §13 — MSB-first
+    code packing, early width change at 511/1023/2047, Clear/EOI,
+    KwKwK), with the horizontal-differencing Predictor 2 (tag 317) on
+    odd ids: the SAME fixture matrix as tiff_pixels (dims, gray/RGB mix,
+    WhiteIsZero inversion, byte orders, multi-strip) re-encoded through
+    the repo's spec-faithful LZW encoder. LZW is a lossless re-coding of
+    the same pixel rule, so the baseline SQL twin applies verbatim —
+    sharing it IS the claim (decode(lzw) == decode(raw)); the codec is
+    additionally pinned bit-compatible against Java ImageIO's
+    independent TIFF LZW implementation in tests/test_tiffpix.py."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 3 + i % 12, 2 + (i * 5) % 11
+        ch = 1 if i % 5 == 0 else 3
+        vals = bytes((x * 3 + y * 7 + c * 19 + i * 5) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        white_is_zero = ch == 1 and i % 10 == 5
+        payload = tiffpix.encode_tiff(
+            w, h, ch,
+            bytes(255 - b for b in vals) if white_is_zero else vals,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=5,
+            rows_per_strip=1 + i % 3,
+            photometric=0 if white_is_zero else None,
+            predictor=2 if i % 2 == 1 else 1)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
 _TIFF_SQL = """
 WITH dims AS (
   SELECT i AS media_id, (3 + i % 12)::INT AS w, (2 + (i * 5) % 11)::INT AS h,
@@ -4016,7 +4062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_enclosing_bbox": _p9_enclosing_bbox,
         "s1_extension_predicate": _s1_extension_predicate,
         "scalar_sha_b64": _scalar_sha_b64,
-        "t_token_count": _t_token_count,
         "t_lang_id": _t_lang_id,
         "doc_length_percentiles": _doc_length_percentiles,
         "dedup_exact": _dedup_exact,
@@ -4039,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "bmp_pixels": _bmp_pixels,
         "tiff_pixels": _tiff_pixels,
+        "tiff_lzw_pixels": _tiff_lzw_pixels,
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
@@ -4062,6 +4108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_resample_pixels": _jpeg_resample_pixels,
         "jpeg_color_pixels": _jpeg_color_pixels,
         "t_bpe_token_count": _t_bpe_token_count,
+        "t_token_count": _t_token_count,
         "dedup_jaccard": _dedup_jaccard,
         "gif_resample_pixels": _gif_resample_pixels,
         "a5_multivalue_fold": _a5_multivalue_fold,
@@ -4163,6 +4210,9 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,
         "bmp_pixels": _BMP_SQL,
         "tiff_pixels": _TIFF_SQL,
+        # LZW re-codes the same pixels losslessly, so the baseline TIFF
+        # twin applies verbatim — sharing it IS the claim
+        "tiff_lzw_pixels": _TIFF_SQL,
         "webp_pixels": _WEBP_SQL,
         "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),

@@ -12,12 +12,14 @@ or PackBits-compressed strips:
 
 Scope (baseline, the formats a pipeline actually meets): 8 bits per
 sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar
-config, Compression 1 (none) or 32773 (PackBits, the spec's own RLE),
-PhotometricInterpretation 0/1/2 (WhiteIsZero is inverted on decode so
-consumers always see black=0), both byte orders, multi-strip files.
-Anything else — LZW/JPEG-in-TIFF, 16-bit, tiles, planar=2 — returns
-None: a 100TB scan must never die on one odd blob; filter on the null
-and route exotica to a codec fleet.
+config, Compression 1 (none), 5 (LZW per TIFF 6.0 §13 — MSB-first
+packing, early code-width change, Clear/EOI, optionally with the
+horizontal-differencing Predictor 2, tag 317) or 32773 (PackBits, the
+spec's own RLE), PhotometricInterpretation 0/1/2 (WhiteIsZero is
+inverted on decode so consumers always see black=0), both byte orders,
+multi-strip files. Anything else — JPEG-in-TIFF, 16-bit, tiles,
+planar=2 — returns None: a 100TB scan must never die on one odd blob;
+filter on the null and route exotica to a codec fleet.
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
 channels, samples) row-major top-down interleaved, black=0.
@@ -88,6 +90,119 @@ def packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lzw_decode(data: bytes, max_out: int) -> bytes | None:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, ClearCode 256 / EOI 257,
+    9→12-bit codes with the TIFF "early change" (width bumps when the
+    next free code reaches 511/1023/2047 — one earlier than GIF), KwKwK
+    handling, deferred-clear tolerant (entries stop at 4095 if an encoder
+    runs the table out without a Clear). Returns None on malformed codes,
+    truncation, or if output would exceed max_out."""
+    out = bytearray()
+    table: list[bytes] = [bytes((i,)) for i in range(256)] + [b"", b""]
+    next_code, width = 258, 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    pos, n = 0, len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                # a spec-clean stream ends with EOI; tolerate a strip that
+                # just runs out of bytes after complete output
+                return bytes(out) if prev is not None else None
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:                       # Clear
+            table = table[:258]
+            next_code, width = 258, 9
+            prev = None
+            continue
+        if code == 257:                       # EOI
+            return bytes(out)
+        if prev is None:                      # first code after Clear
+            if code > 255:
+                return None
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:               # KwKwK
+            entry = prev + prev[:1]
+        else:
+            return None
+        if len(out) + len(entry) > max_out:
+            return None
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1                    # early change
+        prev = entry
+    # unreachable
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Spec-faithful TIFF LZW encoder (fixture/test side): greedy string
+    table, width bumps synchronized with the decoder's early-change rule,
+    Clear emitted when the table reaches 4094 free codes."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)                          # leading Clear (spec)
+    w = b""
+    for b in data:
+        wc = w + bytes((b,))
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by one entry, so its
+        # early-change bump (at 511/1023/2047) lands one code after ours
+        # would at the same threshold — the encoder bumps at 512/1024/2048
+        # (verified bit-exact against Java ImageIO's TIFF LZW codec)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:                 # table nearly full: reset
+            emit(256, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes((b,))
+    if w:
+        emit(table[w], width)
+    emit(257, width)                          # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predictor2_decode(row: bytearray, spp: int) -> None:
+    """TIFF Predictor 2 (tag 317): horizontal differencing per channel —
+    in-place cumulative sum mod 256 across the row."""
+    for x in range(spp, len(row)):
+        row[x] = (row[x] + row[x - spp]) & 0xFF
+
+
+def _predictor2_encode(row: bytes, spp: int) -> bytes:
+    diff = bytearray(row)
+    for x in range(len(row) - 1, spp - 1, -1):
+        diff[x] = (diff[x] - diff[x - spp]) & 0xFF
+    return bytes(diff)
+
+
 def _read_values(payload: bytes, bo: str, typ: int, count: int,
                  raw: bytes) -> list[int] | None:
     size = _TYPE_SIZE.get(typ)
@@ -126,7 +241,7 @@ def decode_tiff(payload: bytes | None):
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack(bo + "HHI", payload[e:e + 8])
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317):
             vals = _read_values(payload, bo, typ, count, payload[e + 8:e + 12])
             if vals is None:
                 return None
@@ -145,6 +260,7 @@ def decode_tiff(payload: bytes | None):
     photometric = tags.get(262, [1])[0]
     rows_per_strip = tags.get(278, [h])[0] or h
     planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
 
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         return None                       # decode-bomb guard (see above)
@@ -152,8 +268,10 @@ def decode_tiff(payload: bytes | None):
         return None
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         return None
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         return None
+    if predictor not in (1, 2) or (predictor == 2 and compression == 1):
+        return None                       # predictor only with compression
     if len(strip_offs) != len(strip_counts):
         return None
 
@@ -170,10 +288,19 @@ def decode_tiff(payload: bytes | None):
         raw = payload[off:off + cnt]
         if compression == 32773:
             raw = packbits_decode(raw, expect)
-            if raw is None:
-                return None
+        elif compression == 5:
+            raw = lzw_decode(raw, expect)
+        if raw is None:
+            return None
         if len(raw) != expect:
             return None
+        if predictor == 2:                # per-row horizontal differencing
+            dec = bytearray(raw)
+            for y0 in range(0, expect, row_bytes):
+                row = dec[y0:y0 + row_bytes]
+                _predictor2_decode(row, spp)
+                dec[y0:y0 + row_bytes] = row
+            raw = bytes(dec)
         out += raw
         rows_left -= strip_rows
     if rows_left != 0:
@@ -186,16 +313,20 @@ def decode_tiff(payload: bytes | None):
 def encode_tiff(width: int, height: int, channels: int, samples: bytes,
                 byte_order: str = "<", compression: int = 1,
                 rows_per_strip: int | None = None,
-                photometric: int | None = None) -> bytes:
+                photometric: int | None = None,
+                predictor: int = 1) -> bytes:
     """Valid baseline TIFF from top-down samples (fixture/test side):
     header + pixel strips + trailing IFD, multi-strip when
-    ``rows_per_strip`` < height, optional PackBits."""
+    ``rows_per_strip`` < height, optional PackBits (32773) or LZW (5),
+    optional horizontal-differencing predictor 2."""
     if channels not in (1, 3):
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
         raise ValueError("encode_tiff: samples length != w*h*ch")
-    if compression not in (1, 32773):
-        raise ValueError("encode_tiff: compression must be 1 or 32773")
+    if compression not in (1, 5, 32773):
+        raise ValueError("encode_tiff: compression must be 1, 5 or 32773")
+    if predictor not in (1, 2) or (predictor == 2 and compression == 1):
+        raise ValueError("encode_tiff: predictor 2 needs compression")
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byte_order must be '<' or '>'")
@@ -208,7 +339,15 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     for y0 in range(0, height, rps):
         rows = min(rps, height - y0)
         raw = samples[y0 * row_bytes:(y0 + rows) * row_bytes]
-        strips.append(packbits_encode(raw) if compression == 32773 else raw)
+        if predictor == 2:
+            raw = b"".join(
+                _predictor2_encode(raw[r:r + row_bytes], channels)
+                for r in range(0, len(raw), row_bytes))
+        if compression == 32773:
+            raw = packbits_encode(raw)
+        elif compression == 5:
+            raw = lzw_encode(raw)
+        strips.append(raw)
 
     head = (b"II*\x00" if bo == "<" else b"MM\x00*")
     pos = 8
@@ -238,6 +377,8 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         (277, 3, [channels]), (278, 4, [rps]), (279, 4, cnts),
         (284, 3, [1]),
     ]
+    if predictor == 2:
+        fields.append((317, 3, [2]))      # tags stay in ascending order
     n = len(fields)
     blob_off = ifd_off + 2 + 12 * n + 4
     entries, blobs = b"", b""

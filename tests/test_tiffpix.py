@@ -152,3 +152,137 @@ def test_resample_operator_decodes_tiff(spark):
     assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
     f = extract_features(media).collect()[0]
     assert f["feature_src"] == "pixels"
+
+
+# ------------------------------------------------------------------ LZW
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("ch", [1, 3])
+@pytest.mark.parametrize("rps", [4, None])
+def test_lzw_roundtrip_matrix(bo, pred, ch, rps):
+    """LZW (compression 5) x predictor x byte order x strip layout."""
+    w, h = 13, 9
+    data = _samples(w, h, ch, seed=ch + pred)
+    enc = tiffpix.encode_tiff(w, h, ch, data, byte_order=bo, compression=5,
+                              rows_per_strip=rps, predictor=pred)
+    assert tiffpix.decode_tiff(enc) == (w, h, ch, data)
+
+
+def _lcg_bytes(n, seed=1):
+    out, s = bytearray(), seed
+    for _ in range(n):
+        s = (1103515245 * s + 12345) % (1 << 31)
+        out.append((s >> 16) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_width_bumps_and_table_reset():
+    """High-entropy streams drive the code table past the 9->10->11->12
+    bit boundaries and the 4094-entry Clear reset; runs and empty input
+    cover the degenerate shapes."""
+    for d in (b"", b"A", b"AAAAAAAA", bytes(range(256)) * 4,
+              _lcg_bytes(2000), _lcg_bytes(20000, 7), b"\x00" * 9000,
+              _lcg_bytes(60000, 42)):
+        assert tiffpix.lzw_decode(tiffpix.lzw_encode(d), len(d)) == d
+
+
+def test_lzw_defensive():
+    good = tiffpix.lzw_encode(b"hello world")
+    # output bound enforced
+    assert tiffpix.lzw_decode(good, 5) is None
+    def pack9(codes):
+        acc = nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    # a code beyond next_code is malformed (after Clear+'A', next is 258)
+    assert tiffpix.lzw_decode(pack9([256, 65, 400]), 100) is None
+    # first code after clear must be a literal
+    assert tiffpix.lzw_decode(pack9([256, 300]), 100) is None
+    # predictor 2 with no compression is rejected on both sides
+    with pytest.raises(ValueError):
+        tiffpix.encode_tiff(2, 2, 1, bytes(4), predictor=2)
+    raw = tiffpix.encode_tiff(2, 2, 1, bytes(4))
+    pred_tag = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0)
+    # splicing a predictor=2 tag into an uncompressed file -> None (spec
+    # ties the predictor to a compressor); build via encode then check
+    lzw = tiffpix.encode_tiff(3, 3, 1, _lcg_bytes(9), compression=5,
+                              predictor=2)
+    assert tiffpix.decode_tiff(lzw) == (3, 3, 1, _lcg_bytes(9))
+
+
+def test_lzw_predictor_shrinks_smooth_gradients():
+    grad = bytes((x * 2 + y) & 0xFF for y in range(64) for x in range(64))
+    plain = tiffpix.encode_tiff(64, 64, 1, grad, compression=5)
+    pred = tiffpix.encode_tiff(64, 64, 1, grad, compression=5, predictor=2)
+    assert len(pred) < len(plain) // 2
+    assert tiffpix.decode_tiff(plain) == tiffpix.decode_tiff(pred)
+
+
+# A 40x40 grayscale LZW TIFF written by an INDEPENDENT implementation
+# (Java 17 ImageIO's TIFF plugin, MODE_EXPLICIT + "LZW"), pixels from the
+# LCG rule below — pins cross-ecosystem bit-compat of the width-change
+# rule (the stream crosses the 511 and 1023 table boundaries).
+_JAVA_LZW_TIFF_B64 = (
+    "TU0AKgAAAAgADAEAAAMAAAABACgAAAEBAAMAAAABACgAAAECAAMAAAABAAgAAAEDAAMA"
+    "AAABAAUAAAEGAAMAAAABAAEAAAERAAQAAAABAAAAsAEVAAMAAAABAAEAAAEWAAMAAAAB"
+    "ACgAAAEXAAQAAAABAAAIAwEaAAUAAAABAAAAoAEbAAUAAAABAAAAqAEoAAMAAAABAAEA"
+    "AAAAAAAAAAAAAAEAAAABAAAAAQAAAAGAPhJm9PlZvI11CVsn08n8HPEVot5lhyokEMQF"
+    "JpZp1clVtghlAojBVDNRZqsUGFbjMLoAsAdwm81pl7uJWmMVtNSJJ1A0aHIcnYAJg4h9"
+    "DNFcg18s0kMVuossJkyoR0rVGJcduh6rcEDRBlZChRcJALo9nhhrAFLuNhKQLJZjuFsr"
+    "A5FkOHc4rJPqRmiIhs5zLwzpcZH0CJhahVFA0fnc8kA0B9gLYmCZrBwDgdMvB3i90vBK"
+    "EYCEM8EBQGhHiJlOI6pVAqA4iwIi4XHUYp4ZsFuDQTrN3tRjotDixRjAMKFNv8nPsOlZ"
+    "SM8ON9irBnpxShUXLcvggWgdmpRbmJ0uw0qVzFsJoQHO93hItOVPg9ptOtKtMDFghoCL"
+    "lBPojE2UYQgyQZ7kEVwXESAQsQCDh8hmSwZhgGRrl0IA5FuAxfkGPh3AGVoTBQJhVD+M"
+    "ZYhIc4SGYeJuDCEoICYbwvjGTQlhIFQ5A0aIhiaERxBIYZ6g4ShKACPoWDoNJxkiTRQj"
+    "8N4DmYe4aEuaoukiZInmoWImgafgbimQIRH0RxqhSQAFGWG4dlmKqjFCehIi6EhogGb5"
+    "KE4LxCmqFA0hAVhhnsShiiuZ4rEAIQvFOP56g8Rx4CcYpLE2WwXCYVZ9AQO4eHUIIKlQ"
+    "WYYA0SJ+kIdBXGIeBGise5KF8ZxphUS4pn4eoIHMMA1B+bRmE2KAPCUM4iCWIQxjYNom"
+    "EOUhImsTAoAkPQsgwUgODiMYOmODZKAOIpIAOcxABoZQkk2QQOEmZ5clMQ4DiIPZKh2d"
+    "RonMRpdD6FITFoGANmaG45myJgXjIcr+hcfQkA+JRIAKVw7haB46j0ORkHOSxwjqZhlD"
+    "ebpVGaZpTHeZQ7DecZtjyVgoCOAgincPhaHcSJlk8IgInKDpWn6DItHYf4lk4Q4GzYbI"
+    "qi2rRyisHYgg8YIAmeaw9mIPQoFIWqnGsGY5icEwOnMEJsmwHAznMD4NjsGBHDiKhAHY"
+    "VRvCIHZwl2BJAlsAhdCqdJYksFBdmEeYsgKGJaHuCpNkWKYmFQd4mjwH5uC4eQ2CcLQ7"
+    "gYPYKmOHxpksf5ElwF5bmafojG2dYQHIJQaCQfoYEkfo+hIPBUguABFmkZhCAaCoelUB"
+    "xxFkY4onycwzH+VBMHIBxgmkZY3i6fB3n0KhICUDQ7mmTIcEoe5ZnQE4dFYaxwFcVo3G"
+    "yY5IicSZTCANpbBGZgEEKTomigEZAj4apDk2CRYCAD43g5jqDsKkaQbBlDKAcPcKAiAS"
+    "i+CwDIXYdQLAAGMIwFwqB+goACMAfw5hdDWCCE4C4URggZHwAYMgIxUCZBeC4d4mgVBc"
+    "GoFsCgawZCTGOK4AItA0jPDEAwLARgzieGmJgVAvQ0hQEOG4EQvgfB7DeHIVoVxpB3HK"
+    "LUJgUA6DnEWLQNw9xoAJCAIcUQoQaBoBoLYYY/RLgmE8E4T47w9jrEuGoUCyQkAxCgPo"
+    "JoOQHjAGcHkAgxB1j0D+QcGwPgTAfDQIoaoCwKgQH4PsXQgBzjMAeOcJwUgMDNCCM8dQ"
+    "DhogwB8Q0BotwVBmC8PMU4Jx/BTF6JgcQiwMAsAsOgUoIA9hkFQGsIQbBOBjBOGsZwLw"
+    "3AeFwPATwlwPCuAAA4dQBBrBrGQIwLglBAgIEAHYDIVQwDVFOBARA1B7gFHQEQcIXBLC"
+    "sDMIIJIHBIDYEiLIBAHhrjpDoJ4DIpRLgYDEP8EwcQFDQDWBoWQ/xOBBH8IsfAugIhXF"
+    "OKwZQuQnj7GAMEOweR+hJE0MwPwwQJAdDOLcUQhgDApHCDgRwiwlhvEeJYEwFwcDXAqD"
+    "sJo8w+gyg8JsRA7R5hiFaFUcQFgwAbEyKkbI/QBjYFyP0WQBRZCUDGNMewtwriDDCIsK"
+    "IEQyjnDaA4XIjRTg8GCCgE46xeAFCcBYWAkhAg9AqJcXAAAhg2GKIAToowyB1D2KQBAD"
+    "xsjIDAI4YIZxVigDwF0YIfg1iFG4MUa49wV01AEBUNYfx0BNB/OkTQXBSC8DIIMO4Dh/"
+    "C/FMLwWohwBAPE4JUSIbQKiJHsFMEAPBPgQDGOUWIRx+juFmCIBYlB+BXHsEEbo3BBip"
+    "EeGkTAphtixGeNQRgYReDsEoNUf44QACdAQL0ToshWg4DQHgNoHRbhzEEF0FAyRUDwCa"
+    "HwWAbwKBjGGHMe47Q7irHSJUSYvx+AkFEOgaQqgdBMGUDoBQGhzBoFKGoPwhAIDSFMJM"
+    "BgxwwARBILoQQaQ7juDMDAIYGwpglBqMUVw6Q5hZHAH8MoDADiCCOHMLgKA4DjDOPoL4"
+    "hhyBQEUEIOYjhzhKAGCEG4gB+g5AqJEGARBhDPD+C0VozQmBZGKLwUYXg/iIBOIEUwsh"
+    "ej2HMOwfQ1gLB2CaOAJIOx2DwEmiMH4mwqiPDAOUJgrR7DcBwGIGwogbDaBAJgPITw+C"
+    "sE8DYS4ZRnAsF2LASwnw3hoEMDwOYpxFgcD0M8BgrhShWGOGIYgVQ1AbCWNAeIUgLDDG"
+    "EAobo8RFB3DqGwaobRmDjDgIoUQrg/AiAQJsLg7xMh2BtXwLQZgbgVF0JATYjQXB+E8A"
+    "kf4vAcChDiPMRgJhpgGGwJUI47gLhZCkFYOwRARD2D8EwUYrx9AFCAGsVo4g8izFqCsF"
+    "IDRei9EqBscwhQaB0DmLsIIQQbDeACJgXwchqCYB8Hwf2aRdIRH6KMcgtRZghCYDYMgE"
+    "AcjnE0HYTYcBmiAGcEQSAQRTjCD8CoIDvQjiDFcCgH5AQA=="
+)
+
+
+def test_lzw_decodes_java_imageio_output():
+    import base64
+    payload = base64.b64decode(_JAVA_LZW_TIFF_B64)
+    expected = _lcg_bytes(1600, seed=9)
+    assert tiffpix.decode_tiff(payload) == (40, 40, 1, expected)
