@@ -14,8 +14,10 @@ Scope (baseline, the formats a pipeline actually meets): 8 bits per
 sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar
 config, Compression 1 (none), 5 (LZW per TIFF 6.0 §13 — MSB-first
 packing, early code-width change, Clear/EOI, optionally with the
-horizontal-differencing Predictor 2, tag 317) or 32773 (PackBits, the
-spec's own RLE), PhotometricInterpretation 0/1/2 (WhiteIsZero is
+horizontal-differencing Predictor 2, tag 317), 8/32946 (Adobe/legacy
+Deflate — stdlib zlib, bounded decompress, predictor supported) or
+32773 (PackBits, the spec's own RLE), PhotometricInterpretation 0/1/2
+(WhiteIsZero is
 inverted on decode so consumers always see black=0), both byte orders,
 multi-strip files. Anything else — JPEG-in-TIFF, 16-bit, tiles,
 planar=2 — returns None: a 100TB scan must never die on one odd blob;
@@ -27,6 +29,7 @@ channels, samples) row-major top-down interleaved, black=0.
 from __future__ import annotations
 
 import struct
+import zlib
 
 # decode-bomb guard, same rationale/value as pngpix/gifpix/bmppix: IFD
 # dims are attacker-controlled, and a tiny PackBits stream can claim a
@@ -268,7 +271,7 @@ def decode_tiff(payload: bytes | None):
         return None
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         return None
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         return None
     if predictor not in (1, 2) or (predictor == 2 and compression == 1):
         return None                       # predictor only with compression
@@ -290,6 +293,13 @@ def decode_tiff(payload: bytes | None):
             raw = packbits_decode(raw, expect)
         elif compression == 5:
             raw = lzw_decode(raw, expect)
+        elif compression in (8, 32946):
+            try:
+                # bounded decompress: a tiny stream claiming huge output
+                # is cut at expect+1 and rejected by the length check
+                raw = zlib.decompressobj().decompress(raw, expect + 1)
+            except zlib.error:
+                return None
         if raw is None:
             return None
         if len(raw) != expect:
@@ -323,8 +333,9 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
         raise ValueError("encode_tiff: samples length != w*h*ch")
-    if compression not in (1, 5, 32773):
-        raise ValueError("encode_tiff: compression must be 1, 5 or 32773")
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError("encode_tiff: compression must be 1, 5, 8 or "
+                         "32773")
     if predictor not in (1, 2) or (predictor == 2 and compression == 1):
         raise ValueError("encode_tiff: predictor 2 needs compression")
     bo = byte_order
@@ -347,6 +358,8 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
             raw = packbits_encode(raw)
         elif compression == 5:
             raw = lzw_encode(raw)
+        elif compression == 8:
+            raw = zlib.compress(raw, 6)
         strips.append(raw)
 
     head = (b"II*\x00" if bo == "<" else b"MM\x00*")

@@ -41,7 +41,8 @@ def _decode_image_pixels(payload):
     inflate + unfilter), GIF (full LZW + palette), baseline/progressive
     JPEG (Huffman + dequant + IDCT; gray, 4:4:4 and subsampled YCbCr),
     BMP (BI_RGB 8/24/32bpp, bottom-up + padding undone), baseline TIFF
-    (IFD walk, strips, none/PackBits, both byte orders), or lossless
+    (IFD walk, strips, none/PackBits/LZW/Deflate with Predictor 2, both
+    byte orders), or lossless
     WebP (VP8L: Huffman/LZ77 + color cache + all four transforms) — else
     None (lossy VP8 and compressed a/v codecs stay honest
     library-territory Nones)."""

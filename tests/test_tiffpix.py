@@ -9,6 +9,7 @@ core/utils.py:13-15) — this engine decodes the real bytes itself."""
 from __future__ import annotations
 
 import struct
+import zlib
 
 import pytest
 
@@ -85,10 +86,13 @@ def test_defensive_returns_none():
     assert tiffpix.decode_tiff(b"not tiff") is None
     # truncated: IFD sits past the strips, so any truncation kills it
     assert tiffpix.decode_tiff(good[:len(good) // 2]) is None
-    # LZW compression (5) rejected — baseline only
+    # JPEG-in-TIFF compression (7) rejected — out of scope
     lzw = tiffpix.encode_tiff(5, 4, 3, _samples(5, 4, 3))
     i = lzw.index(struct.pack("<HHI", 259, 3, 1))
     bad = bytearray(lzw)
+    bad[i + 8] = 7
+    assert tiffpix.decode_tiff(bytes(bad)) is None
+    # ...and raw pixel bytes relabeled as LZW are a malformed stream
     bad[i + 8] = 5
     assert tiffpix.decode_tiff(bytes(bad)) is None
     # planar configuration 2 rejected
@@ -286,3 +290,36 @@ def test_lzw_decodes_java_imageio_output():
     payload = base64.b64decode(_JAVA_LZW_TIFF_B64)
     expected = _lcg_bytes(1600, seed=9)
     assert tiffpix.decode_tiff(payload) == (40, 40, 1, expected)
+
+
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("ch", [1, 3])
+def test_deflate_roundtrip_and_legacy_tag(pred, ch):
+    """Compression 8 (Adobe Deflate, stdlib zlib) round-trips with and
+    without the predictor; legacy tag 32946 decodes the same streams."""
+    w, h = 11, 7
+    data = _samples(w, h, ch, seed=pred)
+    enc = tiffpix.encode_tiff(w, h, ch, data, compression=8,
+                              rows_per_strip=3, predictor=pred)
+    assert tiffpix.decode_tiff(enc) == (w, h, ch, data)
+    # rewrite the compression SHORT 8 -> 32946 in the IFD and re-decode
+    legacy = enc.replace(struct.pack("<HHI", 259, 3, 1)
+                         + struct.pack("<HH", 8, 0),
+                         struct.pack("<HHI", 259, 3, 1)
+                         + struct.pack("<HH", 32946, 0))
+    assert legacy != enc
+    assert tiffpix.decode_tiff(legacy) == (w, h, ch, data)
+
+
+def test_deflate_defensive():
+    # corrupt zlib stream -> None, not an exception
+    enc = tiffpix.encode_tiff(4, 4, 1, _samples(4, 4, 1), compression=8)
+    data_off = 8
+    bad = enc[:data_off] + b"\xff\xff" + enc[data_off + 2:]
+    assert tiffpix.decode_tiff(bad) is None
+    # a stream inflating past the expected strip size is rejected
+    big = zlib.compress(b"\x00" * 100000)
+    w = h = 4
+    raw = tiffpix.encode_tiff(w, h, 1, _samples(w, h, 1), compression=8)
+    spliced = raw.replace(zlib.compress(_samples(w, h, 1), 6), big)
+    assert tiffpix.decode_tiff(spliced) is None
