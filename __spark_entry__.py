@@ -3239,6 +3239,86 @@ FROM bounded b JOIN stats s USING (media_id)
 """
 
 
+def _jpeg_lossless_pixels(spark, sf_dir):
+    """LOSSLESS JPEG decode (SOF3, T.81 Annex H — core/jpegpix.py): the
+    DPCM process DNG raws and DICOM archives use. No DCT and no
+    quantization, so EVERY sample round-trips exactly — these fixtures
+    are PER-PIXEL GRADIENTS (not the blockwise-constant trick the lossy
+    pairs need), which a baseline decoder could never reproduce
+    bit-exactly; ids cycle ALL SEVEN Annex H predictors while the oracle
+    stays branch-free because lossless output is predictor-invariant.
+    3-component samples carry no colour transform (T.81 defines none for
+    lossless; JFIF covers only DCT processes), so the oracle replays the
+    plane generators directly through the NN resample map."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import resample_images
+    rows = []
+    for i in range(100):
+        w, h = 5 + (i % 13), 4 + ((i * 3) % 12)
+
+        def plane(f):
+            return bytes(f(x, y) % 256
+                         for y in range(h) for x in range(w))
+        payload = jpegpix.encode_jpeg_lossless(
+            w, h,
+            [plane(lambda x, y: 3 * x + 7 * y + i),
+             plane(lambda x, y: 5 * x + 11 * y + 2 * i),
+             plane(lambda x, y: 13 * x + y + 3 * i)],
+            predictor=1 + (i % 7))
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    return (resample_images(media, max_size=12)
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean")))
+
+
+_JPEG_LOSSLESS_SQL = """
+WITH dims AS (
+  SELECT i AS media_id,
+         (5 + (i % 13))::INT AS w, (4 + ((i * 3) % 12))::INT AS h
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(w * (12.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(h * (12.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), src AS (
+  -- flat interleaved index -> component + NN source pixel (sx, sy)
+  SELECT media_id, i, i % 3 AS c,
+         ((((i // 3) % nw) * w) // nw) AS sx,
+         (((i // (nw * 3)) * h) // nh) AS sy
+  FROM (SELECT media_id, w, h, nw, nh,
+               unnest(generate_series(0, nw * nh * 3 - 1)) AS i
+        FROM bounded)
+), out_vals AS (
+  -- lossless decode is exact and carries no colour transform: the
+  -- output value IS the per-pixel plane generator
+  SELECT media_id, i,
+         CASE c
+           WHEN 0 THEN (3 * sx + 7 * sy + media_id) % 256
+           WHEN 1 THEN (5 * sx + 11 * sy + 2 * media_id) % 256
+           ELSE (13 * sx + sy + 3 * media_id) % 256 END AS v
+  FROM src
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+)
+SELECT b.media_id, 'jpeg' AS format, b.w AS width, b.h AS height,
+       3 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean
+FROM bounded b JOIN stats s USING (media_id)
+"""
+
+
 def _bmp_pixels(spark, sf_dir):
     """REAL BMP pixel decode (core/bmppix.py — the round-5 'what's
     missing' #1, first half): payloads are complete BI_RGB 24bpp BMPs
@@ -4081,7 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
         "image_resample_pixels": _image_resample_pixels,
-        "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
+        "jpeg_lossless_pixels": _jpeg_lossless_pixels,
         "bmp_pixels": _bmp_pixels,
         "tiff_pixels": _tiff_pixels,
         "tiff_lzw_pixels": _tiff_lzw_pixels,
@@ -4098,6 +4178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_waveform_features": _audio_waveform_features,
         "t_quality": _t_quality,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
+        "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "p3_json_field_default": _p3_json_field_default,
         "s5_resize_dims": _s5_resize_dims,
         "dedup_minhash_sigs": _dedup_minhash_sigs,
@@ -4205,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_resample_pixels": _JPEG_RESAMPLE_SQL,
         "jpeg_color_pixels": _JPEG_COLOR_SQL,
         "jpeg_subsampled_pixels": _JPEG_SUBSAMPLED_SQL,
+        "jpeg_lossless_pixels": _JPEG_LOSSLESS_SQL,
         # progressive re-codes the same coefficients losslessly, so the
         # baseline-gray SQL twin applies verbatim — sharing it IS the claim
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,

@@ -20,9 +20,14 @@ approximation (DC raw-bit refinement, AC ±1-at-bit refinement with
 correction bits), EOB-run coding, interleaved multi-component DC scans.
 Since progressive is a lossless RE-CODING of the same quantized
 coefficients, decode(progressive(px)) == decode(baseline(px)) exactly —
-the property the tests fuzz. Arithmetic/lossless/hierarchical SOFs and
-sampling factors >2 return None — at 100 TB those route to a codec
-fleet; the scan must never die on one blob.
+the property the tests fuzz. **LOSSLESS (SOF3)** is also decoded — the
+T.81 Annex H sequential DPCM process (predictors 1-7 with the spec's
+first-line/first-column overrides, Huffman-coded SSSS difference
+categories, point transform, mod-2^16 reconstruction) used by DNG raws
+and DICOM archives; no DCT, no quantization, so EVERY pixel value
+round-trips exactly. Arithmetic/hierarchical SOFs and sampling factors
+>2 return None — at 100 TB those route to a codec fleet; the scan must
+never die on one blob.
 
 Exactness: JPEG is lossy in general, but a block whose 64 samples are one
 CONSTANT EVEN value round-trips EXACTLY through FDCT → /16 quant → IDCT
@@ -191,6 +196,8 @@ def decode_jpeg(payload: bytes | None):
     restart_interval = 0
     comps: list[dict] | None = None
     progressive = False
+    lossless = False
+    predictor = pt = 0
     prog_ready = False
     hmax = vmax = mcux = mcuy = 0
     i, n = 2, len(payload)
@@ -261,7 +268,23 @@ def decode_jpeg(payload: bytes | None):
                 # single-component scans are non-interleaved: the MCU is
                 # one block regardless of declared factors (spec A.2.2)
                 comps[0]["sh"] = comps[0]["sv"] = 1
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:                # SOF3 lossless (T.81 Annex H)
+            if comps is not None:
+                return None
+            if len(seg) < 6 or seg[0] != 8:
+                return None                 # 8-bit precision only
+            lossless = True
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
+                return None
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, _tq = seg[6 + 3 * c:9 + 3 * c]
+                if sampling != 0x11:
+                    return None             # lossless: 1x1 sampling only
+                comps.append({"id": cid, "sh": 1, "sv": 1})
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None                     # other SOF types out of scope
         elif marker == 0xDD:                # DRI
@@ -285,6 +308,15 @@ def decode_jpeg(payload: bytes | None):
                 scan.append(by_id[cs])
             ss_, se_, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             ah_, al_ = ahal >> 4, ahal & 0x0F
+            if lossless:
+                # Annex H scan header: Ss = predictor selection (1-7),
+                # Se = 0, Ah = 0, Al = point transform (< precision)
+                if ns != len(comps) or not 1 <= ss_ <= 7 or se_ != 0 \
+                        or ah_ != 0 or al_ > 7:
+                    return None
+                predictor, pt = ss_, al_
+                data_start = i + 2 + seg_len
+                break
             if not progressive:
                 if ns != len(comps) or ss_ != 0 or se_ != 63 or ahal != 0:
                     return None
@@ -329,6 +361,29 @@ def decode_jpeg(payload: bytes | None):
         return None
     if w * h > MAX_PIXELS:
         return None                         # decode-bomb guard (see above)
+    if lossless:
+        if restart_interval:
+            return None     # DRI in lossless scans: out of scope (the
+                            # restart re-enters first-line prediction
+                            # state mid-image; codec-fleet territory)
+        for c in comps:
+            if c["dc"] not in dc_tables:
+                return None
+        planes = _decode_lossless(
+            _BitReader(payload[data_start:]), w, h,
+            [dc_tables[c["dc"]] for c in comps], predictor, pt)
+        if planes is None:
+            return None
+        if len(comps) == 1:
+            return (w, h, 1, bytes(planes[0]))
+        # T.81 defines no colour transform for lossless and JFIF (T.871)
+        # covers only the DCT processes: 3-component samples pass through
+        # as-is in component order (the DNG/DICOM convention) — which is
+        # also what makes every output value exactly the coded sample
+        out = bytearray(w * h * 3)
+        for ci in range(3):
+            out[ci::3] = planes[ci]
+        return (w, h, 3, bytes(out))
     for c in comps:
         if c["qt"] not in qtables or c["dc"] not in dc_tables \
                 or c["ac"] not in ac_tables:
@@ -653,6 +708,72 @@ def _finalize_progressive(w: int, h: int, comps: list[dict], qtables,
     full = [_upsample(c["plane"], c["cw"], w, h, c["sh"], hmax,
                       c["sv"], vmax) for c in comps]
     return (w, h, 3, _ycbcr_to_rgb(full[0], full[1], full[2]))
+
+
+def _px_predict(plane: bytearray, w: int, xx: int, yy: int,
+                predictor: int, default: int) -> int:
+    """Annex H.1.2 prediction for sample (xx, yy) over the already-
+    reconstructed plane: the very first sample uses 2^(P-1-Pt), the rest
+    of line 1 uses Ra, the first column uses Rb (both overrides apply
+    regardless of the selected predictor), everything else the selected
+    predictor 1-7. Shared verbatim by the decoder and the fixture
+    encoder so the DPCM loop cannot desynchronize."""
+    row = yy * w
+    if yy == 0:
+        return plane[row + xx - 1] if xx else default
+    if xx == 0:
+        return plane[row - w]
+    ra = plane[row + xx - 1]
+    rb = plane[row - w + xx]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    rc = plane[row - w + xx - 1]
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1                    # predictor 7
+
+
+def _decode_lossless(reader: _BitReader, w: int, h: int,
+                     tables: list[_HuffTable], predictor: int, pt: int):
+    """Annex H sequential lossless scan: interleaved MCU = one sample per
+    component (all factors forced 1×1 by the SOF3 parse), per-component
+    Huffman SSSS category + EXTEND difference (SSSS 16 codes 32768 with
+    no extra bits, H.2.2), prediction over the Pt-shifted sample domain,
+    reconstruction mod 2^16 reduced to the 8-bit range, and the point
+    transform undone by a final left shift. Returns the component planes
+    or None on a corrupt stream."""
+    ncomp = len(tables)
+    planes = [bytearray(w * h) for _ in range(ncomp)]
+    default = 128 >> pt                      # 2^(P-1-Pt) with P = 8
+    for yy in range(h):
+        row = yy * w
+        for xx in range(w):
+            for ci in range(ncomp):
+                size = reader.read_symbol(tables[ci])
+                if size is None or size > 16:
+                    return None
+                if size == 16:
+                    diff = 32768
+                else:
+                    bits = reader.read_bits(size)
+                    if bits is None:
+                        return None
+                    diff = _extend(bits, size)
+                px = _px_predict(planes[ci], w, xx, yy, predictor, default)
+                planes[ci][row + xx] = (px + diff) & 0xFF
+    if pt:
+        for plane in planes:
+            for j in range(len(plane)):
+                plane[j] = (plane[j] << pt) & 0xFF
+    return planes
 
 
 def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
@@ -1260,3 +1381,52 @@ def encode_jpeg_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
     return _jpeg_file(w, h, qt, 3, bytes(writer.out),
                       samplings=[(sh << 4) | sv, 0x11, 0x11],
                       restart_interval=restart_interval)
+
+
+def encode_jpeg_lossless(w: int, h: int, planes: list[bytes],
+                         predictor: int = 4, pt: int = 0) -> bytes:
+    """A real LOSSLESS JPEG (SOF3, T.81 Annex H): per-sample DPCM with
+    the selected predictor (1-7), differences Huffman-coded as Annex K
+    DC SSSS categories (8-bit diffs never exceed SSSS 9, well inside the
+    table), optional point transform Pt (samples coded at reduced
+    precision — only multiples of 2^Pt round-trip exactly; Pt=0 is exact
+    for EVERY input). ``planes`` is [gray] or [c0, c1, c2] full-res
+    planes; 3-component samples carry no colour transform (see
+    decode_jpeg). Prediction runs through the same _px_predict the
+    decoder uses, so encode→decode is an identity at Pt=0 by
+    construction — the property the tests fuzz across all 7 predictors."""
+    if predictor not in range(1, 8) or not 0 <= pt <= 7:
+        raise ValueError("predictor must be 1-7, pt 0-7")
+    if len(planes) not in (1, 3) or any(len(p) != w * h for p in planes):
+        raise ValueError("need 1 or 3 plane buffers of w*h bytes")
+    dc_codes = _encode_codes(_DC_COUNTS, _DC_SYMBOLS)
+    writer = _BitWriter()
+    default = 128 >> pt
+    shifted = [bytearray(v >> pt for v in p) for p in planes]
+    recon = [bytearray(w * h) for _ in planes]
+    for yy in range(h):
+        row = yy * w
+        for xx in range(w):
+            for ci, plane in enumerate(shifted):
+                px = _px_predict(recon[ci], w, xx, yy, predictor, default)
+                diff = plane[row + xx] - px
+                size = _size_of(diff)
+                code, ln = dc_codes[size]
+                writer.write(code, ln)
+                if size:
+                    writer.write(diff if diff > 0
+                                 else diff + (1 << size) - 1, size)
+                recon[ci][row + xx] = (px + diff) & 0xFF
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    ncomp = len(planes)
+    out = b"\xff\xd8" + seg(0xC4, bytes([0x00]) + _DC_COUNTS + _DC_SYMBOLS)
+    out += seg(0xC3, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+               + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp)))
+    out += seg(0xDA, bytes([ncomp])
+               + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+               + bytes([predictor, 0, pt]))
+    return out + bytes(writer.out) + b"\xff\xd9"

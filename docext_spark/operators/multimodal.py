@@ -39,7 +39,8 @@ from docext_spark.core import (bmppix, gifpix, imagehdr, jpegpix, pngpix,
 def _decode_image_pixels(payload):
     """(w, h, channels, samples) via the real decoders — PNG (stdlib zlib
     inflate + unfilter), GIF (full LZW + palette), baseline/progressive
-    JPEG (Huffman + dequant + IDCT; gray, 4:4:4 and subsampled YCbCr),
+    JPEG (Huffman + dequant + IDCT; gray, 4:4:4 and subsampled YCbCr)
+    plus lossless SOF3 (Annex H DPCM, predictors 1-7, exact),
     BMP (BI_RGB 8/24/32bpp, bottom-up + padding undone), baseline TIFF
     (IFD walk, strips, none/PackBits/LZW/Deflate with Predictor 2, both
     byte orders), or lossless

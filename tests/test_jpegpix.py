@@ -421,3 +421,83 @@ def test_duplicate_sof_returns_none():
     ln = struct.unpack(">H", g[j + 2:j + 4])[0]
     assert jpegpix.decode_jpeg(g[:j + 2 + ln] + g[j:j + 2 + ln]
                                + g[j + 2 + ln:]) is None
+
+
+# ---- lossless (SOF3, T.81 Annex H) ----------------------------------------
+
+@pytest.mark.parametrize("predictor", list(range(1, 8)))
+def test_lossless_exact_roundtrip_all_predictors(predictor):
+    """Lossless JPEG has no DCT and no quantization: encode→decode is an
+    identity for EVERY input, per predictor — including gradients that
+    the lossy baseline could never reproduce exactly."""
+    w, h = 19, 14
+    px = bytes((3 * x + 7 * y + predictor) % 256
+               for y in range(h) for x in range(w))
+    assert jpegpix.decode_jpeg(
+        jpegpix.encode_jpeg_lossless(w, h, [px], predictor=predictor)) \
+        == (w, h, 1, px)
+
+
+def test_lossless_random_fuzz_gray_and_color():
+    random.seed(1234)
+    for _ in range(60):
+        w, h = random.randint(1, 21), random.randint(1, 21)
+        ncomp = random.choice([1, 3])
+        pred = random.randint(1, 7)
+        planes = [bytes(random.randrange(256) for _ in range(w * h))
+                  for _ in range(ncomp)]
+        res = jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_lossless(w, h, planes, predictor=pred))
+        assert res is not None and res[:3] == (w, h, ncomp)
+        if ncomp == 1:
+            assert res[3] == planes[0]
+        else:
+            # 3-component lossless carries no colour transform: output
+            # interleaves the coded samples in component order
+            assert all(res[3][ci::3] == planes[ci] for ci in range(3))
+
+
+def test_lossless_point_transform():
+    """Pt shifts samples down before coding and the decoder shifts back:
+    multiples of 2^Pt round-trip exactly; other values floor to the
+    nearest multiple (the documented precision loss of H.1.2.1)."""
+    w = h = 16
+    for pt in (1, 3):
+        exact = bytes(((5 * x + 11 * y) % (256 >> pt)) << pt
+                      for y in range(h) for x in range(w))
+        assert jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_lossless(w, h, [exact], pt=pt))[3] == exact
+        rough = bytes((5 * x + 11 * y + 1) % 256
+                      for y in range(h) for x in range(w))
+        dec = jpegpix.decode_jpeg(
+            jpegpix.encode_jpeg_lossless(w, h, [rough], pt=pt))[3]
+        assert dec == bytes((v >> pt) << pt for v in rough)
+
+
+def test_lossless_defensive_and_scope():
+    px = bytes(range(64))
+    good = jpegpix.encode_jpeg_lossless(8, 8, [px])
+    # dims visible to the header parser (routing/resize planning)
+    assert imagehdr.parse_dims(good) == ("jpeg", 8, 8)
+    # truncation + corruption sweeps: None or tuple, never a raise
+    for cut in range(0, len(good), 3):
+        r = jpegpix.decode_jpeg(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    random.seed(9)
+    for _ in range(60):
+        bad = bytearray(good)
+        bad[random.randrange(len(bad))] ^= 0xFF
+        r = jpegpix.decode_jpeg(bytes(bad))
+        assert r is None or isinstance(r, tuple)
+    # invalid scan headers: predictor 0, nonzero Se, DRI out of scope
+    sos = good.find(b"\xff\xda")
+    bad_pred = bytearray(good)
+    bad_pred[sos + 7] = 0                 # Ss(predictor)=0
+    assert jpegpix.decode_jpeg(bytes(bad_pred)) is None
+    import struct as _s
+    dri = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 2)
+    assert jpegpix.decode_jpeg(good[:2] + dri + good[2:]) is None
+    with pytest.raises(ValueError):
+        jpegpix.encode_jpeg_lossless(8, 8, [px], predictor=0)
+    with pytest.raises(ValueError):
+        jpegpix.encode_jpeg_lossless(8, 8, [px, px])
