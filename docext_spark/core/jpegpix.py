@@ -306,6 +306,14 @@ def decode_jpeg(payload: bytes | None):
                 by_id[cs]["dc"] = tb >> 4
                 by_id[cs]["ac"] = tb & 0x0F
                 scan.append(by_id[cs])
+            # B.2.3: scan components must follow frame-header order (and
+            # be distinct) — the decode loops walk ``comps`` order, so a
+            # reordered scan header would otherwise be silently accepted
+            # with the entropy stream interleaved differently than read
+            order = [next(j for j, cc in enumerate(comps) if cc is s)
+                     for s in scan]
+            if any(order[k] >= order[k + 1] for k in range(len(order) - 1)):
+                return None
             ss_, se_, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             ah_, al_ = ahal >> 4, ahal & 0x0F
             if lossless:

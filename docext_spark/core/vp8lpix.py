@@ -371,11 +371,11 @@ def _decode_image(br: BitReader, w: int, h: int, allow_meta: bool,
     out = [0] * n
     pos = 0
     group = groups[0]
+    meta_w = _div_round_up(w, meta_bits) if meta is not None else 0
     while pos < n:
         if meta is not None:
-            x, y = pos % w, pos // w
-            mp = meta[(y >> meta_bits) * _div_round_up(w, meta_bits)
-                      + (x >> meta_bits)]
+            y, x = divmod(pos, w)
+            mp = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
             group = groups[(mp >> 8) & 0xFFFF]
         gcode, rcode, bcode, acode, dcode = group
         s = gcode.read_symbol(br)
@@ -466,7 +466,11 @@ def _clamp_add_sub_half(ave: int, c: int) -> int:
     out = 0
     for sh in (24, 16, 8, 0):
         av = (ave >> sh) & 0xFF
-        v = av + ((av - ((c >> sh) & 0xFF)) >> 1)
+        # libwebp ClampedAddSubtractHalf: a + (a - b) / 2 with C division
+        # truncating toward zero — a floor shift would be off by one for
+        # negative odd differences (code-review r6)
+        d = av - ((c >> sh) & 0xFF)
+        v = av + (d // 2 if d >= 0 else -((-d) // 2))
         out |= max(0, min(255, v)) << sh
     return out
 

@@ -501,3 +501,20 @@ def test_lossless_defensive_and_scope():
         jpegpix.encode_jpeg_lossless(8, 8, [px], predictor=0)
     with pytest.raises(ValueError):
         jpegpix.encode_jpeg_lossless(8, 8, [px, px])
+
+
+def test_scan_order_must_follow_frame_order():
+    """T.81 B.2.3: scan-header components must appear in frame-header
+    order. The decode loops walk SOF order, so a reordered scan header
+    would silently interleave the entropy stream differently than read —
+    reject it instead (code-review r6), for baseline and lossless both."""
+    px = bytes((3 * x + 7 * y) % 256 for y in range(8) for x in range(8))
+    for payload in (
+            jpegpix.encode_jpeg_lossless(8, 8, [px, px, px]),
+            jpegpix.encode_jpeg_ycbcr(8, 8, px, px, px)):
+        sos = payload.find(b"\xff\xda")
+        b = bytearray(payload)
+        assert (b[sos + 5], b[sos + 7], b[sos + 9]) == (1, 2, 3)
+        b[sos + 5], b[sos + 9] = 3, 1        # reorder selectors
+        assert jpegpix.decode_jpeg(bytes(b)) is None
+        assert jpegpix.decode_jpeg(payload) is not None   # pristine ok

@@ -476,3 +476,20 @@ def test_resample_operator_decodes_webp(spark):
     assert r["px_checksum"] == sum(b * (i + 1) for i, b in enumerate(out))
     f = extract_features(media).collect()[0]
     assert f["feature_src"] == "pixels"
+
+
+def test_predictor_mode13_truncating_half():
+    """Mode 13 ClampAddSubtractHalf: libwebp computes
+    ave + (ave - TL) / 2 with C division TRUNCATING toward zero; a floor
+    shift is off by one whenever (ave - TL) is negative and odd
+    (code-review r6). TL=15, T=L=10: ave=10, d=-5, trunc(-5/2)=-2 -> 8
+    (floor would give 7)."""
+    res = [(0, 21, 0, 0), (0, 245, 0, 0),      # row 0: r = 21, 10 (mod 256)
+           (0, 245, 0, 0), (0, 0, 0, 0)]       # row 1: r = 10, probe
+    dec = vp8lpix.decode_webp(_predictor_stream(2, 2, 13, res))
+    px = dec[3]
+    # (0,0) r=21; (1,0) r=(21+245)%256=10; (0,1) T fold: (21+245)%256=10
+    assert px[0] == 21 and px[3] == 10 and px[6] == 10
+    # (1,1): L=10, T=10 -> ave=10; TL=21 -> d=-11; trunc(-11/2)=-5 -> 5
+    # (a floor shift gives -6 -> 4: the off-by-one this test pins)
+    assert px[9] == 5
