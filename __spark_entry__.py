@@ -3239,6 +3239,84 @@ FROM bounded b JOIN stats s USING (media_id)
 """
 
 
+def _png_palette_pixels(spark, sf_dir):
+    """PALETTE PNG decode (color type 3 — core/pngpix.py round-6 scope
+    extension): the icon/screenshot format the web actually serves.
+    Fixtures cycle bit depths 1/2/4/8 (sub-byte indices packed MSB-first
+    per scanline), ALL carry a tRNS chunk (entries past it opaque per
+    §11.3.2 — exercised at depth 4/8 where npal exceeds the chunk), rows
+    cycle all five PNG filters, and every third id is Adam7 INTERLACED —
+    a pixel-preserving re-arrangement, so the oracle needs no branch.
+    The SQL twin replays index generator → PLTE lookup → tRNS alpha →
+    NN resample in closed form."""
+    import pandas as pd
+    from docext_spark.core import pngpix
+    from docext_spark.operators.multimodal import resample_images
+    rows = []
+    for i in range(100):
+        w, h = 4 + (i % 12), 3 + ((i * 5) % 11)
+        depth = (1, 2, 4, 8)[i % 4]
+        npal = (2, 4, 16, 16)[i % 4]
+        pal = bytes((k * 7 + c * 31 + i) % 256
+                    for k in range(npal) for c in range(3))
+        trns = bytes((k * 13 + i) % 256 for k in range(min(npal, 6)))
+        idx = bytes((x + 2 * y + i) % npal
+                    for y in range(h) for x in range(w))
+        payload = pngpix.encode_png_palette(
+            w, h, idx, pal, depth, trns=trns,
+            filter_of_row=lambda y: y % 5, interlace=(i % 3 == 0))
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    return (resample_images(media, max_size=12)
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean")))
+
+
+_PNG_PALETTE_SQL = """
+WITH dims AS (
+  SELECT i AS media_id,
+         (4 + (i % 12))::INT AS w, (3 + ((i * 5) % 11))::INT AS h,
+         CASE i % 4 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 16 END AS npal
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h, npal,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(w * (12.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 12
+              THEN greatest(1, floor(h * (12.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), src AS (
+  -- flat RGBA index -> channel + NN source pixel -> palette index
+  SELECT media_id, i, i % 4 AS c,
+         (((((i // 4) % nw) * w) // nw) + 2 * ((i // (nw * 4)) * h // nh)
+          + media_id) % npal AS idx,
+         npal
+  FROM (SELECT media_id, w, h, npal, nw, nh,
+               unnest(generate_series(0, nw * nh * 4 - 1)) AS i
+        FROM bounded)
+), out_vals AS (
+  SELECT media_id, i,
+         CASE WHEN c < 3 THEN (idx * 7 + c * 31 + media_id) % 256
+              WHEN idx < least(npal, 6) THEN (idx * 13 + media_id) % 256
+              ELSE 255 END AS v
+  FROM src
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+)
+SELECT b.media_id, 'png' AS format, b.w AS width, b.h AS height,
+       4 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean
+FROM bounded b JOIN stats s USING (media_id)
+"""
+
+
 def _jpeg_lossless_pixels(spark, sf_dir):
     """LOSSLESS JPEG decode (SOF3, T.81 Annex H — core/jpegpix.py): the
     DPCM process DNG raws and DICOM archives use. No DCT and no
@@ -4160,7 +4238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_classification": _x7_classification,
         "x3_pdf_layout": _x3_pdf_layout,
         "loader_benchmark_corpus": _loader_benchmark_corpus,
-        "image_resample_pixels": _image_resample_pixels,
+        "png_palette_pixels": _png_palette_pixels,
         "jpeg_lossless_pixels": _jpeg_lossless_pixels,
         "bmp_pixels": _bmp_pixels,
         "tiff_pixels": _tiff_pixels,
@@ -4176,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "audio_waveform_features": _audio_waveform_features,
+        "image_resample_pixels": _image_resample_pixels,
         "t_quality": _t_quality,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
@@ -4287,6 +4366,7 @@ def oracle_sql() -> dict[str, str]:
         "jpeg_color_pixels": _JPEG_COLOR_SQL,
         "jpeg_subsampled_pixels": _JPEG_SUBSAMPLED_SQL,
         "jpeg_lossless_pixels": _JPEG_LOSSLESS_SQL,
+        "png_palette_pixels": _PNG_PALETTE_SQL,
         # progressive re-codes the same coefficients losslessly, so the
         # baseline-gray SQL twin applies verbatim — sharing it IS the claim
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,

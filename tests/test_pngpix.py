@@ -190,3 +190,97 @@ def test_decode_bomb_guard():
         + chunk(b"IDAT", bombstream) + chunk(b"IEND", b"")
     assert pngpix.decode_png(zb) is None
     assert pngpix.MAX_PIXELS >= 1_000_000
+
+
+# ---- palette / Adam7 / 16-bit (round-6 scope extension) -------------------
+
+def test_adam7_equals_plain_every_channel_count():
+    """Adam7 is a pixel-preserving re-arrangement (seven independently
+    filtered sub-images): decode(interlaced) == decode(plain) for every
+    input, with mixed per-row filters in both layouts."""
+    import random as _r
+    _r.seed(41)
+    for ch in (1, 2, 3, 4):
+        w, h = _r.randint(1, 20), _r.randint(1, 20)
+        px = bytes(_r.randrange(256) for _ in range(w * h * ch))
+        assert pngpix.decode_png(
+            pngpix.encode_png(w, h, ch, px, lambda y: y % 5, True)) \
+            == (w, h, ch, px)
+    # dims smaller than a full 8x8 Adam7 tile: several passes are empty
+    px = bytes(range(3 * 2 * 3))
+    assert pngpix.decode_png(
+        pngpix.encode_png(3, 2, 3, px, interlace=True)) == (3, 2, 3, px)
+
+
+def test_sixteen_bit_high_byte_downscale():
+    import random as _r
+    _r.seed(42)
+    for ch in (1, 3, 4):
+        w, h = 13, 9
+        px = bytes(_r.randrange(256) for _ in range(w * h * ch))
+        assert pngpix.decode_png(
+            pngpix.encode_png16(w, h, ch, px, lambda y: y % 5)) \
+            == (w, h, ch, px)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_roundtrip_all_depths(depth):
+    """Sub-byte indices pack MSB-first per scanline; PLTE lookup expands
+    to RGB, tRNS adds per-entry alpha (entries past the chunk opaque)."""
+    import random as _r
+    _r.seed(depth)
+    npal = (1 << depth) if depth < 8 else 17
+    pal = bytes((k * 7 + c * 31) % 256
+                for k in range(npal) for c in range(3))
+    for interlace in (False, True):
+        w, h = _r.randint(1, 19), _r.randint(1, 19)
+        idx = bytes(_r.randrange(npal) for _ in range(w * h))
+        dec = pngpix.decode_png(pngpix.encode_png_palette(
+            w, h, idx, pal, depth, filter_of_row=lambda y: y % 5,
+            interlace=interlace))
+        assert dec == (w, h, 3,
+                       bytes(b for i in idx for b in pal[i * 3:i * 3 + 3]))
+        trns = bytes((k * 13 + 1) % 256 for k in range(min(npal, 5)))
+        dec2 = pngpix.decode_png(pngpix.encode_png_palette(
+            w, h, idx, pal, depth, trns=trns, interlace=interlace))
+        want = bytearray()
+        for i in idx:
+            want += pal[i * 3:i * 3 + 3]
+            want.append(trns[i] if i < len(trns) else 255)
+        assert dec2 == (w, h, 4, bytes(want))
+
+
+def test_palette_defensive():
+    """Corrupt palette files: index past PLTE, missing PLTE, truncations
+    and bit flips — None or a tuple, never a raise."""
+    import random as _r
+    import struct
+    import zlib as _z
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">II", 4, 1) + bytes([8, 3, 0, 0, 0])
+    raw = b"\x00" + bytes([0, 1, 2, 3])       # one unfiltered row
+    # 2-entry palette but indices reach 3 -> corrupt, must be None
+    bad = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", bytes(6))
+           + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    assert pngpix.decode_png(bad) is None
+    # palette image without PLTE
+    noplte = (sig + chunk(b"IHDR", ihdr)
+              + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b""))
+    assert pngpix.decode_png(noplte) is None
+    good = pngpix.encode_png_palette(
+        7, 5, bytes((i % 11) for i in range(35)),
+        bytes(range(33)), depth=4, trns=bytes([9, 8]), interlace=True)
+    for cut in range(0, len(good), 4):
+        r = pngpix.decode_png(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    _r.seed(3)
+    for _ in range(60):
+        b = bytearray(good)
+        b[_r.randrange(len(b))] ^= 0xFF
+        r = pngpix.decode_png(bytes(b))
+        assert r is None or isinstance(r, tuple)
