@@ -2873,7 +2873,10 @@ def _gif_resample_pixels(spark, sf_dir):
     fixtures cover the native-expression construction story). The oracle
     replays index rule (3x+5y+id) mod 16 and palette rule
     (idx·(3+2c)+(c+1)) mod 256 analytically through the resample map —
-    any LZW/palette/resample error breaks the checksum."""
+    any LZW/palette/resample error breaks the checksum. Every third id
+    is INTERLACED (GIF89a four-pass row order, r6 scope extension) — a
+    row-preserving re-arrangement, so the oracle needs no branch and
+    sharing the twin IS the deinterlace claim."""
     import pandas as pd
     from docext_spark.core import gifpix
     from docext_spark.operators.multimodal import (extract_features,
@@ -2885,7 +2888,9 @@ def _gif_resample_pixels(spark, sf_dir):
         w, h = 3 + i % 12, 2 + (i * 5) % 11
         idx = [(x * 3 + y * 5 + i) % 16
                for y in range(h) for x in range(w)]
-        rows.append((i, "image", gifpix.encode_gif(w, h, palette, idx)))
+        rows.append((i, "image",
+                     gifpix.encode_gif(w, h, palette, idx,
+                                       interlace=(i % 3 == 0))))
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
         "media_id long, kind string, payload binary")
@@ -3495,7 +3500,11 @@ def _tiff_pixels(spark, sf_dir):
     resample + featurize path. Oracle replays
     v = (3x+7y+19c+5·id) mod 256 with ch∈{1,3} folded into the flat-index
     math. Reference parity: accepted-extension predicate includes tiff
-    (reference docext/core/utils.py:56-70; PIL decode at 13-15)."""
+    (reference docext/core/utils.py:56-70; PIL decode at 13-15). Color
+    ids ≡1 (mod 4) store PLANAR configuration 2 (each sample plane its
+    own strip sequence, r6 scope extension) — same pixels, so the oracle
+    needs no branch and sharing the twin IS the plane-interleave
+    claim."""
     import pandas as pd
     from docext_spark.core import tiffpix
     from docext_spark.operators.multimodal import (extract_features,
@@ -3513,7 +3522,8 @@ def _tiff_pixels(spark, sf_dir):
             byte_order="<" if i % 2 == 0 else ">",
             compression=32773 if i % 3 == 0 else 1,
             rows_per_strip=1 + i % 3,
-            photometric=0 if white_is_zero else None)
+            photometric=0 if white_is_zero else None,
+            planar=2 if (ch == 3 and i % 4 == 1) else 1)
         rows.append((i, "image", payload))
     media = spark.createDataFrame(
         pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),

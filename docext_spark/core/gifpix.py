@@ -10,9 +10,10 @@ classic fixed-width "ungif" form (every symbol a root code, CLEAR before
 any width change) which is valid GIF by construction, and the decoder's
 growth path is pinned separately by a hand-computed code-stream test.
 
-Scope: first image frame, non-interlaced, global or local color table.
-Interlaced/malformed → None (a 100TB scan never dies on one blob; route
-exotica to a codec fleet).
+Scope: first image frame, global or local color table, non-interlaced
+OR interlaced (the GIF89a four-pass row order — rows 0,8,16…, then
+4,12…, then 2,6…, then odd rows — undone on decode). Malformed → None
+(a 100TB scan never dies on one blob; route exotica to a codec fleet).
 """
 from __future__ import annotations
 
@@ -76,6 +77,15 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int):
     return bytes(out)
 
 
+def interlace_rows(h: int) -> list[int]:
+    """Display row for each stream row under GIF89a interlacing: pass 1
+    rows 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6…, pass 4 odd rows.
+    Shared by the decoder (to undo) and the fixture encoder (to apply),
+    so the reordering cannot desynchronize."""
+    return [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)]
+
+
 def decode_gif(payload: bytes | None):
     """(width, height, 3, rgb_bytes) of the FIRST image frame, or None."""
     if not payload or len(payload) < 13 \
@@ -102,8 +112,7 @@ def decode_gif(payload: bytes | None):
             w, h = struct.unpack("<HH", payload[pos + 5:pos + 9])
             ipacked = payload[pos + 9]
             pos += 10
-            if ipacked & 0x40:                   # interlaced: out of scope
-                return None
+            interlaced = bool(ipacked & 0x40)
             if ipacked & 0x80:                   # local color table
                 size = 3 * (2 << (ipacked & 0x07))
                 palette = payload[pos:pos + size]
@@ -126,11 +135,19 @@ def decode_gif(payload: bytes | None):
                 return None
             rgb = bytearray(w * h * 3)
             npal = len(palette) // 3
-            for i in range(w * h):
-                idx = indices[i]
-                if idx >= npal:
-                    return None
-                rgb[i * 3:i * 3 + 3] = palette[idx * 3:idx * 3 + 3]
+            # interlaced streams carry rows in the GIF89a four-pass
+            # order; map stream row j back to its display row
+            row_of = (interlace_rows(h) if interlaced else range(h))
+            for j in range(h):
+                src = j * w
+                dst = row_of[j] * w * 3
+                for x in range(w):
+                    idx = indices[src + x]
+                    if idx >= npal:
+                        return None
+                    p = idx * 3
+                    o = dst + x * 3
+                    rgb[o:o + 3] = palette[p:p + 3]
             return (w, h, 3, bytes(rgb))
         elif b == 0x3B:                          # trailer before any image
             return None
@@ -142,12 +159,18 @@ def decode_gif(payload: bytes | None):
 # -- fixture encoder (fixed-width "ungif" LZW — valid by construction) ------
 
 def encode_gif(w: int, h: int, palette: list[tuple[int, int, int]],
-               indices: list[int]) -> bytes:
+               indices: list[int], interlace: bool = False) -> bytes:
     """A fully valid GIF87a: global color table sized to the palette,
     image data as fixed-width LZW (every symbol emitted as a root code,
-    CLEAR before the decoder's dictionary would force a width change)."""
+    CLEAR before the decoder's dictionary would force a width change).
+    ``interlace=True`` stores rows in the four-pass order and sets the
+    descriptor flag — a row-preserving re-arrangement, so
+    decode(interlaced) == decode(plain) for every input."""
     if len(indices) != w * h:
         raise ValueError("indices do not match dims")
+    if interlace:
+        indices = [indices[y * w + x]
+                   for y in interlace_rows(h) for x in range(w)]
     pal_bits = max(1, (max(1, len(palette) - 1)).bit_length())
     pal_n = 1 << pal_bits
     if any(i >= pal_n for i in indices):
@@ -184,7 +207,8 @@ def encode_gif(w: int, h: int, palette: list[tuple[int, int, int]],
     out += b"GIF87a" + struct.pack("<HH", w, h)
     out.append(0x80 | (pal_bits - 1))            # GCT present, size bits
     out += b"\x00\x00" + pal
-    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
     out.append(min_code)
     for i in range(0, len(data), 255):
         chunk = data[i:i + 255]

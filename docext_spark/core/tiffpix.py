@@ -19,8 +19,10 @@ Deflate — stdlib zlib, bounded decompress, predictor supported) or
 32773 (PackBits, the spec's own RLE), PhotometricInterpretation 0/1/2
 (WhiteIsZero is
 inverted on decode so consumers always see black=0), both byte orders,
-multi-strip files. Anything else — JPEG-in-TIFF, 16-bit, tiles,
-planar=2 — returns None: a 100TB scan must never die on one odd blob;
+multi-strip files, and BOTH planar configurations (chunky RGBRGB…, or
+planar=2 with each sample plane in its own strip sequence, predictor
+differencing within the plane). Anything else — JPEG-in-TIFF, 16-bit,
+tiles — returns None: a 100TB scan must never die on one odd blob;
 filter on the null and route exotica to a codec fleet.
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
@@ -267,7 +269,8 @@ def decode_tiff(payload: bytes | None):
 
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         return None                       # decode-bomb guard (see above)
-    if spp not in (1, 3) or planar != 1 or photometric not in (0, 1, 2):
+    if spp not in (1, 3) or planar not in (1, 2) \
+            or photometric not in (0, 1, 2):
         return None
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         return None
@@ -278,43 +281,65 @@ def decode_tiff(payload: bytes | None):
     if len(strip_offs) != len(strip_counts):
         return None
 
-    row_bytes = w * spp
-    out = bytearray()
-    rows_left = h
-    for off, cnt in zip(strip_offs, strip_counts):
-        if off + cnt > len(payload):
-            return None
-        strip_rows = min(rows_per_strip, rows_left)
-        if strip_rows <= 0:
-            return None                   # more strips than rows claim
-        expect = strip_rows * row_bytes
-        raw = payload[off:off + cnt]
-        if compression == 32773:
-            raw = packbits_decode(raw, expect)
-        elif compression == 5:
-            raw = lzw_decode(raw, expect)
-        elif compression in (8, 32946):
-            try:
-                # bounded decompress: a tiny stream claiming huge output
-                # is cut at expect+1 and rejected by the length check
-                raw = zlib.decompressobj().decompress(raw, expect + 1)
-            except zlib.error:
+    def read_strips(offs, cnts, row_bytes, pred_spp):
+        """Decode one chunky image or one planar-2 sample plane: h rows
+        of ``row_bytes`` across these strips, predictor stride
+        ``pred_spp``. Returns the buffer or None."""
+        buf = bytearray()
+        rows_left = h
+        for off, cnt in zip(offs, cnts):
+            if off + cnt > len(payload):
                 return None
-        if raw is None:
+            strip_rows = min(rows_per_strip, rows_left)
+            if strip_rows <= 0:
+                return None               # more strips than rows claim
+            expect = strip_rows * row_bytes
+            raw = payload[off:off + cnt]
+            if compression == 32773:
+                raw = packbits_decode(raw, expect)
+            elif compression == 5:
+                raw = lzw_decode(raw, expect)
+            elif compression in (8, 32946):
+                try:
+                    # bounded decompress: a tiny stream claiming huge
+                    # output is cut at expect+1 and rejected below
+                    raw = zlib.decompressobj().decompress(raw, expect + 1)
+                except zlib.error:
+                    return None
+            if raw is None:
+                return None
+            if len(raw) != expect:
+                return None
+            if predictor == 2:            # per-row horizontal differencing
+                dec = bytearray(raw)
+                for y0 in range(0, expect, row_bytes):
+                    row = dec[y0:y0 + row_bytes]
+                    _predictor2_decode(row, pred_spp)
+                    dec[y0:y0 + row_bytes] = row
+                raw = bytes(dec)
+            buf += raw
+            rows_left -= strip_rows
+        return buf if rows_left == 0 else None
+
+    if planar == 2 and spp > 1:
+        # §Planar Configuration: StripsPerImage strips per sample plane,
+        # all plane-0 strips first; each plane is a 1-sample image (the
+        # predictor differences within a plane, stride 1)
+        if len(strip_offs) % spp:
             return None
-        if len(raw) != expect:
+        per = len(strip_offs) // spp
+        out = bytearray(w * h * spp)
+        for ci in range(spp):
+            plane = read_strips(strip_offs[ci * per:(ci + 1) * per],
+                                strip_counts[ci * per:(ci + 1) * per],
+                                w, 1)
+            if plane is None:
+                return None
+            out[ci::spp] = plane
+    else:
+        out = read_strips(strip_offs, strip_counts, w * spp, spp)
+        if out is None:
             return None
-        if predictor == 2:                # per-row horizontal differencing
-            dec = bytearray(raw)
-            for y0 in range(0, expect, row_bytes):
-                row = dec[y0:y0 + row_bytes]
-                _predictor2_decode(row, spp)
-                dec[y0:y0 + row_bytes] = row
-            raw = bytes(dec)
-        out += raw
-        rows_left -= strip_rows
-    if rows_left != 0:
-        return None
     if photometric == 0:                  # WhiteIsZero → normalize black=0
         out = bytearray(255 - b for b in out)
     return (w, h, spp, bytes(out))
@@ -324,11 +349,13 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
                 byte_order: str = "<", compression: int = 1,
                 rows_per_strip: int | None = None,
                 photometric: int | None = None,
-                predictor: int = 1) -> bytes:
+                predictor: int = 1, planar: int = 1) -> bytes:
     """Valid baseline TIFF from top-down samples (fixture/test side):
     header + pixel strips + trailing IFD, multi-strip when
     ``rows_per_strip`` < height, optional PackBits (32773) or LZW (5),
-    optional horizontal-differencing predictor 2."""
+    optional horizontal-differencing predictor 2. ``planar=2`` stores
+    each sample plane in its own strip sequence (all plane-0 strips
+    first) — same pixels, different layout."""
     if channels not in (1, 3):
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
@@ -341,26 +368,36 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     bo = byte_order
     if bo not in ("<", ">"):
         raise ValueError("encode_tiff: byte_order must be '<' or '>'")
+    if planar not in (1, 2):
+        raise ValueError("encode_tiff: planar must be 1 or 2")
     rps = rows_per_strip or height
     if photometric is None:
         photometric = 2 if channels == 3 else 1
-    row_bytes = width * channels
 
-    strips = []
-    for y0 in range(0, height, rps):
-        rows = min(rps, height - y0)
-        raw = samples[y0 * row_bytes:(y0 + rows) * row_bytes]
-        if predictor == 2:
-            raw = b"".join(
-                _predictor2_encode(raw[r:r + row_bytes], channels)
-                for r in range(0, len(raw), row_bytes))
-        if compression == 32773:
-            raw = packbits_encode(raw)
-        elif compression == 5:
-            raw = lzw_encode(raw)
-        elif compression == 8:
-            raw = zlib.compress(raw, 6)
-        strips.append(raw)
+    def strip_up(buf: bytes, row_bytes: int, pred_spp: int) -> list[bytes]:
+        out = []
+        for y0 in range(0, height, rps):
+            rows = min(rps, height - y0)
+            raw = buf[y0 * row_bytes:(y0 + rows) * row_bytes]
+            if predictor == 2:
+                raw = b"".join(
+                    _predictor2_encode(raw[r:r + row_bytes], pred_spp)
+                    for r in range(0, len(raw), row_bytes))
+            if compression == 32773:
+                raw = packbits_encode(raw)
+            elif compression == 5:
+                raw = lzw_encode(raw)
+            elif compression == 8:
+                raw = zlib.compress(raw, 6)
+            out.append(raw)
+        return out
+
+    if planar == 2 and channels > 1:
+        strips = []
+        for ci in range(channels):
+            strips += strip_up(samples[ci::channels], width, 1)
+    else:
+        strips = strip_up(samples, width * channels, channels)
 
     head = (b"II*\x00" if bo == "<" else b"MM\x00*")
     pos = 8
@@ -388,7 +425,7 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         (258, 3, [8] * channels), (259, 3, [compression]),
         (262, 3, [photometric]), (273, 4, offs),
         (277, 3, [channels]), (278, 4, [rps]), (279, 4, cnts),
-        (284, 3, [1]),
+        (284, 3, [planar]),
     ]
     if predictor == 2:
         fields.append((317, 3, [2]))      # tags stay in ascending order

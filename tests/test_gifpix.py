@@ -73,11 +73,13 @@ def test_defensive_returns_none():
     assert gifpix.decode_gif(imagehdr.make_gif(5, 5)) is None
     # truncated mid-stream
     assert gifpix.decode_gif(good[:len(good) // 2]) is None
-    # interlace flag rejected
+    # flipping the interlace flag on sequential data still decodes (the
+    # rows land permuted — the flag is honored, r6 scope extension)
     bad = bytearray(good)
     pos = bad.index(0x2C)
     bad[pos + 9] |= 0x40
-    assert gifpix.decode_gif(bytes(bad)) is None
+    r = gifpix.decode_gif(bytes(bad))
+    assert isinstance(r, tuple) and r[:3] == gifpix.decode_gif(good)[:3]
     # corrupt code stream (out-of-range code)
     out = gifpix._lzw_decode(2, _pack([(4, 3), (7, 3)]), 100)
     assert out is None
@@ -115,3 +117,23 @@ def test_decode_bomb_guard():
     bomb = (good[:i + 5] + struct.pack("<HH", 65535, 65535) + good[i + 9:])
     assert gifpix.decode_gif(bomb) is None
     assert gifpix.MAX_PIXELS >= 1_000_000
+
+
+def test_interlaced_equals_plain():
+    """GIF89a interlacing is a row-preserving four-pass re-arrangement:
+    decode(interlaced) == decode(plain) for every input, including
+    heights where later passes are empty (h < 5)."""
+    import random as _r
+    _r.seed(21)
+    for h in (1, 2, 3, 4, 5, 8, 13, 17):
+        w = _r.randint(1, 15)
+        npal = _r.choice([2, 4, 8])
+        pal = [((k * 7) % 256, (k * 11) % 256, (k * 13) % 256)
+               for k in range(npal)]
+        idx = [_r.randrange(npal) for _ in range(w * h)]
+        plain = gifpix.decode_gif(gifpix.encode_gif(w, h, pal, idx))
+        inter = gifpix.decode_gif(gifpix.encode_gif(w, h, pal, idx, True))
+        assert plain is not None and inter == plain, h
+    # every display row appears exactly once in the pass order
+    for h in range(1, 20):
+        assert sorted(gifpix.interlace_rows(h)) == list(range(h))

@@ -323,3 +323,41 @@ def test_deflate_defensive():
     raw = tiffpix.encode_tiff(w, h, 1, _samples(w, h, 1), compression=8)
     spliced = raw.replace(zlib.compress(_samples(w, h, 1), 6), big)
     assert tiffpix.decode_tiff(spliced) is None
+
+
+def test_planar_two_equals_chunky():
+    """PlanarConfiguration 2 stores each sample plane in its own strip
+    sequence (all plane-0 strips first), predictor differencing within
+    the plane: same pixels as chunky, different layout — across byte
+    orders, compressions, strip heights."""
+    import random as _r
+    _r.seed(31)
+    for _ in range(40):
+        w, h = _r.randint(1, 15), _r.randint(1, 15)
+        ch = _r.choice([1, 3])
+        px = bytes(_r.randrange(256) for _ in range(w * h * ch))
+        bo = _r.choice(["<", ">"])
+        comp = _r.choice([1, 5, 8, 32773])
+        pred = _r.choice([1, 2]) if comp != 1 else 1
+        rps = _r.choice([None, 1, 3])
+        chunky = tiffpix.decode_tiff(tiffpix.encode_tiff(
+            w, h, ch, px, bo, comp, rps, predictor=pred, planar=1))
+        planar = tiffpix.decode_tiff(tiffpix.encode_tiff(
+            w, h, ch, px, bo, comp, rps, predictor=pred, planar=2))
+        assert chunky == (w, h, ch, px)
+        assert planar == chunky
+
+
+def test_planar_defensive():
+    import random as _r
+    good = tiffpix.encode_tiff(6, 5, 3, bytes(range(90)), "<", 5,
+                               2, predictor=2, planar=2)
+    for cut in range(0, len(good), 4):
+        r = tiffpix.decode_tiff(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    _r.seed(13)
+    for _ in range(60):
+        b = bytearray(good)
+        b[_r.randrange(len(b))] ^= 0xFF
+        r = tiffpix.decode_tiff(bytes(b))
+        assert r is None or isinstance(r, tuple)
