@@ -3586,9 +3586,9 @@ def _tiff_lzw_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
-_TIFF_SQL = """
+_TIFF_SQL_TMPL = """
 WITH dims AS (
-  SELECT i AS media_id, (3 + i % 12)::INT AS w, (2 + (i * 5) % 11)::INT AS h,
+  SELECT i AS media_id, ({w})::INT AS w, ({h})::INT AS h,
          CASE WHEN i % 5 = 0 THEN 1 ELSE 3 END AS ch
   FROM (SELECT unnest(generate_series(0, 99)) AS i)
 ), bounded AS (
@@ -3632,6 +3632,63 @@ SELECT b.media_id, 'tiff' AS format, b.w AS width, b.h AS height,
        s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
 FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
+
+_TIFF_SQL = _TIFF_SQL_TMPL.format(w="3 + i % 12", h="2 + (i * 5) % 11")
+# the tiled fixtures use larger dims so 16x16 tiling produces real
+# multi-tile grids (up to 3x3), not just padded single tiles
+_TIFF_TILED_SQL = _TIFF_SQL_TMPL.format(w="3 + (i * 7) % 38",
+                                        h="2 + (i * 11) % 37")
+
+
+def _tiff_tiled_pixels(spark, sf_dir):
+    """REAL TILED TIFF decode (TIFF 6.0 §15, tags 322-325): raster-order
+    tiles padded to full 16-multiple size on disk and cropped on decode.
+    The fixture matrix reuses the tiff_pixels rules but with LARGER dims
+    (w up to 40, h up to 38) so 16x16 / 32x16 / 16x48 tile geometries
+    produce genuine multi-tile grids with right/bottom edge crops —
+    compression cycles none/LZW/Deflate/PackBits (predictor 2 rides the
+    compressed ids), byte order alternates, gray ids ≡5 (mod 10) are
+    WhiteIsZero-inverted, color ids ≡1 (mod 4) store PLANAR-2 tile
+    plane-sequences. Tiling is a lossless re-layout of the same pixel
+    rule, so the SQL twin is the strip twin with the tiled dims formula
+    — sharing it IS the claim (decode(tiled) == decode(strips)).
+    Reference parity: accepted-extension predicate includes tiff
+    (reference docext/core/utils.py:56-70; PIL decode at 13-15)."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 3 + (i * 7) % 38, 2 + (i * 11) % 37
+        ch = 1 if i % 5 == 0 else 3
+        vals = bytes((x * 3 + y * 7 + c * 19 + i * 5) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        white_is_zero = ch == 1 and i % 10 == 5
+        comp = (1, 5, 8, 32773)[i % 4]
+        payload = tiffpix.encode_tiff(
+            w, h, ch,
+            bytes(255 - b for b in vals) if white_is_zero else vals,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=comp,
+            photometric=0 if white_is_zero else None,
+            predictor=2 if (comp != 1 and i % 3 == 0) else 1,
+            planar=2 if (ch == 3 and i % 4 == 1) else 1,
+            tile_size=((16, 16), (32, 16), (16, 48))[i % 3])
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
 
 
 def _webp_pixels(spark, sf_dir):
@@ -4253,6 +4310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixels": _bmp_pixels,
         "tiff_pixels": _tiff_pixels,
         "tiff_lzw_pixels": _tiff_lzw_pixels,
+        "tiff_tiled_pixels": _tiff_tiled_pixels,
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
@@ -4385,6 +4443,9 @@ def oracle_sql() -> dict[str, str]:
         # LZW re-codes the same pixels losslessly, so the baseline TIFF
         # twin applies verbatim — sharing it IS the claim
         "tiff_lzw_pixels": _TIFF_SQL,
+        # tiling is a lossless re-layout of the same pixel rule at the
+        # tiled dims formula — sharing the strip twin IS the claim
+        "tiff_tiled_pixels": _TIFF_TILED_SQL,
         "webp_pixels": _WEBP_SQL,
         "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),

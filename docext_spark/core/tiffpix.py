@@ -19,11 +19,14 @@ Deflate — stdlib zlib, bounded decompress, predictor supported) or
 32773 (PackBits, the spec's own RLE), PhotometricInterpretation 0/1/2
 (WhiteIsZero is
 inverted on decode so consumers always see black=0), both byte orders,
-multi-strip files, and BOTH planar configurations (chunky RGBRGB…, or
+multi-strip files, BOTH planar configurations (chunky RGBRGB…, or
 planar=2 with each sample plane in its own strip sequence, predictor
-differencing within the plane). Anything else — JPEG-in-TIFF, 16-bit,
-tiles — returns None: a 100TB scan must never die on one odd blob;
-filter on the null and route exotica to a codec fleet.
+differencing within the plane), and TILED layout (TIFF 6.0 §15, tags
+322-325: TileWidth/TileLength multiples of 16, right/bottom edge tiles
+padded to full size and cropped on decode, same compression/predictor
+matrix as strips, planar-2 tiles plane-sequential). Anything else —
+JPEG-in-TIFF, 16-bit — returns None: a 100TB scan must never die on one
+odd blob; filter on the null and route exotica to a codec fleet.
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
 channels, samples) row-major top-down interleaved, black=0.
@@ -188,6 +191,13 @@ def lzw_encode(data: bytes) -> bytes:
         w = bytes((b,))
     if w:
         emit(table[w], width)
+        # the decoder adds a table entry while processing this final
+        # code; if that add lands on its 511/1023/2047 early-change
+        # threshold it reads EOI one bit wider — account for the
+        # phantom entry exactly like libtiff's LZWPostEncode does
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(257, width)                          # EOI
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
@@ -246,7 +256,8 @@ def decode_tiff(payload: bytes | None):
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack(bo + "HHI", payload[e:e + 8])
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317,
+                   322, 323, 324, 325):
             vals = _read_values(payload, bo, typ, count, payload[e + 8:e + 12])
             if vals is None:
                 return None
@@ -255,10 +266,24 @@ def decode_tiff(payload: bytes | None):
     try:
         w = tags[256][0]
         h = tags[257][0]
-        strip_offs = tags[273]
-        strip_counts = tags[279]
     except KeyError:
         return None
+    tiled = any(t in tags for t in (322, 323, 324, 325))
+    if tiled:
+        if 273 in tags or 279 in tags:
+            return None                   # §15: strip+tile tags exclusive
+        try:
+            tw, tl = tags[322][0], tags[323][0]
+            chunk_offs, chunk_counts = tags[324], tags[325]
+        except KeyError:
+            return None
+        if tw <= 0 or tl <= 0 or tw % 16 or tl % 16:
+            return None                   # §15: tile dims multiples of 16
+    else:
+        try:
+            chunk_offs, chunk_counts = tags[273], tags[279]
+        except KeyError:
+            return None
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1])
     compression = tags.get(259, [1])[0]
@@ -269,6 +294,9 @@ def decode_tiff(payload: bytes | None):
 
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         return None                       # decode-bomb guard (see above)
+    if tiled and ((w + tw - 1) // tw) * tw * ((h + tl - 1) // tl) * tl \
+            > 4 * MAX_PIXELS:
+        return None                       # padded-tile allocation bound
     if spp not in (1, 3) or planar not in (1, 2) \
             or photometric not in (0, 1, 2):
         return None
@@ -278,8 +306,35 @@ def decode_tiff(payload: bytes | None):
         return None
     if predictor not in (1, 2) or (predictor == 2 and compression == 1):
         return None                       # predictor only with compression
-    if len(strip_offs) != len(strip_counts):
+    if len(chunk_offs) != len(chunk_counts):
         return None
+
+    def decode_chunk(off, cnt, expect, row_bytes, pred_spp):
+        """One strip or one tile: slice, decompress (bounded: a tiny
+        stream claiming huge output is cut at expect+1 and rejected),
+        verify exact length, undo the per-row predictor."""
+        if off + cnt > len(payload):
+            return None
+        raw = payload[off:off + cnt]
+        if compression == 32773:
+            raw = packbits_decode(raw, expect)
+        elif compression == 5:
+            raw = lzw_decode(raw, expect)
+        elif compression in (8, 32946):
+            try:
+                raw = zlib.decompressobj().decompress(raw, expect + 1)
+            except zlib.error:
+                return None
+        if raw is None or len(raw) != expect:
+            return None
+        if predictor == 2:                # per-row horizontal differencing
+            dec = bytearray(raw)
+            for y0 in range(0, expect, row_bytes):
+                row = dec[y0:y0 + row_bytes]
+                _predictor2_decode(row, pred_spp)
+                dec[y0:y0 + row_bytes] = row
+            raw = bytes(dec)
+        return raw
 
     def read_strips(offs, cnts, row_bytes, pred_spp):
         """Decode one chunky image or one planar-2 sample plane: h rows
@@ -288,56 +343,59 @@ def decode_tiff(payload: bytes | None):
         buf = bytearray()
         rows_left = h
         for off, cnt in zip(offs, cnts):
-            if off + cnt > len(payload):
-                return None
             strip_rows = min(rows_per_strip, rows_left)
             if strip_rows <= 0:
                 return None               # more strips than rows claim
-            expect = strip_rows * row_bytes
-            raw = payload[off:off + cnt]
-            if compression == 32773:
-                raw = packbits_decode(raw, expect)
-            elif compression == 5:
-                raw = lzw_decode(raw, expect)
-            elif compression in (8, 32946):
-                try:
-                    # bounded decompress: a tiny stream claiming huge
-                    # output is cut at expect+1 and rejected below
-                    raw = zlib.decompressobj().decompress(raw, expect + 1)
-                except zlib.error:
-                    return None
+            raw = decode_chunk(off, cnt, strip_rows * row_bytes,
+                               row_bytes, pred_spp)
             if raw is None:
                 return None
-            if len(raw) != expect:
-                return None
-            if predictor == 2:            # per-row horizontal differencing
-                dec = bytearray(raw)
-                for y0 in range(0, expect, row_bytes):
-                    row = dec[y0:y0 + row_bytes]
-                    _predictor2_decode(row, pred_spp)
-                    dec[y0:y0 + row_bytes] = row
-                raw = bytes(dec)
             buf += raw
             rows_left -= strip_rows
         return buf if rows_left == 0 else None
 
-    if planar == 2 and spp > 1:
-        # §Planar Configuration: StripsPerImage strips per sample plane,
-        # all plane-0 strips first; each plane is a 1-sample image (the
-        # predictor differences within a plane, stride 1)
-        if len(strip_offs) % spp:
+    def read_tiles(offs, cnts, pred_spp):
+        """Decode one chunky image or one planar-2 plane from tiles
+        (§15): raster-ordered left-to-right top-to-bottom, every tile
+        stored padded to the full tw×tl; edge padding cropped on blit."""
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        if len(offs) != ta * td:
             return None
-        per = len(strip_offs) // spp
+        row_bytes = tw * pred_spp
+        out = bytearray(w * h * pred_spp)
+        for t, (off, cnt) in enumerate(zip(offs, cnts)):
+            tile = decode_chunk(off, cnt, tl * row_bytes,
+                                row_bytes, pred_spp)
+            if tile is None:
+                return None
+            tx, ty = (t % ta) * tw, (t // ta) * tl
+            cols = min(tw, w - tx) * pred_spp
+            for yy in range(min(tl, h - ty)):
+                dst = ((ty + yy) * w + tx) * pred_spp
+                out[dst:dst + cols] = tile[yy * row_bytes:
+                                           yy * row_bytes + cols]
+        return out
+
+    read_plane = ((lambda o, c, rb, ps: read_tiles(o, c, ps)) if tiled
+                  else read_strips)
+    if planar == 2 and spp > 1:
+        # §Planar Configuration: StripsPerImage strips (or TilesPerImage
+        # tiles) per sample plane, all plane-0 chunks first; each plane
+        # is a 1-sample image (the predictor differences within the
+        # plane, stride 1)
+        if len(chunk_offs) % spp:
+            return None
+        per = len(chunk_offs) // spp
         out = bytearray(w * h * spp)
         for ci in range(spp):
-            plane = read_strips(strip_offs[ci * per:(ci + 1) * per],
-                                strip_counts[ci * per:(ci + 1) * per],
-                                w, 1)
+            plane = read_plane(chunk_offs[ci * per:(ci + 1) * per],
+                               chunk_counts[ci * per:(ci + 1) * per],
+                               w, 1)
             if plane is None:
                 return None
             out[ci::spp] = plane
     else:
-        out = read_strips(strip_offs, strip_counts, w * spp, spp)
+        out = read_plane(chunk_offs, chunk_counts, w * spp, spp)
         if out is None:
             return None
     if photometric == 0:                  # WhiteIsZero → normalize black=0
@@ -349,13 +407,16 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
                 byte_order: str = "<", compression: int = 1,
                 rows_per_strip: int | None = None,
                 photometric: int | None = None,
-                predictor: int = 1, planar: int = 1) -> bytes:
+                predictor: int = 1, planar: int = 1,
+                tile_size: tuple[int, int] | None = None) -> bytes:
     """Valid baseline TIFF from top-down samples (fixture/test side):
     header + pixel strips + trailing IFD, multi-strip when
     ``rows_per_strip`` < height, optional PackBits (32773) or LZW (5),
     optional horizontal-differencing predictor 2. ``planar=2`` stores
     each sample plane in its own strip sequence (all plane-0 strips
-    first) — same pixels, different layout."""
+    first) — same pixels, different layout. ``tile_size=(tw, tl)``
+    (multiples of 16, §15) stores TILES instead of strips: raster order,
+    edge tiles zero-padded to full size, tags 322-325."""
     if channels not in (1, 3):
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
@@ -370,34 +431,58 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         raise ValueError("encode_tiff: byte_order must be '<' or '>'")
     if planar not in (1, 2):
         raise ValueError("encode_tiff: planar must be 1 or 2")
+    if tile_size is not None:
+        tw_, tl_ = tile_size
+        if tw_ <= 0 or tl_ <= 0 or tw_ % 16 or tl_ % 16:
+            raise ValueError("encode_tiff: tile dims must be positive "
+                             "multiples of 16 (TIFF 6.0 §15)")
     rps = rows_per_strip or height
     if photometric is None:
         photometric = 2 if channels == 3 else 1
 
+    def pack_chunk(raw: bytes, row_bytes: int, pred_spp: int) -> bytes:
+        if predictor == 2:
+            raw = b"".join(
+                _predictor2_encode(raw[r:r + row_bytes], pred_spp)
+                for r in range(0, len(raw), row_bytes))
+        if compression == 32773:
+            return packbits_encode(raw)
+        if compression == 5:
+            return lzw_encode(raw)
+        if compression == 8:
+            return zlib.compress(raw, 6)
+        return raw
+
     def strip_up(buf: bytes, row_bytes: int, pred_spp: int) -> list[bytes]:
+        return [pack_chunk(buf[y0 * row_bytes:
+                               (y0 + min(rps, height - y0)) * row_bytes],
+                           row_bytes, pred_spp)
+                for y0 in range(0, height, rps)]
+
+    def tile_up(buf: bytes, pred_spp: int) -> list[bytes]:
+        ta, td = (width + tw_ - 1) // tw_, (height + tl_ - 1) // tl_
+        img_row = width * pred_spp
+        tile_row = tw_ * pred_spp
         out = []
-        for y0 in range(0, height, rps):
-            rows = min(rps, height - y0)
-            raw = buf[y0 * row_bytes:(y0 + rows) * row_bytes]
-            if predictor == 2:
-                raw = b"".join(
-                    _predictor2_encode(raw[r:r + row_bytes], pred_spp)
-                    for r in range(0, len(raw), row_bytes))
-            if compression == 32773:
-                raw = packbits_encode(raw)
-            elif compression == 5:
-                raw = lzw_encode(raw)
-            elif compression == 8:
-                raw = zlib.compress(raw, 6)
-            out.append(raw)
+        for ty in range(td):
+            for tx in range(ta):
+                tile = bytearray(tile_row * tl_)     # zero edge padding
+                cols = min(tw_, width - tx * tw_) * pred_spp
+                for yy in range(min(tl_, height - ty * tl_)):
+                    src = (ty * tl_ + yy) * img_row + tx * tile_row
+                    tile[yy * tile_row:yy * tile_row + cols] = \
+                        buf[src:src + cols]
+                out.append(pack_chunk(bytes(tile), tile_row, pred_spp))
         return out
 
+    chunk_up = ((lambda buf, rb, ps: tile_up(buf, ps)) if tile_size
+                else strip_up)
     if planar == 2 and channels > 1:
         strips = []
         for ci in range(channels):
-            strips += strip_up(samples[ci::channels], width, 1)
+            strips += chunk_up(samples[ci::channels], width, 1)
     else:
-        strips = strip_up(samples, width * channels, channels)
+        strips = chunk_up(samples, width * channels, channels)
 
     head = (b"II*\x00" if bo == "<" else b"MM\x00*")
     pos = 8
@@ -423,12 +508,19 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     fields = [
         (256, 4, [width]), (257, 4, [height]),
         (258, 3, [8] * channels), (259, 3, [compression]),
-        (262, 3, [photometric]), (273, 4, offs),
-        (277, 3, [channels]), (278, 4, [rps]), (279, 4, cnts),
-        (284, 3, [planar]),
+        (262, 3, [photometric]),
     ]
+    if not tile_size:
+        fields.append((273, 4, offs))
+    fields.append((277, 3, [channels]))
+    if not tile_size:
+        fields += [(278, 4, [rps]), (279, 4, cnts)]
+    fields.append((284, 3, [planar]))
     if predictor == 2:
         fields.append((317, 3, [2]))      # tags stay in ascending order
+    if tile_size:
+        fields += [(322, 3, [tw_]), (323, 3, [tl_]),
+                   (324, 4, offs), (325, 4, cnts)]
     n = len(fields)
     blob_off = ifd_off + 2 + 12 * n + 4
     entries, blobs = b"", b""

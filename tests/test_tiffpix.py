@@ -361,3 +361,81 @@ def test_planar_defensive():
         b[_r.randrange(len(b))] ^= 0xFF
         r = tiffpix.decode_tiff(bytes(b))
         assert r is None or isinstance(r, tuple)
+
+
+def test_tiled_equals_strips():
+    """Tiled layout (TIFF 6.0 §15, tags 322-325): same pixels as the
+    strip layout across byte orders × compressions × predictor ×
+    planar configs × tile geometries; edge tiles are stored padded to
+    the full tile size and cropped on decode."""
+    import random as _r
+    _r.seed(47)
+    for _ in range(60):
+        w, h = _r.randint(1, 45), _r.randint(1, 45)
+        ch = _r.choice([1, 3])
+        px = bytes(_r.randrange(256) for _ in range(w * h * ch))
+        bo = _r.choice(["<", ">"])
+        comp = _r.choice([1, 5, 8, 32773])
+        pred = _r.choice([1, 2]) if comp != 1 else 1
+        planar = _r.choice([1, 2])
+        ts = _r.choice([(16, 16), (32, 16), (16, 48)])
+        tiled = tiffpix.decode_tiff(tiffpix.encode_tiff(
+            w, h, ch, px, bo, comp, predictor=pred, planar=planar,
+            tile_size=ts))
+        assert tiled == (w, h, ch, px)
+
+
+def test_tiled_white_is_zero_and_multi_tile_grid():
+    """A 40x33 WhiteIsZero grayscale image spans a 3x3 grid of 16x16
+    tiles (right/bottom padding cropped); decode normalizes to
+    black=0."""
+    w, h = 40, 33
+    px = _samples(w, h, 1, seed=3)
+    p = tiffpix.encode_tiff(w, h, 1, bytes(255 - b for b in px),
+                            compression=32773, photometric=0,
+                            tile_size=(16, 16))
+    assert tiffpix.decode_tiff(p) == (w, h, 1, px)
+
+
+def test_tiled_defensive():
+    """Non-multiple-of-16 tile dims, strip+tile tag mix, truncation and
+    bit flips: reject (None) or decode to a tuple — never raise."""
+    import random as _r
+    with pytest.raises(ValueError):
+        tiffpix.encode_tiff(8, 8, 1, bytes(64), tile_size=(8, 8))
+    good = tiffpix.encode_tiff(20, 20, 3, _samples(20, 20, 3), "<", 5,
+                               predictor=2, planar=2, tile_size=(16, 16))
+    assert tiffpix.decode_tiff(good) == (20, 20, 3, _samples(20, 20, 3))
+    for cut in range(0, len(good), 7):
+        r = tiffpix.decode_tiff(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    _r.seed(17)
+    for _ in range(60):
+        b = bytearray(good)
+        b[_r.randrange(len(b))] ^= 0xFF
+        r = tiffpix.decode_tiff(bytes(b))
+        assert r is None or isinstance(r, tuple)
+    # tile dims patched to a non-multiple of 16 → None (find tag 322)
+    bad = bytearray(good)
+    ifd_off = struct.unpack("<I", bad[4:8])[0]
+    n = struct.unpack("<H", bad[ifd_off:ifd_off + 2])[0]
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        if struct.unpack("<H", bad[e:e + 2])[0] == 322:
+            bad[e + 8:e + 10] = struct.pack("<H", 12)
+    assert tiffpix.decode_tiff(bytes(bad)) is None
+
+
+def test_lzw_final_code_early_change_boundary():
+    """The decoder adds a table entry while processing the FINAL data
+    code; when that add lands exactly on the 511/1023/2047 early-change
+    threshold, EOI must be written one bit wider (libtiff
+    LZWPostEncode's phantom free_ent++). Random (incompressible) inputs
+    reliably cross the 1023 boundary near ~770 emitted codes — fuzz a
+    band of lengths around every threshold."""
+    import random as _r
+    _r.seed(53)
+    for nlen in list(range(250, 262)) + list(range(760, 775)) + [1800]:
+        for _ in range(20):
+            v = bytes(_r.randrange(256) for _ in range(nlen))
+            assert tiffpix.lzw_decode(tiffpix.lzw_encode(v), nlen) == v
