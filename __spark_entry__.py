@@ -3691,6 +3691,103 @@ def _tiff_tiled_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
+def _tiff_g4_pixels(spark, sf_dir):
+    """REAL CCITT fax decode (core/ccittfax.py): bilevel TIFF with
+    Compression 4 (Group 4 MMR, ITU-T T.6 2-D coding) cycling with
+    Compression 2 (CCITT RLE, T.4 Modified Huffman) and 1 (bit-packed
+    rows) by id%3; byte order alternates; multi-strip (fax state fresh
+    per strip, rows_per_strip 1..3) on ids%5==0; ids ≡3 (mod 4) store
+    PhotometricInterpretation 1 so BOTH fax polarity conventions are
+    exercised. Ink rule: (x*3 + y*7 + 5*id) % 11 < 3 — decoded sample is
+    255 iff ink == (photometric=1), which the SQL twin replays as one
+    CASE with no codec. The codecs themselves are pinned bit-compatible
+    against Java 17 ImageIO's independent CCITT implementations in
+    tests/test_ccittfax.py (both directions: their streams decode
+    exactly; they read ours pixel-exact). Reference parity:
+    accepted-extension predicate includes tiff (reference
+    docext/core/utils.py:56-70; PIL decodes fax TIFFs at 13-15)."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 3 + (i * 7) % 38, 2 + (i * 11) % 37
+        ink = bytes(255 if (x * 3 + y * 7 + i * 5) % 11 < 3 else 0
+                    for y in range(h) for x in range(w))
+        payload = tiffpix.encode_tiff(
+            w, h, 1, ink,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=(1, 2, 4)[i % 3],
+            rows_per_strip=(1 + i % 3) if i % 5 == 0 else None,
+            photometric=1 if i % 4 == 3 else 0,
+            bits=1)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
+_TIFF_G4_SQL = """
+WITH dims AS (
+  SELECT i AS media_id, (3 + (i * 7) % 38)::INT AS w,
+         (2 + (i * 11) % 37)::INT AS h,
+         (i % 4 = 3) AS pm_one
+  FROM (SELECT unnest(generate_series(0, 99)) AS i)
+), bounded AS (
+  SELECT media_id, w, h, pm_one,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(w * (8.0 / greatest(w, h)))::INT)
+              ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > 8
+              THEN greatest(1, floor(h * (8.0 / greatest(w, h)))::INT)
+              ELSE h END AS nh
+  FROM dims
+), out_vals AS (
+  -- decoded sample is 255 iff ink == (photometric = 1); NN resample
+  SELECT media_id, i,
+         CASE WHEN (((((i % nw) * w) // nw) * 3
+                     + (((i // nw) * h) // nh) * 7
+                     + media_id * 5) % 11 < 3) = pm_one
+              THEN 255 ELSE 0 END AS v
+  FROM (SELECT media_id, w, h, pm_one, nw, nh,
+               unnest(generate_series(0, nw * nh - 1)) AS i
+        FROM bounded)
+), stats AS (
+  SELECT media_id, sum(v * (i + 1))::BIGINT AS px_checksum,
+         round(sum(v)::DOUBLE / count(*), 6) AS px_mean
+  FROM out_vals GROUP BY media_id
+), orig_vals AS (
+  SELECT media_id,
+         CASE WHEN (((i % w) * 3 + (i // w) * 7 + media_id * 5) % 11 < 3)
+                   = pm_one
+              THEN 255 ELSE 0 END AS v
+  FROM (SELECT media_id, w, h, pm_one,
+               unnest(generate_series(0, w * h - 1)) AS i
+        FROM bounded)
+), f0s AS (
+  SELECT media_id,
+         round(sum(CASE WHEN v < 32 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+           AS f0
+  FROM orig_vals GROUP BY media_id
+)
+SELECT b.media_id, 'tiff' AS format, b.w AS width, b.h AS height,
+       1 AS channels, b.nw AS new_width, b.nh AS new_height,
+       s.px_checksum, s.px_mean, f.f0, 'pixels' AS feature_src
+FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
+"""
+
+
 def _webp_pixels(spark, sf_dir):
     """REAL lossless-WebP (VP8L) pixel decode — the LAST image format in
     the reference's accepted-extension predicate (docext/core/utils.py:
@@ -4311,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_pixels": _tiff_pixels,
         "tiff_lzw_pixels": _tiff_lzw_pixels,
         "tiff_tiled_pixels": _tiff_tiled_pixels,
+        "tiff_g4_pixels": _tiff_g4_pixels,
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
@@ -4446,6 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         # tiling is a lossless re-layout of the same pixel rule at the
         # tiled dims formula — sharing the strip twin IS the claim
         "tiff_tiled_pixels": _TIFF_TILED_SQL,
+        "tiff_g4_pixels": _TIFF_G4_SQL,
         "webp_pixels": _WEBP_SQL,
         "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),

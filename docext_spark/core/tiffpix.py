@@ -21,10 +21,13 @@ Deflate — stdlib zlib, bounded decompress, predictor supported) or
 inverted on decode so consumers always see black=0), both byte orders,
 multi-strip files, BOTH planar configurations (chunky RGBRGB…, or
 planar=2 with each sample plane in its own strip sequence, predictor
-differencing within the plane), and TILED layout (TIFF 6.0 §15, tags
+differencing within the plane), TILED layout (TIFF 6.0 §15, tags
 322-325: TileWidth/TileLength multiples of 16, right/bottom edge tiles
 padded to full size and cropped on decode, same compression/predictor
-matrix as strips, planar-2 tiles plane-sequential). Anything else —
+matrix as strips, planar-2 tiles plane-sequential), and BILEVEL images
+(BitsPerSample 1: bit-packed rows, CCITT RLE = T.4 Modified Huffman
+compression 2, or Group 4 MMR = T.6 compression 4, via
+core/ccittfax.py — fax state fresh per strip). Anything else —
 JPEG-in-TIFF, 16-bit — returns None: a 100TB scan must never die on one
 odd blob; filter on the null and route exotica to a codec fleet.
 
@@ -235,6 +238,48 @@ def _read_values(payload: bytes, bo: str, typ: int, count: int,
     return list(struct.unpack(bo + fmt * count, buf))
 
 
+def _decode_bilevel(payload, w, h, compression, photometric,
+                    rows_per_strip, offs, cnts):
+    """1-bit strips → (w, h, 1, 8-bit samples, black=0). Compression 1
+    = byte-aligned bit-packed rows (MSB first); 2 = CCITT RLE (per-row
+    Modified Huffman, T.4); 4 = Group 4 MMR (T.6). Stored bit 1 scales
+    to 255, then PhotometricInterpretation 0 (the fax default:
+    WhiteIsZero, ink=1) inverts so consumers always see black=0."""
+    from docext_spark.core import ccittfax
+    out = bytearray()
+    rows_left = h
+    for off, cnt in zip(offs, cnts):
+        strip_rows = min(rows_per_strip, rows_left)
+        if strip_rows <= 0 or off + cnt > len(payload):
+            return None
+        raw = payload[off:off + cnt]
+        if compression == 1:
+            row_bytes = (w + 7) // 8
+            if len(raw) != strip_rows * row_bytes:
+                return None
+            bits = bytearray(strip_rows * w)
+            for y in range(strip_rows):
+                base = y * row_bytes
+                for x in range(w):
+                    bits[y * w + x] = \
+                        (raw[base + (x >> 3)] >> (7 - (x & 7))) & 1
+            bits = bytes(bits)
+        elif compression == 2:
+            bits = ccittfax.rle_decode(raw, w, strip_rows)
+        else:
+            bits = ccittfax.g4_decode(raw, w, strip_rows)
+        if bits is None:
+            return None
+        out += bits
+        rows_left -= strip_rows
+    if rows_left:
+        return None
+    samples = bytes(255 * b for b in out)
+    if photometric == 0:
+        samples = bytes(255 - b for b in samples)
+    return (w, h, 1, samples)
+
+
 def decode_tiff(payload: bytes | None):
     """(width, height, channels, samples top-down, black=0) or None."""
     if not payload or len(payload) < 8:
@@ -300,6 +345,16 @@ def decode_tiff(payload: bytes | None):
     if spp not in (1, 3) or planar not in (1, 2) \
             or photometric not in (0, 1, 2):
         return None
+    if bits == [1]:
+        # BILEVEL: uncompressed bit-packed rows, CCITT RLE (Modified
+        # Huffman, compression 2) or Group 4 MMR (compression 4) —
+        # strips only, one sample plane, fax state fresh per strip
+        if spp != 1 or planar != 1 or photometric not in (0, 1) \
+                or compression not in (1, 2, 4) or predictor != 1 \
+                or tiled or len(chunk_offs) != len(chunk_counts):
+            return None
+        return _decode_bilevel(payload, w, h, compression, photometric,
+                               rows_per_strip, chunk_offs, chunk_counts)
     if any(b != 8 for b in bits) or len(bits) not in (1, spp):
         return None
     if compression not in (1, 5, 8, 32946, 32773):
@@ -408,7 +463,8 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
                 rows_per_strip: int | None = None,
                 photometric: int | None = None,
                 predictor: int = 1, planar: int = 1,
-                tile_size: tuple[int, int] | None = None) -> bytes:
+                tile_size: tuple[int, int] | None = None,
+                bits: int = 8) -> bytes:
     """Valid baseline TIFF from top-down samples (fixture/test side):
     header + pixel strips + trailing IFD, multi-strip when
     ``rows_per_strip`` < height, optional PackBits (32773) or LZW (5),
@@ -416,7 +472,16 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     each sample plane in its own strip sequence (all plane-0 strips
     first) — same pixels, different layout. ``tile_size=(tw, tl)``
     (multiples of 16, §15) stores TILES instead of strips: raster order,
-    edge tiles zero-padded to full size, tags 322-325."""
+    edge tiles zero-padded to full size, tags 322-325. ``bits=1`` writes
+    a BILEVEL image (samples are stored-sample bytes, 0 or 255; >=128 =
+    stored 1): compression 1 = bit-packed rows, 2 = CCITT RLE (T.4 MH),
+    4 = Group 4 MMR (T.6); photometric defaults to 0 (fax WhiteIsZero)."""
+    if bits == 1:
+        return _encode_bilevel(width, height, channels, samples,
+                               byte_order, compression, rows_per_strip,
+                               photometric, predictor, planar, tile_size)
+    if bits != 8:
+        raise ValueError("encode_tiff: bits must be 1 or 8")
     if channels not in (1, 3):
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
@@ -484,6 +549,32 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     else:
         strips = chunk_up(samples, width * channels, channels)
 
+    def make_fields(offs, cnts):
+        # IFD layout: count + entries + next=0, then overflow value blobs
+        fields = [
+            (256, 4, [width]), (257, 4, [height]),
+            (258, 3, [8] * channels), (259, 3, [compression]),
+            (262, 3, [photometric]),
+        ]
+        if not tile_size:
+            fields.append((273, 4, offs))
+        fields.append((277, 3, [channels]))
+        if not tile_size:
+            fields += [(278, 4, [rps]), (279, 4, cnts)]
+        fields.append((284, 3, [planar]))
+        if predictor == 2:
+            fields.append((317, 3, [2]))  # tags stay in ascending order
+        if tile_size:
+            fields += [(322, 3, [tw_]), (323, 3, [tl_]),
+                       (324, 4, offs), (325, 4, cnts)]
+        return fields
+
+    return _assemble_tiff(bo, strips, make_fields)
+
+
+def _assemble_tiff(bo: str, strips: list[bytes], make_fields) -> bytes:
+    """header + chunk data + trailing IFD + overflow value blobs.
+    ``make_fields(offs, cnts)`` returns the ascending-tag field list."""
     head = (b"II*\x00" if bo == "<" else b"MM\x00*")
     pos = 8
     offs, cnts = [], []
@@ -504,23 +595,7 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         blob = struct.pack(bo + fmt * count, *vals)
         return (struct.pack(bo + "HHII", tag, typ, count, extra_off), blob)
 
-    # IFD layout: count + entries + next=0, then overflow value blobs
-    fields = [
-        (256, 4, [width]), (257, 4, [height]),
-        (258, 3, [8] * channels), (259, 3, [compression]),
-        (262, 3, [photometric]),
-    ]
-    if not tile_size:
-        fields.append((273, 4, offs))
-    fields.append((277, 3, [channels]))
-    if not tile_size:
-        fields += [(278, 4, [rps]), (279, 4, cnts)]
-    fields.append((284, 3, [planar]))
-    if predictor == 2:
-        fields.append((317, 3, [2]))      # tags stay in ascending order
-    if tile_size:
-        fields += [(322, 3, [tw_]), (323, 3, [tl_]),
-                   (324, 4, offs), (325, 4, cnts)]
+    fields = make_fields(offs, cnts)
     n = len(fields)
     blob_off = ifd_off + 2 + 12 * n + 4
     entries, blobs = b"", b""
@@ -531,3 +606,59 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     ifd = struct.pack(bo + "H", n) + entries + struct.pack(bo + "I", 0)
     return (head + struct.pack(bo + "I", ifd_off)
             + b"".join(strips) + ifd + blobs)
+
+
+def _encode_bilevel(width, height, channels, samples, byte_order,
+                    compression, rows_per_strip, photometric, predictor,
+                    planar, tile_size) -> bytes:
+    """bits=1 arm of encode_tiff: bit-packed (1), CCITT RLE (2), or
+    Group 4 (4) strips; fax state fresh per strip."""
+    from docext_spark.core import ccittfax
+    if channels != 1:
+        raise ValueError("encode_tiff: bilevel requires channels=1")
+    if len(samples) != width * height:
+        raise ValueError("encode_tiff: samples length != w*h")
+    if compression not in (1, 2, 4):
+        raise ValueError("encode_tiff: bilevel compression must be "
+                         "1, 2 or 4")
+    if predictor != 1 or planar != 1 or tile_size is not None:
+        raise ValueError("encode_tiff: bilevel supports strips only, "
+                         "no predictor")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("encode_tiff: byte_order must be '<' or '>'")
+    if photometric is None:
+        photometric = 0                   # fax default: WhiteIsZero
+    if photometric not in (0, 1):
+        raise ValueError("encode_tiff: bilevel photometric must be 0/1")
+    rps = rows_per_strip or height
+    ink = bytes(1 if b >= 128 else 0 for b in samples)
+
+    strips = []
+    for y0 in range(0, height, rps):
+        rows = min(rps, height - y0)
+        part = ink[y0 * width:(y0 + rows) * width]
+        if compression == 1:
+            row_bytes = (width + 7) // 8
+            packed = bytearray(rows * row_bytes)
+            for y in range(rows):
+                for x in range(width):
+                    if part[y * width + x]:
+                        packed[y * row_bytes + (x >> 3)] |= \
+                            0x80 >> (x & 7)
+            strips.append(bytes(packed))
+        elif compression == 2:
+            strips.append(ccittfax.rle_encode(part, width, rows))
+        else:
+            strips.append(ccittfax.g4_encode(part, width, rows))
+
+    def make_fields(offs, cnts):
+        return [
+            (256, 4, [width]), (257, 4, [height]),
+            (258, 3, [1]), (259, 3, [compression]),
+            (262, 3, [photometric]), (273, 4, offs),
+            (277, 3, [1]), (278, 4, [rps]), (279, 4, cnts),
+            (284, 3, [1]),
+        ]
+
+    return _assemble_tiff(bo, strips, make_fields)

@@ -8,8 +8,10 @@ scanline unfilter, no PIL needed), GIF via core/gifpix.py (full LZW with
 width growth + palette mapping), JPEG via core/jpegpix.py (Huffman
 entropy decode + dequant + IDCT: baseline AND progressive, grayscale,
 4:4:4 and subsampled YCbCr), BMP via core/bmppix.py (BI_RGB 8/24/32bpp),
-baseline TIFF via core/tiffpix.py (IFD walk, strips, none/PackBits, both
-byte orders), lossless WebP via core/vp8lpix.py (VP8L Huffman/LZ77,
+baseline TIFF via core/tiffpix.py (IFD walk, strips AND tiles,
+none/PackBits/LZW/Deflate, both byte orders, plus BILEVEL fax:
+CCITT RLE and Group 4 MMR via core/ccittfax.py, pinned bit-compatible
+against Java ImageIO), lossless WebP via core/vp8lpix.py (VP8L Huffman/LZ77,
 color cache, all four transforms) — resampled nearest-neighbor, and
 featurized from the decoded samples; WAV payloads are decoded to REAL
 WAVEFORM SAMPLES (core/wavpcm.py — struct-unpacked PCM, the IMA ADPCM
