@@ -4005,6 +4005,82 @@ FROM feats
 """
 
 
+def _audio_flac_features(spark, sf_dir):
+    """REAL FLAC decode (core/flacdec.py — the first NON-WAV audio
+    container in the multimodal story): payloads are complete FLAC
+    streams from the repo's spec-faithful encoder, cycling every decoder
+    surface — subframe strategy fixed/verbatim/LPC/constant (id%4, with
+    explicit quantized-coefficient LPC and arithmetic shift), mono/stereo
+    (id%2), all three stereo decorrelations + independent (id//2 % 4),
+    Rice vs Rice2 partitioned residuals (partition order 2 on id%3==0,
+    5-bit params on id%5==0), wasted-bits shift (id%7==0 doubles every
+    sample), and block sizes 192/256/230 (230 exercises the explicit
+    16-bit block-size path, and the last frame of every file is short).
+    CRC-8 and CRC-16 are verified on every frame (the CRC algorithms are
+    pinned to published check vectors in tests/test_flacdec.py). FLAC is
+    LOSSLESS, so the analytic oracle replays the sample rule
+    s(i) = ((997i + 11·id) mod 4096 − 2048) · m exactly: per-channel
+    zero crossings (lag stride = channels), peak, duration, and the
+    position-weighted checksum over the interleaved stream."""
+    import pandas as pd
+    from docext_spark.core import flacdec
+    from docext_spark.operators.multimodal import audio_features
+    rows = []
+    for i in range(70):
+        ch = 1 + i % 2
+        n = 50 + (i * 37) % 300           # frames
+        m = 2 if i % 7 == 0 else 1
+        samples = [(((k * 997 + 11 * i) % 4096) - 2048) * m
+                   for k in range(n * ch)]
+        payload = flacdec.encode_flac(
+            8000, ch, 16, samples,
+            block_size=(192, 256, 230)[i % 3],
+            strategy=("fixed", "verbatim", "lpc",
+                      "constant-or-verbatim")[i % 4],
+            stereo=("independent", "left_side", "right_side",
+                    "mid_side")[(i // 2) % 4] if ch == 2 else "independent",
+            partition_order=2 if i % 3 == 0 else 0,
+            rice2=i % 5 == 0,
+            wasted=1 if i % 7 == 0 else 0)
+        rows.append((i, payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return audio_features(media)
+
+
+_FLAC_SQL = """
+WITH files AS (
+  SELECT i AS media_id, (1 + i % 2)::INT AS ch,
+         (50 + (i * 37) % 300)::INT AS n,
+         CASE WHEN i % 7 = 0 THEN 2 ELSE 1 END AS m
+  FROM (SELECT unnest(generate_series(0, 69)) AS i)
+), vals AS (
+  SELECT media_id, ch, n, i,
+         (((i * 997 + 11 * media_id) % 4096) - 2048) * m AS v
+  FROM (SELECT media_id, ch, n, m,
+               unnest(generate_series(0, n * ch - 1)) AS i
+        FROM files)
+), lagged AS (
+  -- zero crossings are per-channel: lag stride = channels
+  SELECT media_id, i, v,
+         lag(v) OVER (PARTITION BY media_id, i % ch
+                      ORDER BY i // ch) AS pv
+  FROM vals
+), feats AS (
+  SELECT media_id, max(abs(v)) AS peak,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END)::INT
+           AS zero_crossings,
+         sum((v + 32768)::BIGINT * (i + 1))::BIGINT AS amp_checksum
+  FROM lagged GROUP BY media_id
+)
+SELECT f.media_id, 8000 AS sample_rate, f.ch AS n_channels,
+       f.n AS n_frames, (f.n * 1000 // 8000)::INT AS duration_ms,
+       t.peak, t.zero_crossings, t.amp_checksum
+FROM files f JOIN feats t ON f.media_id = t.media_id
+"""
+
+
 def _audio_g711_features(spark, sf_dir):
     """REAL G.711 μ-law + A-law decode (WAV format tags 7/6 — the
     telephony companding codecs; core/wavpcm.py ulaw_to_linear /
@@ -4412,6 +4488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
+        "audio_flac_features": _audio_flac_features,
         "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -4549,6 +4626,7 @@ def oracle_sql() -> dict[str, str]:
         "grits_closed_form": _GRITS_CLOSED_SQL,
         "audio_waveform_features": _audio_sql(),
         "audio_adpcm_features": _ADPCM_SQL,
+        "audio_flac_features": _FLAC_SQL,
         "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

@@ -16,7 +16,10 @@ color cache, all four transforms) — resampled nearest-neighbor, and
 featurized from the decoded samples; WAV payloads are decoded to REAL
 WAVEFORM SAMPLES (core/wavpcm.py — struct-unpacked PCM, the IMA ADPCM
 state machine, and G.711 mu-law/A-law companding expansion, format tags
-1/0x11/7/6). Only lossy WebP (VP8 boolean arithmetic decode)
+1/0x11/7/6), and so are FLAC payloads (core/flacdec.py — CONSTANT/
+VERBATIM/FIXED/LPC subframes, Rice-partitioned residuals, all three
+stereo decorrelations, CRC-8/CRC-16 verified). Only lossy WebP (VP8
+boolean arithmetic decode)
 and perceptual audio/video codecs (mp3/aac/H.26x) remain stubbed —
 genuinely library territory; those payloads fall back to the
 byte-histogram feature behind the same mapInPandas seam.
@@ -344,13 +347,16 @@ def audio_features(media: DataFrame) -> DataFrame:
     """REAL waveform decode for WAV payloads (core/wavpcm.py — RIFF walk
     + struct-unpacked PCM, IMA ADPCM's published state machine for
     format tag 0x11, and G.711 mu-law/A-law expansion for tags 7/6,
-    stdlib only): sample rate, frame count, duration,
+    stdlib only) AND FLAC payloads (core/flacdec.py — fixed/LPC
+    prediction, Rice residuals, stereo decorrelation, CRC-verified,
+    lossless so the same exact invariants hold): sample rate, frame
+    count, duration,
     peak amplitude, zero crossings, and a position-weighted amplitude
     checksum — all exact integer invariants an analytic oracle replays
     from the sample generator (for ADPCM: a recursive-CTE replay of the
     adaptation fold). Perceptual-codec/undecodable payloads yield nulls,
     never an exception. Partition-parallel mapInPandas, no shuffle."""
-    from docext_spark.core import wavpcm
+    from docext_spark.core import flacdec, wavpcm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -358,7 +364,9 @@ def audio_features(media: DataFrame) -> DataFrame:
             cols = {k: [None] * n for k in
                     ("rate", "ch", "fr", "dur", "peak", "zc", "cs")}
             for i, p in enumerate(pdf["payload"]):
-                f = wavpcm.wav_features(p)
+                # container sniff is the first check in each decoder, so
+                # chaining costs a magic-bytes compare on the miss
+                f = wavpcm.wav_features(p) or flacdec.flac_features(p)
                 if f is None:
                     continue
                 (cols["rate"][i], cols["ch"][i], cols["fr"][i],
