@@ -3691,6 +3691,61 @@ def _tiff_tiled_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
+def _tiff_16bit_pixels(spark, sf_dir):
+    """REAL 16-bit TIFF decode: BitsPerSample 16 in BOTH byte orders,
+    samples stored v*257 (high byte == low byte, the pngpix 16-bit
+    scaling convention) so the high-byte downscale recovers the 8-bit
+    rule exactly — the same lossless-re-coding argument as LZW/tiled, so
+    the tiled-dims SQL twin is shared verbatim. The fixture matrix
+    cycles strips vs 16x16 tiles (i%2 with byte order riding i//2%2),
+    all four compressions, predictor 2 on compressed ids (differencing
+    per 16-BIT VALUE — libtiff horAcc16 — not per byte), planar-2, and
+    WhiteIsZero inversion. Cross-ecosystem: Java 17 ImageIO
+    TYPE_USHORT_GRAY LZW/Deflate fixtures decode exactly
+    (tests/test_tiffpix.py). Reference parity: accepted-extension
+    predicate includes tiff (reference docext/core/utils.py:56-70)."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 3 + (i * 7) % 38, 2 + (i * 11) % 37
+        ch = 1 if i % 5 == 0 else 3
+        vals = bytes((x * 3 + y * 7 + c * 19 + i * 5) % 256
+                     for y in range(h) for x in range(w) for c in range(ch))
+        white_is_zero = ch == 1 and i % 10 == 5
+        comp = (1, 5, 8, 32773)[i % 4]
+        kw = dict(
+            byte_order="<" if (i // 2) % 2 == 0 else ">",
+            compression=comp,
+            photometric=0 if white_is_zero else None,
+            predictor=2 if (comp != 1 and i % 3 == 0) else 1,
+            planar=2 if (ch == 3 and i % 4 == 1) else 1,
+            bits=16)
+        if i % 2 == 0:
+            kw["tile_size"] = (16, 16)
+        else:
+            kw["rows_per_strip"] = 1 + i % 3
+        payload = tiffpix.encode_tiff(
+            w, h, ch,
+            bytes(255 - b for b in vals) if white_is_zero else vals, **kw)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=8)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
 def _tiff_g4_pixels(spark, sf_dir):
     """REAL CCITT fax decode (core/ccittfax.py): bilevel TIFF with
     Compression 4 (Group 4 MMR, ITU-T T.6 2-D coding) cycling with
@@ -4484,6 +4539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_pixels": _tiff_pixels,
         "tiff_lzw_pixels": _tiff_lzw_pixels,
         "tiff_tiled_pixels": _tiff_tiled_pixels,
+        "tiff_16bit_pixels": _tiff_16bit_pixels,
         "tiff_g4_pixels": _tiff_g4_pixels,
         "webp_pixels": _webp_pixels,
         "grits_closed_form": _grits_closed_form,
@@ -4621,6 +4677,9 @@ def oracle_sql() -> dict[str, str]:
         # tiling is a lossless re-layout of the same pixel rule at the
         # tiled dims formula — sharing the strip twin IS the claim
         "tiff_tiled_pixels": _TIFF_TILED_SQL,
+        # 16-bit v*257 storage decodes back to the same 8-bit rule at
+        # the tiled dims formula — sharing that twin IS the claim
+        "tiff_16bit_pixels": _TIFF_TILED_SQL,
         "tiff_g4_pixels": _TIFF_G4_SQL,
         "webp_pixels": _WEBP_SQL,
         "grits_closed_form": _GRITS_CLOSED_SQL,

@@ -10,8 +10,10 @@ or PackBits-compressed strips:
     IFD:     n × 12-byte entries (tag, type, count, value-or-offset)
     strips:  RowsPerStrip rows each, at StripOffsets[i], StripByteCounts[i]
 
-Scope (baseline, the formats a pipeline actually meets): 8 bits per
-sample, 1 (grayscale) or 3 (RGB) samples per pixel, chunky planar
+Scope (baseline, the formats a pipeline actually meets): 8 or 16 bits
+per sample (16-bit downscales to the high byte, the pngpix convention;
+predictor differencing is per 16-bit value, libtiff horAcc16),
+1 (grayscale) or 3 (RGB) samples per pixel, chunky planar
 config, Compression 1 (none), 5 (LZW per TIFF 6.0 §13 — MSB-first
 packing, early code-width change, Clear/EOI, optionally with the
 horizontal-differencing Predictor 2, tag 317), 8/32946 (Adobe/legacy
@@ -30,6 +32,9 @@ compression 2, or Group 4 MMR = T.6 compression 4, via
 core/ccittfax.py — fax state fresh per strip). Anything else —
 JPEG-in-TIFF, 16-bit — returns None: a 100TB scan must never die on one
 odd blob; filter on the null and route exotica to a codec fleet.
+Cross-ecosystem bit-compat: LZW, CCITT RLE/G4, and 16-bit fixtures
+written by Java 17 ImageIO's independent TIFF plugin decode exactly
+(tests/test_tiffpix.py, tests/test_ccittfax.py).
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
 channels, samples) row-major top-down interleaved, black=0.
@@ -221,6 +226,25 @@ def _predictor2_encode(row: bytes, spp: int) -> bytes:
     return bytes(diff)
 
 
+def _predictor2_decode16(row: bytearray, spp: int, bo: str) -> None:
+    """Predictor 2 on 16-bit samples: the differencing is per 16-bit
+    VALUE (mod 65536) in the file's byte order, not per byte — libtiff's
+    horAcc16 semantics."""
+    n = len(row) // 2
+    vals = list(struct.unpack(bo + f"{n}H", bytes(row)))
+    for x in range(spp, n):
+        vals[x] = (vals[x] + vals[x - spp]) & 0xFFFF
+    row[:] = struct.pack(bo + f"{n}H", *vals)
+
+
+def _predictor2_encode16(row: bytes, spp: int, bo: str) -> bytes:
+    n = len(row) // 2
+    vals = list(struct.unpack(bo + f"{n}H", row))
+    for x in range(n - 1, spp - 1, -1):
+        vals[x] = (vals[x] - vals[x - spp]) & 0xFFFF
+    return struct.pack(bo + f"{n}H", *vals)
+
+
 def _read_values(payload: bytes, bo: str, typ: int, count: int,
                  raw: bytes) -> list[int] | None:
     size = _TYPE_SIZE.get(typ)
@@ -355,7 +379,11 @@ def decode_tiff(payload: bytes | None):
             return None
         return _decode_bilevel(payload, w, h, compression, photometric,
                                rows_per_strip, chunk_offs, chunk_counts)
-    if any(b != 8 for b in bits) or len(bits) not in (1, spp):
+    if all(b == 8 for b in bits) and len(bits) in (1, spp):
+        sb = 1                            # bytes per stored sample
+    elif all(b == 16 for b in bits) and len(bits) in (1, spp):
+        sb = 2                            # 16-bit: decode high byte
+    else:
         return None
     if compression not in (1, 5, 8, 32946, 32773):
         return None
@@ -363,13 +391,19 @@ def decode_tiff(payload: bytes | None):
         return None                       # predictor only with compression
     if len(chunk_offs) != len(chunk_counts):
         return None
+    hi = 1 if bo == "<" else 0            # offset of the high sample byte
 
-    def decode_chunk(off, cnt, expect, row_bytes, pred_spp):
+    def decode_chunk(off, cnt, rows, row_px, pred_spp):
         """One strip or one tile: slice, decompress (bounded: a tiny
         stream claiming huge output is cut at expect+1 and rejected),
-        verify exact length, undo the per-row predictor."""
+        verify exact length, undo the per-row predictor (byte-wise for
+        8-bit, per-16-bit-value for 16-bit), then downscale 16-bit
+        samples to their high byte so every downstream step is
+        byte-per-sample. ``row_px`` = samples per row in this plane."""
         if off + cnt > len(payload):
             return None
+        row_bytes = row_px * sb
+        expect = rows * row_bytes
         raw = payload[off:off + cnt]
         if compression == 32773:
             raw = packbits_decode(raw, expect)
@@ -386,23 +420,27 @@ def decode_tiff(payload: bytes | None):
             dec = bytearray(raw)
             for y0 in range(0, expect, row_bytes):
                 row = dec[y0:y0 + row_bytes]
-                _predictor2_decode(row, pred_spp)
+                if sb == 1:
+                    _predictor2_decode(row, pred_spp)
+                else:
+                    _predictor2_decode16(row, pred_spp, bo)
                 dec[y0:y0 + row_bytes] = row
             raw = bytes(dec)
+        if sb == 2:
+            raw = raw[hi::2]
         return raw
 
-    def read_strips(offs, cnts, row_bytes, pred_spp):
+    def read_strips(offs, cnts, row_px, pred_spp):
         """Decode one chunky image or one planar-2 sample plane: h rows
-        of ``row_bytes`` across these strips, predictor stride
-        ``pred_spp``. Returns the buffer or None."""
+        of ``row_px`` samples across these strips, predictor stride
+        ``pred_spp``. Returns the (byte-per-sample) buffer or None."""
         buf = bytearray()
         rows_left = h
         for off, cnt in zip(offs, cnts):
             strip_rows = min(rows_per_strip, rows_left)
             if strip_rows <= 0:
                 return None               # more strips than rows claim
-            raw = decode_chunk(off, cnt, strip_rows * row_bytes,
-                               row_bytes, pred_spp)
+            raw = decode_chunk(off, cnt, strip_rows, row_px, pred_spp)
             if raw is None:
                 return None
             buf += raw
@@ -416,11 +454,10 @@ def decode_tiff(payload: bytes | None):
         ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
         if len(offs) != ta * td:
             return None
-        row_bytes = tw * pred_spp
+        row_bytes = tw * pred_spp         # decoded: byte per sample
         out = bytearray(w * h * pred_spp)
         for t, (off, cnt) in enumerate(zip(offs, cnts)):
-            tile = decode_chunk(off, cnt, tl * row_bytes,
-                                row_bytes, pred_spp)
+            tile = decode_chunk(off, cnt, tl, tw * pred_spp, pred_spp)
             if tile is None:
                 return None
             tx, ty = (t % ta) * tw, (t // ta) * tl
@@ -480,8 +517,8 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
         return _encode_bilevel(width, height, channels, samples,
                                byte_order, compression, rows_per_strip,
                                photometric, predictor, planar, tile_size)
-    if bits != 8:
-        raise ValueError("encode_tiff: bits must be 1 or 8")
+    if bits not in (8, 16):
+        raise ValueError("encode_tiff: bits must be 1, 8 or 16")
     if channels not in (1, 3):
         raise ValueError("encode_tiff: channels must be 1 or 3")
     if len(samples) != width * height * channels:
@@ -505,10 +542,22 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
     if photometric is None:
         photometric = 2 if channels == 3 else 1
 
+    sb = 2 if bits == 16 else 1
+
+    def widen(buf: bytes) -> bytes:
+        # 16-bit fixtures store v*257 (high byte == low byte == v, the
+        # same sample-scaling convention as pngpix), so the high-byte
+        # decode recovers the input exactly
+        if sb == 1:
+            return buf
+        return struct.pack(bo + f"{len(buf)}H", *(v * 257 for v in buf))
+
     def pack_chunk(raw: bytes, row_bytes: int, pred_spp: int) -> bytes:
         if predictor == 2:
+            pred = (_predictor2_encode if sb == 1
+                    else lambda r, ps: _predictor2_encode16(r, ps, bo))
             raw = b"".join(
-                _predictor2_encode(raw[r:r + row_bytes], pred_spp)
+                pred(raw[r:r + row_bytes], pred_spp)
                 for r in range(0, len(raw), row_bytes))
         if compression == 32773:
             return packbits_encode(raw)
@@ -518,7 +567,8 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
             return zlib.compress(raw, 6)
         return raw
 
-    def strip_up(buf: bytes, row_bytes: int, pred_spp: int) -> list[bytes]:
+    def strip_up(buf: bytes, row_px: int, pred_spp: int) -> list[bytes]:
+        row_bytes = row_px * sb
         return [pack_chunk(buf[y0 * row_bytes:
                                (y0 + min(rps, height - y0)) * row_bytes],
                            row_bytes, pred_spp)
@@ -526,13 +576,13 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
 
     def tile_up(buf: bytes, pred_spp: int) -> list[bytes]:
         ta, td = (width + tw_ - 1) // tw_, (height + tl_ - 1) // tl_
-        img_row = width * pred_spp
-        tile_row = tw_ * pred_spp
+        img_row = width * pred_spp * sb
+        tile_row = tw_ * pred_spp * sb
         out = []
         for ty in range(td):
             for tx in range(ta):
                 tile = bytearray(tile_row * tl_)     # zero edge padding
-                cols = min(tw_, width - tx * tw_) * pred_spp
+                cols = min(tw_, width - tx * tw_) * pred_spp * sb
                 for yy in range(min(tl_, height - ty * tl_)):
                     src = (ty * tl_ + yy) * img_row + tx * tile_row
                     tile[yy * tile_row:yy * tile_row + cols] = \
@@ -540,20 +590,20 @@ def encode_tiff(width: int, height: int, channels: int, samples: bytes,
                 out.append(pack_chunk(bytes(tile), tile_row, pred_spp))
         return out
 
-    chunk_up = ((lambda buf, rb, ps: tile_up(buf, ps)) if tile_size
+    chunk_up = ((lambda buf, rp, ps: tile_up(buf, ps)) if tile_size
                 else strip_up)
     if planar == 2 and channels > 1:
         strips = []
         for ci in range(channels):
-            strips += chunk_up(samples[ci::channels], width, 1)
+            strips += chunk_up(widen(samples[ci::channels]), width, 1)
     else:
-        strips = chunk_up(samples, width * channels, channels)
+        strips = chunk_up(widen(samples), width * channels, channels)
 
     def make_fields(offs, cnts):
         # IFD layout: count + entries + next=0, then overflow value blobs
         fields = [
             (256, 4, [width]), (257, 4, [height]),
-            (258, 3, [8] * channels), (259, 3, [compression]),
+            (258, 3, [bits] * channels), (259, 3, [compression]),
             (262, 3, [photometric]),
         ]
         if not tile_size:

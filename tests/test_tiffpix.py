@@ -439,3 +439,177 @@ def test_lzw_final_code_early_change_boundary():
         for _ in range(20):
             v = bytes(_r.randrange(256) for _ in range(nlen))
             assert tiffpix.lzw_decode(tiffpix.lzw_encode(v), nlen) == v
+
+
+# 37x29 16-bit grayscale TIFFs written by Java 17 ImageIO
+# (TYPE_USHORT_GRAY, LZW / Deflate), pixels from the LCG64 rule below —
+# pins cross-ecosystem bit-compat of the 16-bit decode path (predictor-
+# free; 16-bit LZW streams + high-byte downscale)
+_JAVA_T16_LZW = (
+    "TU0AKgAAAAgADQEAAAMAAAABACUAAAEBAAMAAAABAB0AAAECAAMAAAABABAAAAEDAAMA"
+    "AAABAAUAAAEGAAMAAAABAAEAAAERAAQAAAABAAAAvAEVAAMAAAABAAEAAAEWAAMAAAAB"
+    "AB0AAAEXAAQAAAABAAALGgEaAAUAAAABAAAArAEbAAUAAAABAAAAtAEoAAMAAAABAAEA"
+    "AAFTAAMAAAABAAEAAAAAAAAAAAAAAAEAAAABAAAAAQAAAAGAD0MLwHjsDLl/Dh6rd2jZ"
+    "yLVtjRprNlDJhLFcjBYK9UC5Pq1LixHKtCio+qk6Cg2KcxiYtKUpCQkqMgiIcKEYCATp"
+    "8PB4LJ0GhwCpp+Bl5ph1hdxJZtBVopRkBNgJJbhFXpBTA9Oo5Kg1GIxCAs9oo5Ak1Igw"
+    "gcsoYoAUjoQfgMbIIXAESoAOP8KH4Fv0Bnt9Pp4nl0vhwHdsPZnnVjPRfHNavJWnFSPB"
+    "OG9Ju5FG1BOw8ms4uo0GkvugrmcnOYjGUeuQaGMWOIRmENuAJF8Et4Alx8Nt4FpztlvF"
+    "hrNdmlZitVeFRZtNVlJRNFNFBIs9EE5AM07kw3sszEouskqkgmMciEYdsUZEQVMMQkIM"
+    "sEIEAEL5/j17Lx3DtyrpuhyahcGWG5hlsXQalkWhUhmUBZEwGJHlgQ4Xj8Vw6haNpWDI"
+    "FYuFUKYUiUVAhBOHJTBiEoUFID4RguUQHBCAxPn6Dx6E6dgOHGTZtg0aRMmSDBgkuXAL"
+    "FgSpTgoTxJksCRGkiQoID4R46AcNZGjEBgtEWKIFCSRL6BvCYDBMQoPAICpBgYAQCEAf"
+    "Z/nmPx1H6cI+GyfZoD0ZB8l+PBbHuVw7FKepOjoSh5kWORBniPQ4Dkd40jcMB2iwNgnn"
+    "WI41B8dIajQFpzhIMwOHKCYyAUcYBDCfJwHi0pvHALprm4ZwtmMbReiyWpsFYK5RmsTY"
+    "qkkahFCmQJpDwKI4GgM4ni+ZwrCaJpmCKJYeGUGgkhWZARCODRjAiIoEmIAAhHuYJ3iA"
+    "cxfm8Hxql6ZgeGIXZdh0WZclUm5bkyGxIFqRAaD+WY7BkNxYjKGAuleKgXCYVohhYHRV"
+    "hkFQUlSEIUAwU4HhMA5SH8EZ7FEdoQnIUBuA+aZPGWDphE4XINliTRUAyUBMEuC5HEsQ"
+    "wKj6Sg6gmNhJDGCItkgKQHiURwggaHBGBgBYTkUD4EgsRAGgOApCn4Ah6EGdYBHGQJtA"
+    "AaI/mSfxgD6XB+FePZTH0Tw8kqfBGjuQh7D2Oo5noNQ5jEeQsjiKB4CQN4fncG42hcdg"
+    "SjWDp1AoNIGHQAYzH0cp5DIdJxnCMRsHCZ4wGOb5fC8WxulaLhSG2TgtEmbJFiwQRrjy"
+    "Kw4mqNAqDAaYrikJ5oiMKAemeGonBYZoSCYDZlgkJQFGSAIjnyYx4CKc5iG+IZrGEZwg"
+    "mKYBeB+WhfFWHpRl4TQdkiXREhyQBcDwG43lsMwai8WgqhmJpZCIGIdlgGYLwVCuBEC0"
+    "DIrAIArAQKkf4KB7inHcCYcopRugkGoKMZgIhhihF2CAWQnxUgeFCJ0TAHBICbEOBoPw"
+    "mQ7AYDaJcMoFguCVCmBQJYkwhASB0JEGIEAUCPBAA4C4jQHgMAMIofoCR6iIHYAccghh"
+    "tgFGkIQZQAxgiCFyAEWAgBTj/E+H4Sw/RHB8EKPsPgeg6D5DWHgMY9wtB2CiPUJIdAgD"
+    "zBwHIF48QThwA8O8CobgGjtAIGsfg6h5hpHUOgcQZxsjmGiGUZA5BfhjFuOIVwYRTDgE"
+    "6F8Sg3hGBdEGNwPYWw5DaDSFkMI2AsBXCgNYI4VQfDUBsFMFo0gShRA4NACYTwFjOAEE"
+    "wfQyx4hKHQMkcASBrjHGeEYYwxRehEFqMMVgQhSDBE2EASYvxFA+ECL0PIPA4C7DQDoL"
+    "4uQrA4CcLcIoNgei1BoDQFYswRgyA0LECQMAEivAAC0fArB3grHOKobwKRqioGaCcYgp"
+    "heAlFmKQVQIxRCiEyCESIoBEAfD+J4O4HQ3CcDMBsLomgqAZCYJgIYFwdiWBkBUFIlAQ"
+    "gTAwJICAEQDiPH+A4ewjR2gMHKIsbgChqCJGWAgYQhxdAGFiIUVIBBQCDEuAIR4gRDAA"
+    "D8H8Oo/g2B9DIPwLYewpj6CUHkII+Ach3BgPYFAdQPj0AsHMBw8gChwH6O8egbh1jtHG"
+    "GwbQ6xpBqGSOkYAaBcDnFeGYU45RPBkEqONKwhE5hgDmN8NYXgxDdCyFwKI2wkBaCANk"
+    "G4WAXDXBMFYDo1QKhUAYNMAYUU7DyCeOoZw4QmjYGYNAJYxxlC/CSLYZArQjilGMJwIo"
+    "lBiCLCGIIYQegghxGAGkH4YBfBXB6E8Xh6AfIHByCwXAJAbgbFsBMGoChaABBkPkWI8A"
+    "YDoFeN+z4rRnAsGKKsXoKkFCsBQKMU4mgTCSFKIkEggRRh4BEG8UIZwQBeE+FYDwTROh"
+    "EA4DwTYMwNArEyCIDAGRLgRAsAgSoAAJj3EkO4CI5hIDdAeNURwzAGjDEYLsBYshFCqA"
+    "SKERAmADiQEMIcAofxCB2AGG4QQZTdiACoP8JYfghj9B0HwGI+wUh6BAPkDAeAHj3ANV"
+    "Ueg9Q5jtHkOQOJvhphvGUO4YQbRcjsFgGsVA6hPhpEuOgRwZxCjmD6GUOg5A2BjDGOIL"
+    "QYQpDgCSF8II3gcBdBeNwE4WwPDaAsFkBo2ACBWH4NUeYVB1jTHEFIbQ0RohQGQM8YE5"
+    "xmivCYKYZYnQlCVGSIwJAhBjh7CMHIYoagiBhGGFkIQUBghHCAD8X4NgfAuF6CUHgHBd"
+    "gUB0AsXIAwbj6FsPEGo6RaDgBmNgWQzwYjGFgL4F4tRXCtBaKQVgmwViTFUIoFIghUB5"
+    "jyKYNAJQvikCuCMJwogjAhB6KAGgHwWCeBGB0DYnAJAbASJoAIGB8CXHgBYc4lRvAUGs"
+    "JMZoEhiiRF4BAWYjxVgOFEI0TQDBIiLEQAoQAiQ7gIDeIcMwBguiFCqAQJggwiACB2IE"
+    "GQAAVB/BCP4DIfQID8AOHof4+R7B4HcPccodhuD1GoHQZY8xhhyF0PEWQcBUjvFAG4TA"
+    "7RHhsEOOsPwag6jpDaGgMg5wuBmCmOUJQZAhDjByGIGI4QUBgA+N8C4XgHDdAMFsfo2h"
+    "6BZHYNgcYVxtjWGkFUZI1BghTFwNIWAURTjQE8E8SwzhGhNEKMwPgSw5jKDWEkMQyAtB"
+    "HCiMYJARQgDEBuEMF4wgTBBA8MACoPwGC+AIDwfYux5g6HULkcIOBsi3GgDYZAtRfg0F"
+    "sLMVwMhSixE6DASgrxFguEGK0PQLA5CrDSCoMAqQsAoCeKcI4JgfClBqCQFoowSAiA4K"
+    "ECYIAFCfAEB0fInB4gbHQJob4GRriYGcAuGMEsF6AqFoEoFYAmFGEkE2AiEkEgEUAeEC"
+    "EcDwAaDgEYDOAWC+EUCsASCaEQCKAOB4EMBoAKBWEIBEAGA0EEAiACASEAAAH8HuD6He"
+    "H4HMD2G8H0GqDyGYHwGIDuF2HsFmDqFUHoFCDmEyHkEgDiEQHgD+DeDsHcDcDaDKHYC6"
+    "DWCoHUCWDSCGHQB0DOBkHMBSDKBAHIAwDGAeHEAODAH8G+HsC8HaG6HIC4G4G2GmC0GW"
+    "GyGECwFyGuFiCsFQGqFACoEuGmEcCkEMGiD6CgDqGeDYCcDGGaC2CYCkGWCUCUCCGSBw"
+    "CQBgGOBOCMA+GKAsCIxSAKCCH4GAHoB+HWF8HEB6G0F4GiB2GSF0GAByFuFwFeBuFMFs"
+    "E8BqEqFoEaBmEIFkD2BiDmFgDUBeDEFcCyBaCgFYCQBWB+FUBuBSBcFQBKBOA6FMAoBK"
+    "AYFIAGBEH0FCHkBAHSE+HCA8GwE6GeA4GOE2F8A0FsEyFaAwFIEuE4AsEmEqEWAoEEEm"
+    "DyAkDiEiDQAgDAEeCuAcCcEaCMAYB6EWu+BYESBGAQA2EOAkAMAUEKACAGHyEEHgACHO"
+    "EAG+H+GsD8GcH6GKD4F4H2FoD0FWHyv+E0HuEiDsESHqEADoDwHmDeDkDMHiC8DgCqHe"
+    "CaDcCIHaB2DYBmHWBUDUBEHSAyIC"
+)
+
+_JAVA_T16_ZIP = (
+    "TU0AKgAAAAgADQEAAAMAAAABACUAAAEBAAMAAAABAB0AAAECAAMAAAABABAAAAEDAAMA"
+    "AAABgLIAAAEGAAMAAAABAAEAAAERAAQAAAABAAAAvAEVAAMAAAABAAEAAAEWAAMAAAAB"
+    "AB0AAAEXAAQAAAABAAAIbQEaAAUAAAABAAAArAEbAAUAAAABAAAAtAEoAAMAAAABAAEA"
+    "AAFTAAMAAAABAAEAAAAAAAAAAAAAAAEAAAABAAAAAQAAAAF42gFiCJ33PRi8DzsGuf44"
+    "9bftNuS12zTTs8oywrG5MLCvqC6frZcsjquFKn2pdChsp2MmWqVSJEmjQSI4oTAgJ58e"
+    "HhadDRwFmvwZ85jrF+KW2hXRlMgTwJK3Ea+Qpg+djpUNjIyEC3uKcglqiGEHWYZQBUeE"
+    "PwM2gi4BJYAc/xR+C/0De/r68Xnp+OB32PbPdcb0vnO18q1xpPCcb5Puim2C7Hlrcepo"
+    "aV/oV2dO5kZlPeQ0YyziI2Eb4BJfCd4BXPjb8Frn2d5Y1tfNVsXVvFSz06tSotGaUJHP"
+    "iE6AzXdMb8tmSl3JVUhMx0RGO8UyRCrDIUIZwRBACL7/Pfa87jvlut051LjLN8O2ujWy"
+    "tKkzoLKYMY+why9+rnUtbaxkK1yqUylKqEInOaYxJSikHyMXog4hBp/9HvSd7Bzjm9sa"
+    "0pnJGMGXuBawlacUnpOWEo2RhRB8j3QOa41iDFqLUQpJiUAIN4cvBiaFHgQVgwwCBID7"
+    "//N+6v3hfNn70HrI+b94tveudqX1nXSU84tyg/F6cHLvaW5g7VhsT+tHaj7pNWgt5yRm"
+    "HOUTZArjAmH54PFf6N7gXdfczlvG2r1ZtdisV6PWm1WS1IpTgdJ4UXDQZ09fzlZNTcxF"
+    "SzzKNEkryCJHGsYRRQnEAEL3we9A5r/ePtW9zDzEu7s6s7mqOKG3mTaQtYg0f7N2Mm6x"
+    "ZTBdr1QuTK1DLDqrMiopqSEoGKcPJgek/iP2ou0h5KDcH9Oeyx3CnLkbsZqoGaCYlxeO"
+    "loYVfZR1E2ySYxFbkFIPSo5BDTiMMAsnih8JFogNBwWF/AT0g+sC44HaANF/yf7Afbj8"
+    "r3um+p55lfiNd4T2e3Vz9GpzYvJZcVDwSG8/7jdtLuwlax3qFGkM6ANm+uXyZOnj4WLY"
+    "4c9gx9++XrbdrVyk25xak9mLWILXeVZx1WhUYNNXUk/RRlA9zzVOLM0kTBvLEkoKyQFH"
+    "+cbwRefE30PWws5BxcC8P7S+qz2jvJo7kbqJOYC4eDdvtmY1XrRVM02yRDE7sDMvKq4i"
+    "LRmsECsIqf8o96fuJuWl3STUo8wiw6G7ILKfqR6hnZgckJuHGn6Zdhhtl2UWXJVTFEuT"
+    "QhI6kTEQKI8gDheNDwwGiv0J9YjsB+SG2wXShMoDwYK5AbCAp/+ffpb9jnyF+3x6dPlr"
+    "eGP3WnZR9Ul0QPM4ci/xJ3Ae7xVuDe0Ea/zq82nq6OJn2ebRZcjkv2O34q5hpuCdX5Te"
+    "jF2D3HtbctppWWHYWFdQ1kdVPtQ2Uy3SJVEc0BNPC84CTPrL8UroyeBI18fPRsbFvUS1"
+    "w6xCpMGbQJO/ij6BvXk8cLtoOl+5VjhOt0U2PbU0NCuzIzIasRIwCa8ALfis7yvnqt4p"
+    "1ajNJ8SmvCWzpKojoqKZIZGgiB9/nncdbpxmG12aVBlMmEMXO5YyFSmUIRMYkhARB4//"
+    "DvaN7Qzli9wK1InLCMKHugaxhakEoIOXAo+BhgB+f3X+bH1k/Ft7U/pKeUH4OXcw9ih1"
+    "H/QWcw7yBXD97/Ru6+3jbNrr0mrJ6cBouOevZqflnmSV441ihOF8YHPfa15i3VlcUdtI"
+    "WkDZN1gu1yZWHdUVVAzTA1H70PJP6s7hTdjM0EvHyr9JtsitR6XGnEWUxItDgsJ6QXHA"
+    "aT9gvlc9T7xGOz66NTksuCQ3G7YTNQq0ATL5sfAw6K/fLtetzizFq70qtKmsKKOnmiaS"
+    "pYkkgaN4Im+hZyBen1YeTZ1EHDybMxormSIYGZcRFgiVABP3ku4R5pDdD9WOzA3DjLsL"
+    "soqqCaGImAeQhocFf4R2A26CZQFcgFT/S35D/Tp8MfspeiD5GHgP9wZ1/vT1c+3y5HHb"
+    "8NNvyu7CbbnssGuo6p9pl+iOZ4XmfWV05GxjY+JaYVLgSV9B3jhdL9wnWx7aFlkN2ARW"
+    "/NXzVOvT4lLa0dFQyM/ATrfNr0ymy51KlcmMSITHe0ZyxWpEYcNZQlDBR0A/vzY+Lr0l"
+    "PBy7FDoLuQM3+rbxNem04DPYss8xxrC+L7WurS2krJsrk6qKKYKoeSdwpmglX6RXI06i"
+    "RiE9oDQfLJ4jHRucEhsJmgEY+JfwFueV3hTWk80SxZG8ELOPqw6ijZoMkYuICoCJdwhv"
+    "h2YGXYVVBEyDRAI7gTIAKn8h/hl9EPwHev/59nju9+V23PXUdMvzw3K68bJwqe+gbpjt"
+    "j2yH635qdeltaGTnXGZT5UpkQuM5YjHhKGAf3xdeDt0GW/3a9Fns2ONX29bSVcnUwVO4"
+    "0rBRp9CeT5bOjU2FzHxLc8prSWLIWkdRxkhFQMQ3Qy/CJkEewBU/DL4EPPu78zrqueE4"
+    "2bfQNsi1vzS2s64ypbGdMJSviy6DrXoscqtpKmCpWChPp0cmPqU1JC2jJCIcoRMgCp8C"
+    "Hfmc8Rvomt8Z15jOF8aWvRW0lKwTo5KbEZKQig+BjngNcIxnC1+KVglNiEUHPIY0BSuE"
+    "IgMaghEBCYAA/vd97/zme9761XnM+MR3u/azdar0oXOZ8pBxiPB/b3bubm1l7F1rVOpL"
+    "aUPoOmcy5illIOQYYw/iB2D+3/Ze7d3kXNzb01rL2cJYudexVqjVoFSX045ShtF9UHXP"
+    "bE5jzVtMUstKSkHJOEgwxydGH8UWRA3DBUH8wPQ/677iPdq80TvJusA5t7ivN6a2njWV"
+    "tI0zhLJ7MXOwai9irlktUKxIKz+qNykuqCUnHaYUJQykAyL6ofIg6Z/hHtidzxzHm74a"
+    "tpmtGKSXnBaTlYsUgpN5EnGRaBBgj1cOTo1GDD2LNQosiSMIG4cSBgqFAQP5gvAB54Df"
+    "/9Z+zv3FfLz7tHqr+aN4mveRdon1gHR4829yZvFecFXvTW5E7TtsM+sqaiLpGdYuKg0="
+)
+
+
+def _java16_high_bytes(seed, w, h):
+    M = (1 << 64) - 1
+    return bytes(((((seed * 6364136223846793005 + i * 1442695040888963407)
+                    & M) >> 24) & 0xFFFF) >> 8 for i in range(w * h))
+
+
+def test_java_imageio_16bit_fixtures_decode_exact():
+    import base64
+    exp = _java16_high_bytes(7, 37, 29)
+    for b64 in (_JAVA_T16_LZW, _JAVA_T16_ZIP):
+        assert tiffpix.decode_tiff(base64.b64decode(b64)) == (37, 29, 1, exp)
+
+
+def test_16bit_roundtrip_matrix():
+    """bits=16 across byte orders x compressions x predictor x planar x
+    strips/tiles: fixtures store v*257 so the high-byte decode recovers
+    the 8-bit input exactly; predictor 2 differences per 16-BIT VALUE
+    (libtiff horAcc16), not per byte."""
+    import random as _r
+    _r.seed(59)
+    for _ in range(50):
+        w, h = _r.randint(1, 40), _r.randint(1, 40)
+        ch = _r.choice([1, 3])
+        px = bytes(_r.randrange(256) for _ in range(w * h * ch))
+        bo = _r.choice(["<", ">"])
+        comp = _r.choice([1, 5, 8, 32773])
+        kw = dict(byte_order=bo, compression=comp,
+                  predictor=_r.choice([1, 2]) if comp != 1 else 1,
+                  planar=_r.choice([1, 2]), bits=16)
+        if _r.random() < 0.5:
+            kw["tile_size"] = (16, 16)
+        else:
+            kw["rows_per_strip"] = _r.choice([None, 1, 3])
+        assert tiffpix.decode_tiff(
+            tiffpix.encode_tiff(w, h, ch, px, **kw)) == (w, h, ch, px)
+
+
+def test_16bit_predictor_is_value_wise_not_byte_wise():
+    """A 16-bit gradient that increments by 1 per pixel has constant
+    16-bit differences but NON-constant byte differences — value-wise
+    predictor 2 makes LZW collapse it; byte-wise would corrupt it."""
+    w, h = 64, 4
+    px = bytes((i * 1) % 256 for i in range(w * h))
+    plain = tiffpix.encode_tiff(w, h, 1, px, compression=5, bits=16)
+    pred = tiffpix.encode_tiff(w, h, 1, px, compression=5, predictor=2,
+                               bits=16)
+    assert tiffpix.decode_tiff(pred) == tiffpix.decode_tiff(plain)         == (w, h, 1, px)
+    assert len(pred) < len(plain)
+
+
+def test_16bit_white_is_zero():
+    px = _samples(9, 7, 1, seed=2)
+    p = tiffpix.encode_tiff(9, 7, 1, bytes(255 - b for b in px),
+                            compression=8, photometric=0, bits=16)
+    assert tiffpix.decode_tiff(p) == (9, 7, 1, px)
