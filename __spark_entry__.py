@@ -3691,6 +3691,54 @@ def _tiff_tiled_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
+def _tiff_jpeg_pixels(spark, sf_dir):
+    """JPEG-in-TIFF decode (Compression 7, TIFF Tech Note 2): every
+    strip/tile is a standalone baseline JPEG routed through
+    core/jpegpix.py, with the JPEGTables (tag 347) abbreviated-stream
+    convention on ids%3==2. The fixtures reuse the jpeg_resample_pixels
+    constant-8x8-block rule — 8-aligned strip (rows_per_strip=8) and
+    16x16-tile splits preserve constant blocks, so the decode stays
+    closed-form and the GRAY JPEG SQL twin is shared verbatim (sharing
+    it IS the claim: decode(tiff(jpeg)) == decode(jpeg)). Layout cycles
+    whole-image / 8-row strips / 16x16 tiles by id%3; byte order
+    alternates. Cross-ecosystem: Java 17 ImageIO read all four layouts
+    of these files pixel-exact (tests/test_tiffpix.py docstring pin).
+    Reference parity: accepted-extension predicate includes tiff
+    (reference docext/core/utils.py:56-70; PIL decodes JPEG-compressed
+    TIFF transparently at 13-15)."""
+    import pandas as pd
+    from docext_spark.core import tiffpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        px = bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                   for y in range(h) for x in range(w))
+        kw = {}
+        if i % 3 == 1:
+            kw["rows_per_strip"] = 8
+        elif i % 3 == 2:
+            kw["tile_size"] = (16, 16)
+            kw["use_jpeg_tables"] = True
+        payload = tiffpix.encode_tiff_jpeg(
+            w, h, 1, px, byte_order="<" if i % 2 == 0 else ">", **kw)
+        rows.append((i, "image", payload))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=12)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
 def _tiff_16bit_pixels(spark, sf_dir):
     """REAL 16-bit TIFF decode: BitsPerSample 16 in BOTH byte orders,
     samples stored v*257 (high byte == low byte, the pngpix 16-bit
@@ -4539,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_pixels": _tiff_pixels,
         "tiff_lzw_pixels": _tiff_lzw_pixels,
         "tiff_tiled_pixels": _tiff_tiled_pixels,
+        "tiff_jpeg_pixels": _tiff_jpeg_pixels,
         "tiff_16bit_pixels": _tiff_16bit_pixels,
         "tiff_g4_pixels": _tiff_g4_pixels,
         "webp_pixels": _webp_pixels,
@@ -4677,6 +4726,10 @@ def oracle_sql() -> dict[str, str]:
         # tiling is a lossless re-layout of the same pixel rule at the
         # tiled dims formula — sharing the strip twin IS the claim
         "tiff_tiled_pixels": _TIFF_TILED_SQL,
+        # JPEG-in-TIFF decodes to the same closed-form block rule as the
+        # standalone gray JPEG pair — only the sniffed container differs
+        "tiff_jpeg_pixels": _JPEG_RESAMPLE_SQL.replace(
+            "'jpeg' AS format", "'tiff' AS format"),
         # 16-bit v*257 storage decodes back to the same 8-bit rule at
         # the tiled dims formula — sharing that twin IS the claim
         "tiff_16bit_pixels": _TIFF_TILED_SQL,

@@ -29,11 +29,15 @@ padded to full size and cropped on decode, same compression/predictor
 matrix as strips, planar-2 tiles plane-sequential), and BILEVEL images
 (BitsPerSample 1: bit-packed rows, CCITT RLE = T.4 Modified Huffman
 compression 2, or Group 4 MMR = T.6 compression 4, via
-core/ccittfax.py — fax state fresh per strip). Anything else —
-JPEG-in-TIFF, 16-bit — returns None: a 100TB scan must never die on one
-odd blob; filter on the null and route exotica to a codec fleet.
+core/ccittfax.py — fax state fresh per strip), and NEW-STYLE JPEG
+(Compression 7, TIFF Tech Note 2: each strip/tile a standalone JPEG
+routed through core/jpegpix.py, JPEGTables tag 347 spliced in).
+Anything else — e.g. floating-point or palette TIFF — returns None: a 100TB scan must never
+die on one odd blob; filter on the null and route exotica to a codec
+fleet.
 Cross-ecosystem bit-compat: LZW, CCITT RLE/G4, and 16-bit fixtures
-written by Java 17 ImageIO's independent TIFF plugin decode exactly
+written by Java 17 ImageIO's independent TIFF plugin decode exactly,
+and Java reads THIS encoder's JPEG-in-TIFF layouts pixel-exact
 (tests/test_tiffpix.py, tests/test_ccittfax.py).
 
 Output convention matches pngpix/gifpix/bmppix: (width, height,
@@ -49,7 +53,7 @@ import zlib
 # huge output — both the allocation and the RLE expansion are bounded
 MAX_PIXELS = 4_000_000
 
-_TYPE_SIZE = {1: 1, 3: 2, 4: 4}          # BYTE, SHORT, LONG
+_TYPE_SIZE = {1: 1, 3: 2, 4: 4, 7: 1}    # BYTE, SHORT, LONG, UNDEFINED
 
 
 def packbits_decode(data: bytes, max_out: int) -> bytes | None:
@@ -258,7 +262,7 @@ def _read_values(payload: bytes, bo: str, typ: int, count: int,
         if off + total > len(payload):
             return None
         buf = payload[off:off + total]
-    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
     return list(struct.unpack(bo + fmt * count, buf))
 
 
@@ -304,6 +308,170 @@ def _decode_bilevel(payload, w, h, compression, photometric,
     return (w, h, 1, samples)
 
 
+def _decode_tiff_jpeg(payload, w, h, spp, rows_per_strip, offs, cnts,
+                      tile_dims, jpeg_tables):
+    """Compression 7: decode each strip/tile through core/jpegpix.py.
+    Strip/tile JPEG dims may exceed the nominal region (encoders pad to
+    MCU multiples) — the excess is cropped. A JPEGTables stream (SOI +
+    DQT/DHT + EOI) is spliced after each chunk's SOI."""
+    from docext_spark.core import jpegpix
+    tables_body = b""
+    if jpeg_tables:
+        if len(jpeg_tables) < 4 or jpeg_tables[:2] != b"\xff\xd8" \
+                or jpeg_tables[-2:] != b"\xff\xd9":
+            return None
+        tables_body = jpeg_tables[2:-2]
+
+    def dec(chunk):
+        if len(chunk) < 2 or chunk[:2] != b"\xff\xd8":
+            return None
+        return jpegpix.decode_jpeg(b"\xff\xd8" + tables_body + chunk[2:])
+
+    def blit(out, d, x0, y0, want_w, want_h):
+        dw, dh, dspp, data = d
+        if dspp != spp or dw < want_w or dh < want_h:
+            return False
+        cols = want_w * spp
+        for yy in range(want_h):
+            dst = ((y0 + yy) * w + x0) * spp
+            out[dst:dst + cols] = data[yy * dw * spp:
+                                       yy * dw * spp + cols]
+        return True
+
+    out = bytearray(w * h * spp)
+    if tile_dims:
+        tw, tl = tile_dims
+        ta, td = (w + tw - 1) // tw, (h + tl - 1) // tl
+        if len(offs) != ta * td:
+            return None
+        for t, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(payload):
+                return None
+            d = dec(payload[off:off + cnt])
+            tx, ty = (t % ta) * tw, (t // ta) * tl
+            if d is None or not blit(out, d, tx, ty,
+                                     min(tw, w - tx), min(tl, h - ty)):
+                return None
+        return (w, h, spp, bytes(out))
+    y = 0
+    for off, cnt in zip(offs, cnts):
+        strip_rows = min(rows_per_strip, h - y)
+        if strip_rows <= 0 or off + cnt > len(payload):
+            return None
+        d = dec(payload[off:off + cnt])
+        if d is None or not blit(out, d, 0, y, w, strip_rows):
+            return None
+        y += strip_rows
+    return (w, h, spp, bytes(out)) if y == h else None
+
+
+def split_jpeg_tables(jpeg: bytes) -> tuple[bytes, bytes]:
+    """(tables_stream, abbreviated_stream): move every DQT/DHT segment
+    of a standalone JPEG into a JPEGTables-style stream (SOI + tables +
+    EOI), leaving an abbreviated image stream — the TIFF tag-347
+    convention (fixture/test side)."""
+    assert jpeg[:2] == b"\xff\xd8"
+    tables = bytearray(b"\xff\xd8")
+    body = bytearray(b"\xff\xd8")
+    i, n = 2, len(jpeg)
+    while i + 1 < n:
+        assert jpeg[i] == 0xFF
+        marker = jpeg[i + 1]
+        if marker == 0xD9:
+            body += jpeg[i:]
+            break
+        if marker == 0xDA:                # SOS: rest is entropy data
+            body += jpeg[i:]
+            break
+        seg_len = struct.unpack(">H", jpeg[i + 2:i + 4])[0]
+        seg = jpeg[i:i + 2 + seg_len]
+        (tables if marker in (0xDB, 0xC4) else body).extend(seg)
+        i += 2 + seg_len
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(body)
+
+
+def encode_tiff_jpeg(width: int, height: int, channels: int,
+                     samples: bytes, byte_order: str = "<",
+                     rows_per_strip: int | None = None,
+                     tile_size: tuple[int, int] | None = None,
+                     use_jpeg_tables: bool = False) -> bytes:
+    """Compression-7 TIFF from top-down samples (fixture/test side):
+    each strip/tile is a standalone baseline JPEG from core/jpegpix.py
+    (grayscale or YCbCr 4:4:4); edge tiles replicate the last row/column
+    so 8-aligned constant blocks stay constant through the pad.
+    ``use_jpeg_tables`` moves DQT/DHT into the JPEGTables tag (347) and
+    stores abbreviated streams."""
+    from docext_spark.core import jpegpix
+    if channels not in (1, 3):
+        raise ValueError("encode_tiff_jpeg: channels must be 1 or 3")
+    if len(samples) != width * height * channels:
+        raise ValueError("encode_tiff_jpeg: samples length != w*h*ch")
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("encode_tiff_jpeg: byte_order must be < or >")
+    rps = rows_per_strip or height
+
+    def enc(buf, cw, ch_):
+        if channels == 1:
+            return jpegpix.encode_jpeg_gray(cw, ch_, bytes(buf))
+        return jpegpix.encode_jpeg_ycbcr(
+            cw, ch_, bytes(buf[0::3]), bytes(buf[1::3]), bytes(buf[2::3]))
+
+    chunks = []
+    if tile_size:
+        tw_, tl_ = tile_size
+        if tw_ <= 0 or tl_ <= 0 or tw_ % 16 or tl_ % 16:
+            raise ValueError("encode_tiff_jpeg: tile dims must be "
+                             "positive multiples of 16")
+        ta = (width + tw_ - 1) // tw_
+        td = (height + tl_ - 1) // tl_
+        for ty in range(td):
+            for tx in range(ta):
+                tile = bytearray(tw_ * tl_ * channels)
+                for yy in range(tl_):
+                    sy = min(ty * tl_ + yy, height - 1)
+                    for xx in range(tw_):
+                        sx = min(tx * tw_ + xx, width - 1)
+                        src = (sy * width + sx) * channels
+                        dst = (yy * tw_ + xx) * channels
+                        tile[dst:dst + channels] = \
+                            samples[src:src + channels]
+                chunks.append(enc(tile, tw_, tl_))
+    else:
+        for y0 in range(0, height, rps):
+            rows = min(rps, height - y0)
+            chunks.append(enc(samples[y0 * width * channels:
+                                      (y0 + rows) * width * channels],
+                              width, rows))
+
+    tables = b""
+    if use_jpeg_tables:
+        tables = split_jpeg_tables(chunks[0])[0]
+        chunks = [split_jpeg_tables(c)[1] for c in chunks]
+
+    def make_fields(offs, cnts):
+        fields = [
+            (256, 4, [width]), (257, 4, [height]),
+            (258, 3, [8] * channels), (259, 3, [7]),
+            (262, 3, [6 if channels == 3 else 1]),
+        ]
+        if not tile_size:
+            fields.append((273, 4, offs))
+        fields.append((277, 3, [channels]))
+        if not tile_size:
+            fields += [(278, 4, [rps]), (279, 4, cnts)]
+        fields.append((284, 3, [1]))
+        if tile_size:
+            fields += [(322, 3, [tw_]), (323, 3, [tl_]),
+                       (324, 4, offs), (325, 4, cnts)]
+        if tables:
+            fields.append((347, 7, list(tables)))
+        return fields
+
+    return _assemble_tiff(bo, chunks, make_fields)
+
+
 def decode_tiff(payload: bytes | None):
     """(width, height, channels, samples top-down, black=0) or None."""
     if not payload or len(payload) < 8:
@@ -326,7 +494,7 @@ def decode_tiff(payload: bytes | None):
         e = ifd_off + 2 + 12 * k
         tag, typ, count = struct.unpack(bo + "HHI", payload[e:e + 8])
         if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 284, 317,
-                   322, 323, 324, 325):
+                   322, 323, 324, 325, 347):
             vals = _read_values(payload, bo, typ, count, payload[e + 8:e + 12])
             if vals is None:
                 return None
@@ -367,7 +535,7 @@ def decode_tiff(payload: bytes | None):
             > 4 * MAX_PIXELS:
         return None                       # padded-tile allocation bound
     if spp not in (1, 3) or planar not in (1, 2) \
-            or photometric not in (0, 1, 2):
+            or photometric not in (0, 1, 2, 6):
         return None
     if bits == [1]:
         # BILEVEL: uncompressed bit-packed rows, CCITT RLE (Modified
@@ -379,6 +547,21 @@ def decode_tiff(payload: bytes | None):
             return None
         return _decode_bilevel(payload, w, h, compression, photometric,
                                rows_per_strip, chunk_offs, chunk_counts)
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TIFF Tech Note 2): every strip/tile is
+        # a standalone JPEG stream; abbreviated streams pull their
+        # DQT/DHT segments from the JPEGTables tag (347)
+        if any(b != 8 for b in bits) or spp not in (1, 3) \
+                or planar != 1 or photometric not in (1, 6) \
+                or predictor != 1 \
+                or len(chunk_offs) != len(chunk_counts):
+            return None
+        return _decode_tiff_jpeg(payload, w, h, spp, rows_per_strip,
+                                 chunk_offs, chunk_counts,
+                                 (tw, tl) if tiled else None,
+                                 bytes(tags.get(347, [])))
+    if photometric == 6:
+        return None                       # raw YCbCr samples: only as JPEG
     if all(b == 8 for b in bits) and len(bits) in (1, spp):
         sb = 1                            # bytes per stored sample
     elif all(b == 16 for b in bits) and len(bits) in (1, spp):
@@ -637,7 +820,7 @@ def _assemble_tiff(bo: str, strips: list[bytes], make_fields) -> bytes:
     def entry(tag, typ, vals, extra_off=None):
         count = len(vals)
         size = _TYPE_SIZE[typ] * count
-        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        fmt = {1: "B", 3: "H", 4: "I", 7: "B"}[typ]
         if size <= 4:
             raw = struct.pack(bo + fmt * count, *vals)
             raw += b"\x00" * (4 - size)

@@ -613,3 +613,61 @@ def test_16bit_white_is_zero():
     p = tiffpix.encode_tiff(9, 7, 1, bytes(255 - b for b in px),
                             compression=8, photometric=0, bits=16)
     assert tiffpix.decode_tiff(p) == (9, 7, 1, px)
+
+
+def test_jpeg_in_tiff_exact_on_constant_blocks():
+    """Compression 7 (TIFF Tech Note 2): strips and tiles each hold a
+    standalone baseline JPEG; constant 8x8 blocks decode exactly, and
+    8-aligned strip/tile splits preserve them — across byte orders and
+    the JPEGTables (tag 347) abbreviated-stream convention. Dev-time
+    cross-pin: Java 17 ImageIO read all four layouts of these files
+    pixel-exact (raster samples)."""
+    def rule_px(w, h, i):
+        return bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                     for y in range(h) for x in range(w))
+    for i in range(12):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        px = rule_px(w, h, i)
+        for kw in (dict(), dict(rows_per_strip=8),
+                   dict(tile_size=(16, 16)),
+                   dict(rows_per_strip=8, use_jpeg_tables=True),
+                   dict(tile_size=(16, 16), use_jpeg_tables=True)):
+            p = tiffpix.encode_tiff_jpeg(
+                w, h, 1, px, byte_order="<" if i % 2 else ">", **kw)
+            assert tiffpix.decode_tiff(p) == (w, h, 1, px), (i, kw)
+
+
+def test_jpeg_in_tiff_color_matches_plain_jpeg():
+    """A color (photometric 6 / YCbCr) compression-7 TIFF decodes to the
+    same RGB as the equivalent standalone JPEG — strip splitting is
+    invisible for 8-aligned constant blocks."""
+    from docext_spark.core import jpegpix
+    for i in range(4):
+        w, h = 16, 16
+        ycc = bytes(((x // 8) * 2 + (y // 8) * 7 + c * 31 + i) % 128 * 2
+                    for y in range(h) for x in range(w) for c in range(3))
+        jd = jpegpix.decode_jpeg(jpegpix.encode_jpeg_ycbcr(
+            w, h, ycc[0::3], ycc[1::3], ycc[2::3]))
+        for kw in (dict(rows_per_strip=8),
+                   dict(tile_size=(16, 16), use_jpeg_tables=True)):
+            assert tiffpix.decode_tiff(
+                tiffpix.encode_tiff_jpeg(w, h, 3, ycc, **kw)) == jd
+
+
+def test_jpeg_in_tiff_defensive():
+    import random as _r
+    def rule_px(w, h, i):
+        return bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                     for y in range(h) for x in range(w))
+    good = tiffpix.encode_tiff_jpeg(24, 16, 1, rule_px(24, 16, 5),
+                                    tile_size=(16, 16),
+                                    use_jpeg_tables=True)
+    for cut in range(0, len(good), 11):
+        r = tiffpix.decode_tiff(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    _r.seed(23)
+    for _ in range(120):
+        b = bytearray(good)
+        b[_r.randrange(len(b))] ^= 0xFF
+        r = tiffpix.decode_tiff(bytes(b))
+        assert r is None or isinstance(r, tuple)
