@@ -4108,6 +4108,60 @@ FROM feats
 """
 
 
+def _audio_pcm24_features(spark, sf_dir):
+    """24-bit PCM WAV decode (3-byte signed little-endian samples) +
+    the WAVE_FORMAT_EXTENSIBLE container (tag 0xFFFE, real format tag in
+    the SubFormat GUID — what modern encoders emit for >16-bit audio):
+    extensible on odd ids, mono/stereo by id//2, sample rule
+    s(i) = ((9973i + 77·id) mod 2000000) − 1000000 replayed analytically.
+    The 3-byte unpack is additionally pinned against a Java 17
+    javax.sound.sampled fixture in tests/test_wavpcm.py."""
+    import pandas as pd
+    from docext_spark.core import wavpcm
+    from docext_spark.operators.multimodal import audio_features
+    rows = []
+    for i in range(60):
+        ch = 1 + (i // 2) % 2
+        n = (40 + 7 * i) * ch
+        s = [((k * 9973 + 77 * i) % 2000000) - 1000000 for k in range(n)]
+        rows.append((i, wavpcm.encode_wav(8000, ch, s, bits=24,
+                                          extensible=i % 2 == 1)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return audio_features(media)
+
+
+_PCM24_SQL = """
+WITH files AS (
+  SELECT i AS media_id, (1 + (i // 2) % 2)::INT AS ch,
+         ((40 + 7 * i) * (1 + (i // 2) % 2))::INT AS n
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+), vals AS (
+  SELECT media_id, ch, n, i,
+         ((i * 9973 + 77 * media_id) % 2000000 - 1000000) AS v
+  FROM (SELECT media_id, ch, n, unnest(generate_series(0, n - 1)) AS i
+        FROM files)
+), lagged AS (
+  SELECT media_id, i, v,
+         lag(v) OVER (PARTITION BY media_id, i % ch ORDER BY i // ch)
+           AS pv
+  FROM vals
+), feats AS (
+  SELECT media_id, max(abs(v)) AS peak,
+         sum(CASE WHEN v * pv < 0 THEN 1 ELSE 0 END)::INT
+           AS zero_crossings,
+         sum((v + 32768)::BIGINT * (i + 1))::BIGINT AS amp_checksum
+  FROM lagged GROUP BY media_id
+)
+SELECT f.media_id, 8000 AS sample_rate, f.ch AS n_channels,
+       (f.n // f.ch)::INT AS n_frames,
+       ((f.n // f.ch) * 1000 // 8000)::INT AS duration_ms,
+       t.peak, t.zero_crossings, t.amp_checksum
+FROM files f JOIN feats t ON f.media_id = t.media_id
+"""
+
+
 def _audio_flac_features(spark, sf_dir):
     """REAL FLAC decode (core/flacdec.py — the first NON-WAV audio
     container in the multimodal story): payloads are complete FLAC
@@ -4594,6 +4648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grits_closed_form": _grits_closed_form,
         "audio_adpcm_features": _audio_adpcm_features,
         "audio_flac_features": _audio_flac_features,
+        "audio_pcm24_features": _audio_pcm24_features,
         "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -4739,6 +4794,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_waveform_features": _audio_sql(),
         "audio_adpcm_features": _ADPCM_SQL,
         "audio_flac_features": _FLAC_SQL,
+        "audio_pcm24_features": _PCM24_SQL,
         "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

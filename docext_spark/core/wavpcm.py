@@ -1,7 +1,9 @@
 """Pure-Python WAV waveform decode — stdlib only, no audio libraries.
 
 The audio half of the multimodal decode story (PNG pixels: core/pngpix.py):
-a RIFF/WAVE container with integer PCM needs no codec at all — the header
+a RIFF/WAVE container with integer PCM (8/16/24-bit, plain or
+WAVE_FORMAT_EXTENSIBLE 0xFFFE with the SubFormat GUID) needs no codec at
+all — the header
 is fixed-offset little-endian fields and the data chunk IS the samples —
 and IMA ADPCM (format tag 0x11, the classic 4:1 compressed WAV) is pure
 integer table math (the published IMA/DVI step + index adaptation, as in
@@ -153,8 +155,16 @@ def decode_wav(payload: bytes | None):
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             block_align = struct.unpack("<H", body[12:14])[0]
             bits = struct.unpack("<H", body[14:16])[0]
+            if fmt == 0xFFFE:            # WAVE_FORMAT_EXTENSIBLE
+                # cbSize(2) + wValidBits(2) + dwChannelMask(4) + GUID:
+                # the real format tag is the GUID's first 16 bits
+                if ln < 40:
+                    return None
+                fmt = struct.unpack("<H", body[24:26])[0]
+                if fmt == 0xFFFE:
+                    return None          # nested extensible: corrupt
             if fmt == 1:
-                if bits not in (8, 16):
+                if bits not in (8, 16, 24):
                     return None
             elif fmt == 0x11:
                 if bits != 4:
@@ -198,6 +208,12 @@ def decode_wav(payload: bytes | None):
         if len(data) % 2:
             return None
         samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    elif bits == 24:
+        if len(data) % 3:
+            return None
+        samples = [
+            int.from_bytes(data[k:k + 3], "little", signed=True)
+            for k in range(0, len(data), 3)]
     else:
         samples = [b - 128 for b in data]
     return (rate, channels, bits, samples)
@@ -323,16 +339,27 @@ def encode_wav_g711(rate: int, channels: int, codes: list[int],
 
 
 def encode_wav(rate: int, channels: int, samples: list[int],
-               bits: int = 16) -> bytes:
-    """Fixture/test builder: a fully valid RIFF/WAVE PCM file."""
+               bits: int = 16, extensible: bool = False) -> bytes:
+    """Fixture/test builder: a fully valid RIFF/WAVE PCM file (8/16/24
+    bit). ``extensible`` wraps the format in WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE with the PCM SubFormat GUID) — the container modern
+    encoders emit for >2 channels or >16 bits."""
     if bits == 16:
         data = struct.pack(f"<{len(samples)}h", *samples)
     elif bits == 8:
         data = bytes((s + 128) & 0xFF for s in samples)
+    elif bits == 24:
+        data = b"".join(int(s).to_bytes(3, "little", signed=True)
+                        for s in samples)
     else:
-        raise ValueError("bits must be 8 or 16")
+        raise ValueError("bits must be 8, 16 or 24")
     block = channels * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
-    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-            + b"fmt " + struct.pack("<I", 16) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
+    fmt = struct.pack("<HHIIHH", 0xFFFE if extensible else 1, channels,
+                      rate, rate * block, block, bits)
+    if extensible:
+        # cbSize=22, wValidBits=bits, channel mask 0, KSDATAFORMAT_
+        # SUBTYPE_PCM GUID ({00000001-0000-0010-8000-00aa00389b71})
+        fmt += struct.pack("<HHI", 22, bits, 0)
+        fmt += bytes((0x01, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+                      0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71))
+    return _wav_container(fmt, data)

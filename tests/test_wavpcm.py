@@ -277,3 +277,79 @@ def test_g711_features_and_defensive():
     dlen_off = stereo.index(b"data") + 4
     trunc[dlen_off:dlen_off + 4] = struct.pack("<I", 3)
     assert wavpcm.decode_wav(bytes(trunc[:dlen_off + 4 + 3])) is None
+
+
+# A 500-sample 24-bit mono WAV written by Java 17 javax.sound.sampled
+# (AudioSystem.write, PCM_SIGNED little-endian) — pins cross-ecosystem
+# bit-compat of the 3-byte sample unpack
+_JAVA_WAV24 = (
+    "UklGRgAGAABXQVZFZm10IBAAAAABAAEAQB8AAMBdAAADABgAZGF0YdwFAAANvvAC5fD3"
+    "C/HsMvHhWfHWgPHLp/HAzvG19fGqHPKfQ/KUavKJkfJ+uPJz3/JoBvNdLfNSVPNHe/M8"
+    "ovMxyfMm8PMbF/QQPvQFZfT6i/TvsvTk2fTZAPXOJ/XDTvW4dfWtnPWiw/WX6vWMEfaB"
+    "OPZ2X/ZrhvZgrfZV1PZK+/Y/Ivc0SfcpcPcel/cTvvcI5ff9C/jyMvjnWfjcgPjRp/jG"
+    "zvi79fiwHPmlQ/maavmPkfmEuPl53/luBvpjLfpYVPpNe/pCovo3yfos8PohF/sWPvsL"
+    "ZfsAjPv1svvq2fvfAPzUJ/zJTvy+dfyznPyow/yd6vySEf2HOP18X/1xhv1mrf1b1P1Q"
+    "+/1FIv46Sf4vcP4kl/4Zvv4O5f4DDP/4Mv/tWf/igP/Xp//Mzv/B9f+2HACrQwCgagCV"
+    "kQCKuAB/3wB0BgFpLQFeVAFTewFIogE9yQEy8AEnFwIcPgIRZQIGjAL7sgLw2QLlAAPa"
+    "JwPPTgPEdQO5nAOuwwOj6gOYEQSNOASCXwR3hgRsrQRh1ARW+wRLIgVASQU1cAUqlwUf"
+    "vgUU5QUJDAb+MgbzWQbogAbdpwbSzgbH9Qa8HAexQwemagebkQeQuAeF3wd6BghvLQhk"
+    "VAhZewhOoghDyQg48AgtFwkiPgkXZQkMjAkBswn22QnrAArgJwrVTgrKdQq/nAq0wwqp"
+    "6gqeEQuTOAuIXwt9hgtyrQtn1Atc+wtRIgxGSQw7cAwwlwwlvgwa5QwPDA0EMw35WQ3u"
+    "gA3jpw3Yzg3N9Q3CHA63Qw6sag6hkQ6WuA6L3w6ABg91LQ/qz/Df9vDUHfHJRPG+a/Gz"
+    "kvGoufGd4PGSB/KHLvJ8VfJxfPJmo/JbyvJQ8fJFGPM6P/MvZvMkjfMZtPMO2/MDAvT4"
+    "KPTtT/TidvTXnfTMxPTB6/S2EvWrOfWgYPWVh/WKrvV/1fV0/PVpI/ZeSvZTcfZImPY9"
+    "v/Yy5vYnDfccNPcRW/cGgvf7qPfwz/fl9vfaHfjPRPjEa/i5kviuufij4PiYB/mNLvmC"
+    "Vfl3fPlso/lhyvlW8flLGPpAP/o1ZvoqjfoftPoU2/oJAvv+KPvzT/vodvvdnfvSxPvH"
+    "6/u8EvyxOfymYPybh/yQrvyF1fx6/PxvI/1kSv1Zcf1OmP1Dv/045v0tDf4iNP4XW/4M"
+    "gv4Bqf72z/7r9v7gHf/VRP/Ka/+/kv+0uf+p4P+eBwCTLgCIVQB9fAByowBnygBc8QBR"
+    "GAFGPwE7ZgEwjQEltAEa2wEPAgIEKQL5TwLudgLjnQLYxALN6wLCEgO3OQOsYAOhhwOW"
+    "rgOL1QOA/AN1IwRqSgRfcQRUmARJvwQ+5gQzDQUoNAUdWwUSggUHqQX8zwXx9gXmHQbb"
+    "RAbQawbFkga6uQav4AakBweZLgeOVQeDfAd4owdtygdi8QdXGAhMPwhBZgg2jQgrtAgg"
+    "2wgVAgkKKQn/Twn0dgnpnQnexAnT6wnIEgq9OQqyYAqnhwqcrgqR1QqG/Ap7IwtwSgtl"
+    "cQtamAtPvwtE5gs5DQwuNAwjWwwYggwNqQwC0Az39gzsHQ3hRA3Waw3Lkg3AuQ214A2q"
+    "Bw6fLg6UVQ6JfA5+ow5zyg5o8Q5dGA9SPw/H4fC8CPGxL/GmVvGbffGQpPGFy/F68vFv"
+    "GfJkQPJZZ/JOjvJDtfI43PItA/MiKvMXUfMMePMBn/P2xfPr7PPgE/TVOvTKYfS/iPS0"
+    "r/Sp1vSe/fSTJPWIS/V9cvVymfVnwPVc5/VRDvZGNfY7XPYwg/YlqvYa0fYP+PYEH/f5"
+    "RffubPfjk/fYuvfN4ffCCPi3L/isVvihffiWpPiLy/iA8vh1GflqQPlfZ/lUjvlJtfk+"
+    "3PkzA/ooKvodUfoSePoHn/r8xfrx7PrmE/vbOvvQYfvFiPu6r/uv1vuk/fuZJPyOS/yD"
+    "cvx4mfxtwPxi5/xXDv1MNf1BXP02g/0rqv0g0f0V+P0KH/7/Rf70bP7pk/7euv7T4f7I"
+    "CP+9L/+yVv+nff+cpP8="
+)
+
+
+def test_java_24bit_wav_decodes_exact():
+    import base64 as _b
+    exp = [((i * 9973 + 77) % 2000000) - 1000000 for i in range(500)]
+    assert wavpcm.decode_wav(_b.b64decode(_JAVA_WAV24)) == (8000, 1, 24, exp)
+
+
+def test_24bit_and_extensible_roundtrip():
+    """24-bit PCM (3-byte signed LE) and WAVE_FORMAT_EXTENSIBLE (tag
+    0xFFFE, real format in the SubFormat GUID's first 16 bits) — the
+    container modern encoders emit for >16 bits."""
+    import random as _r
+    _r.seed(5)
+    for bits in (8, 16, 24):
+        for ch in (1, 2):
+            for ext in (False, True):
+                lim = 1 << (bits - 1)
+                s = [_r.randrange(-lim, lim) for _ in range(ch * 120)]
+                p = wavpcm.encode_wav(8000, ch, s, bits=bits,
+                                      extensible=ext)
+                assert wavpcm.decode_wav(p) == (8000, ch, bits, s)
+
+
+def test_extensible_defensive():
+    """A truncated extensible fmt chunk (claims 0xFFFE but no GUID) and
+    a nested-extensible GUID both reject."""
+    import struct as _s
+    good = wavpcm.encode_wav(8000, 1, [0, 1, -1], bits=16,
+                             extensible=True)
+    # truncate the fmt chunk body to 16 bytes while keeping tag 0xFFFE
+    b = bytearray(wavpcm.encode_wav(8000, 1, [0, 1, -1], bits=16))
+    b[20:22] = _s.pack("<H", 0xFFFE)
+    assert wavpcm.decode_wav(bytes(b)) is None
+    # nested extensible: GUID format tag 0xFFFE
+    b = bytearray(good)
+    b[44:46] = _s.pack("<H", 0xFFFE)
+    assert wavpcm.decode_wav(bytes(b)) is None
