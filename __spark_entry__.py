@@ -3891,6 +3891,105 @@ FROM bounded b JOIN stats s USING (media_id) JOIN f0s f USING (media_id)
 """
 
 
+def _gif_animation_frames(spark, sf_dir):
+    """REAL animated-GIF decode with COMPOSITING (core/gifpix.py
+    decode_gif_frames, via the gif_frames operator): every fixture is a
+    multi-frame GIF89a with sub-rect frames (3x2 rects walking the
+    canvas), GCE transparency on alternating frames (index 7 never
+    draws), per-frame delays, and a NETSCAPE2.0 loop extension. One
+    output row per composited frame carries the full-canvas
+    position-weighted checksum. The DuckDB twin replays the compositing
+    as LAST-WRITER-WINS per pixel: for each (frame k, pixel) the
+    greatest j <= k whose rect covers the pixel AND whose index rule
+    isn't transparent determines the palette color, else background —
+    any error in rect placement, transparency skip, draw order, or the
+    palette map breaks the hash. Disposal methods 2/3 (restore-bg /
+    restore-previous) are pinned separately in tests/test_gifpix.py
+    (their SQL replay would need a per-pixel fold, not an argmax).
+    Reference parity: accepted-extension predicate includes gif
+    (reference docext/core/utils.py:56-70; PIL decodes it at 13-15)."""
+    import pandas as pd
+    from docext_spark.core import gifpix
+    from docext_spark.operators.multimodal import gif_frames
+    pal = [(c * 31 % 256, c * 57 % 256, c * 89 % 256) for c in range(8)]
+    rows = []
+    for i in range(60):
+        w, h = 6 + i % 7, 5 + (i * 3) % 8
+        nf = 2 + i % 3
+        frames = []
+        for k in range(nf):
+            left = (k * 3 + i) % (w - 3)
+            top = (k * 2 + i) % (h - 2)
+            idx = [(x + 2 * y + 3 * k + i) % 8
+                   for y in range(top, top + 2)
+                   for x in range(left, left + 3)]
+            frames.append(dict(
+                left=left, top=top, w=3, h=2, indices=idx,
+                delay_ms=10 * (k + 1 + i % 5), disposal=1,
+                transparent=7 if (i + k) % 2 == 0 else None))
+        rows.append((i, gifpix.encode_gif_animated(w, h, pal, frames,
+                                                   loop=i % 4)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return gif_frames(media)
+
+
+_GIF_ANIM_SQL = """
+WITH files AS (
+  SELECT i AS media_id, (6 + i % 7)::INT AS w, (5 + (i * 3) % 8)::INT AS h,
+         (2 + i % 3)::INT AS nf, (i % 4)::INT AS loop_count
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+), frames AS (
+  SELECT media_id, w, h, nf, loop_count,
+         unnest(generate_series(0, nf - 1)) AS k
+  FROM files
+), pixels AS (
+  SELECT media_id, w, h, nf, loop_count, k,
+         unnest(generate_series(0, w * h - 1)) AS p
+  FROM frames
+), cand AS (
+  -- candidate drawing frames j <= k for each pixel: rect coverage and
+  -- non-transparent index rule
+  SELECT media_id, w, h, nf, loop_count, k, p, j
+  FROM (SELECT *, unnest(generate_series(0, k)) AS j FROM pixels)
+  WHERE (p % w) >= (j * 3 + media_id) % (w - 3)
+    AND (p % w) <  (j * 3 + media_id) % (w - 3) + 3
+    AND (p // w) >= (j * 2 + media_id) % (h - 2)
+    AND (p // w) <  (j * 2 + media_id) % (h - 2) + 2
+    AND NOT ((media_id + j) % 2 = 0
+             AND ((p % w) + 2 * (p // w) + 3 * j + media_id) % 8 = 7)
+), best AS (
+  SELECT media_id, k, p, max(j) AS j
+  FROM cand GROUP BY media_id, k, p
+), colored AS (
+  -- palette color of the winning index; uncovered pixels stay at the
+  -- background color pal[0] = (0,0,0), contributing 0 to the checksum
+  SELECT px.media_id, px.k, px.p, px.w, px.h, px.nf, px.loop_count,
+         CASE WHEN b.j IS NULL THEN 0
+              ELSE (((px.p % px.w) + 2 * (px.p // px.w) + 3 * b.j
+                     + px.media_id) % 8) END AS idx,
+         b.j IS NULL AS bg
+  FROM pixels px LEFT JOIN best b
+    ON px.media_id = b.media_id AND px.k = b.k AND px.p = b.p
+), sums AS (
+  SELECT media_id, k, max(w) AS w, max(h) AS h, max(nf) AS nf,
+         max(loop_count) AS loop_count,
+         sum(CASE WHEN bg THEN 0 ELSE
+             (idx * 31 % 256)::BIGINT * (3 * p + 1)
+           + (idx * 57 % 256)::BIGINT * (3 * p + 2)
+           + (idx * 89 % 256)::BIGINT * (3 * p + 3) END)::BIGINT
+           AS px_checksum
+  FROM colored GROUP BY media_id, k
+)
+SELECT media_id, k::INT AS frame_idx,
+       (10 * (k + 1 + media_id % 5))::INT AS delay_ms,
+       w AS width, h AS height, nf AS n_frames, loop_count,
+       px_checksum
+FROM sums
+"""
+
+
 def _webp_pixels(spark, sf_dir):
     """REAL lossless-WebP (VP8L) pixel decode — the LAST image format in
     the reference's accepted-extension predicate (docext/core/utils.py:
@@ -4642,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_lzw_pixels": _tiff_lzw_pixels,
         "tiff_tiled_pixels": _tiff_tiled_pixels,
         "tiff_jpeg_pixels": _tiff_jpeg_pixels,
+        "gif_animation_frames": _gif_animation_frames,
         "tiff_16bit_pixels": _tiff_16bit_pixels,
         "tiff_g4_pixels": _tiff_g4_pixels,
         "webp_pixels": _webp_pixels,
@@ -4781,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         # tiling is a lossless re-layout of the same pixel rule at the
         # tiled dims formula — sharing the strip twin IS the claim
         "tiff_tiled_pixels": _TIFF_TILED_SQL,
+        "gif_animation_frames": _GIF_ANIM_SQL,
         # JPEG-in-TIFF decodes to the same closed-form block rule as the
         # standalone gray JPEG pair — only the sniffed container differs
         "tiff_jpeg_pixels": _JPEG_RESAMPLE_SQL.replace(

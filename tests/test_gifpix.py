@@ -137,3 +137,78 @@ def test_interlaced_equals_plain():
     # every display row appears exactly once in the pass order
     for h in range(1, 20):
         assert sorted(gifpix.interlace_rows(h)) == list(range(h))
+
+
+def test_animation_info_and_frames():
+    pal = [(c * 31 % 256, c * 57 % 256, c * 89 % 256) for c in range(8)]
+    frames = [dict(left=k * 2, top=k, w=4, h=3,
+                   indices=[(x + 2 * y + 3 * k) % 8
+                            for y in range(3) for x in range(4)],
+                   delay_ms=50 * (k + 1), disposal=1,
+                   transparent=7 if k == 1 else None)
+              for k in range(3)]
+    p = gifpix.encode_gif_animated(10, 8, pal, frames, loop=3)
+    assert gifpix.gif_animation_info(p) == (10, 8, 3, 300, 3)
+    w, h, decoded = gifpix.decode_gif_frames(p)
+    assert (w, h, len(decoded)) == (10, 8, 3)
+    # manual composite: disposal 1 keeps the canvas, transparency skips
+    bg = bytes(pal[0])
+    canvas = bytearray(bg * (w * h))
+    for k, (delay, rgb) in enumerate(decoded):
+        assert delay == 50 * (k + 1)
+        for y in range(3):
+            for x in range(4):
+                idx = (x + 2 * y + 3 * k) % 8
+                if k == 1 and idx == 7:
+                    continue
+                o = ((k + y) * w + k * 2 + x) * 3
+                canvas[o:o + 3] = bytes(pal[idx])
+        assert rgb == bytes(canvas), k
+
+
+def test_animation_disposal_2_and_3():
+    """Disposal 2 restores the frame rect to the background color AFTER
+    the frame shows; disposal 3 restores the pre-frame canvas — the
+    NEXT frame's output proves which happened."""
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    full = dict(left=0, top=0, w=4, h=4, indices=[1] * 16, delay_ms=10,
+                disposal=1)
+    rect2 = dict(left=1, top=1, w=2, h=2, indices=[2] * 4, delay_ms=10,
+                 disposal=2)
+    rect3 = dict(left=1, top=1, w=2, h=2, indices=[2] * 4, delay_ms=10,
+                 disposal=3)
+    last = dict(left=0, top=0, w=1, h=1, indices=[3], delay_ms=10,
+                disposal=0)
+    for mid, restored in ((rect2, (0, 0, 0)), (rect3, (255, 0, 0))):
+        p = gifpix.encode_gif_animated(4, 4, pal, [full, mid, last])
+        w, h, frames = gifpix.decode_gif_frames(p)
+        assert len(frames) == 3
+        # frame 1 shows the green rect over red
+        assert frames[1][1][(1 * 4 + 1) * 3:(1 * 4 + 1) * 3 + 3] \
+            == bytes((0, 255, 0))
+        # frame 2: the rect was disposed per method; pixel (1,1) proves it
+        assert frames[2][1][(1 * 4 + 1) * 3:(1 * 4 + 1) * 3 + 3] \
+            == bytes(restored)
+        # and (0,0) got the new blue pixel
+        assert frames[2][1][0:3] == bytes((0, 0, 255))
+
+
+def test_animation_defensive():
+    import random as _r
+    pal = [(c, c, c) for c in range(4)]
+    good = gifpix.encode_gif_animated(
+        6, 6, pal, [dict(left=0, top=0, w=6, h=6,
+                         indices=[(i + k) % 4 for i in range(36)],
+                         delay_ms=20, disposal=k % 4,
+                         transparent=3 if k == 1 else None)
+                    for k in range(3)], loop=0)
+    assert gifpix.decode_gif_frames(good) is not None
+    for cut in range(0, len(good), 5):
+        r = gifpix.decode_gif_frames(good[:cut])
+        assert r is None or isinstance(r, tuple)
+    _r.seed(7)
+    for _ in range(80):
+        b = bytearray(good)
+        b[_r.randrange(len(b))] ^= 0xFF
+        r = gifpix.decode_gif_frames(bytes(b))
+        assert r is None or isinstance(r, tuple)
