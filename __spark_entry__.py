@@ -4207,6 +4207,151 @@ FROM feats
 """
 
 
+def _video_mp4_metadata(spark, sf_dir):
+    """REAL ISO-BMFF (MP4) container-metadata parse (core/isobmff.py via
+    the container_metadata operator) — the triage a 100 TB pipeline runs
+    before any codec: box-tree walk through ftyp/moov/mvhd/trak/tkhd/
+    mdia/mdhd/hdlr/minf/stbl/stsd, BOTH 32-bit (version 0) and 64-bit
+    (version 1) header layouts (alternating by id), multi-track files
+    (1-3 tracks, video/audio handlers, avc1/mp4a/hvc1 sample entries),
+    16.16 fixed-point display dims, and per-track timescale→ms duration
+    math. The oracle replays every field rule analytically. Sample DATA
+    (H.26x/AAC) stays honest codec-fleet territory — this is the
+    metadata layer, parsed from real bytes."""
+    import pandas as pd
+    from docext_spark.core import isobmff
+    from docext_spark.operators.multimodal import container_metadata
+    rows = []
+    for i in range(60):
+        ts = 600 + 100 * (i % 5)
+        dur = 1000 + i * 777
+        tracks = []
+        for k in range(1 + i % 3):
+            vide = k % 2 == 0
+            tracks.append(dict(
+                track_id=k + 1, handler="vide" if vide else "soun",
+                codec=("avc1", "mp4a", "hvc1")[k % 3],
+                width=(320 + 16 * k) if vide else 0,
+                height=(240 + 16 * k) if vide else 0,
+                timescale=1000 + k, duration=dur * (k + 1)))
+        rows.append((i, isobmff.encode_mp4_meta(
+            "mp42" if i % 3 else "isom", ts, dur, tracks,
+            version=i % 2)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return (container_metadata(media)
+            .select("media_id", "container", "brand", "track_id",
+                    "handler", "codec", "width", "height",
+                    "duration_ms"))
+
+
+_MP4_META_SQL = """
+WITH files AS (
+  SELECT i AS media_id, (1000 + i * 777)::BIGINT AS dur,
+         (1 + i % 3)::INT AS nt,
+         CASE WHEN i % 3 = 0 THEN 'isom' ELSE 'mp42' END AS brand
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+), tracks AS (
+  SELECT media_id, brand, dur, unnest(generate_series(0, nt - 1)) AS k
+  FROM files
+)
+SELECT media_id, 'mp4' AS container, brand, (k + 1)::INT AS track_id,
+       CASE WHEN k % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+       ['avc1', 'mp4a', 'hvc1'][k % 3 + 1] AS codec,
+       (CASE WHEN k % 2 = 0 THEN 320 + 16 * k ELSE 0 END)::INT AS width,
+       (CASE WHEN k % 2 = 0 THEN 240 + 16 * k ELSE 0 END)::INT AS height,
+       (dur * (k + 1) * 1000 // (1000 + k))::INT AS duration_ms
+FROM tracks
+"""
+
+
+def _audio_mp3_metadata(spark, sf_dir):
+    """REAL MPEG-audio frame-header walk (core/mpegaudio.py via
+    container_metadata): all three versions x all three layers x all
+    three sample-rate indices, mono/stereo, varying per-frame bitrate
+    indices (VBR detection), ID3v2 prefixes (syncsafe size skip) and
+    ID3v1 trailers. The oracle replays the published bitrate /
+    sample-rate tables and the closed-form samples-per-frame duration
+    arithmetic — no sample decode (perceptual codecs stay codec-fleet
+    territory; the STRUCTURE is what a triage pass needs)."""
+    import pandas as pd
+    from docext_spark.core import mpegaudio
+    from docext_spark.operators.multimodal import container_metadata
+    rows = []
+    for i in range(60):
+        version = ("1", "2", "2.5")[i % 3]
+        layer = 1 + (i // 3) % 3
+        nf = 2 + i % 6
+        bidx = [1 + (j * 5 + i) % 14 for j in range(nf)]
+        rows.append((i, mpegaudio.encode_mp3_frames(
+            version, layer, i % 3, bidx, channels=1 + (i // 2) % 2,
+            id3v2=b"x" * (10 + i) if i % 4 == 0 else None,
+            id3v1=i % 5 == 0)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return (container_metadata(media)
+            .select("media_id", "container", "brand", "codec",
+                    "duration_ms", "sample_rate", "channels",
+                    "bitrate_kbps", "n_frames", "vbr"))
+
+
+_MP3_META_SQL = """
+WITH files AS (
+  SELECT i AS media_id,
+         ['1', '2', '2.5'][i % 3 + 1] AS version,
+         (CASE WHEN i % 3 = 0 THEN 1 ELSE 2 END) AS vgroup,
+         (1 + (i // 3) % 3)::INT AS layer,
+         (i % 3) AS ridx,
+         (2 + i % 6)::INT AS nf,
+         (1 + (i // 2) % 2)::INT AS channels
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+), rates AS (
+  SELECT *, CASE version
+              WHEN '1' THEN [44100, 48000, 32000][ridx + 1]
+              WHEN '2' THEN [22050, 24000, 16000][ridx + 1]
+              ELSE [11025, 12000, 8000][ridx + 1] END AS rate,
+         CASE WHEN layer = 1 THEN 384
+              WHEN layer = 2 THEN 1152
+              WHEN version = '1' THEN 1152 ELSE 576 END AS spf
+  FROM files
+), frames AS (
+  SELECT media_id, version, vgroup, layer, rate, spf, nf, channels,
+         (1 + (j * 5 + media_id) % 14) AS bidx
+  FROM (SELECT *, unnest(generate_series(0, nf - 1)) AS j FROM rates)
+), kbps AS (
+  -- ISO 11172-3 / 13818-3 bitrate tables, indexed by (vgroup, layer)
+  SELECT *, CASE
+    WHEN vgroup = 1 AND layer = 1 THEN
+      [32,64,96,128,160,192,224,256,288,320,352,384,416,448][bidx]
+    WHEN vgroup = 1 AND layer = 2 THEN
+      [32,48,56,64,80,96,112,128,160,192,224,256,320,384][bidx]
+    WHEN vgroup = 1 THEN
+      [32,40,48,56,64,80,96,112,128,160,192,224,256,320][bidx]
+    WHEN layer = 1 THEN
+      [32,48,56,64,80,96,112,128,144,160,176,192,224,256][bidx]
+    ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][bidx]
+    END AS kb
+  FROM frames
+), agg AS (
+  SELECT media_id, max(version) AS version, max(layer) AS layer,
+         max(rate) AS rate, max(spf) AS spf, max(nf) AS nf,
+         max(channels) AS channels,
+         sum(kb)::BIGINT AS kb_sum,
+         (count(DISTINCT kb) > 1) AS vbr
+  FROM kbps GROUP BY media_id
+)
+SELECT media_id, 'mp3' AS container, version AS brand,
+       'mp' || layer::VARCHAR AS codec,
+       (spf * nf * 1000 // rate)::INT AS duration_ms,
+       rate::INT AS sample_rate, channels,
+       ((kb_sum + nf // 2) // nf)::INT AS bitrate_kbps,
+       nf AS n_frames, vbr
+FROM agg
+"""
+
+
 def _audio_pcm24_features(spark, sf_dir):
     """24-bit PCM WAV decode (3-byte signed little-endian samples) +
     the WAVE_FORMAT_EXTENSIBLE container (tag 0xFFFE, real format tag in
@@ -4749,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_adpcm_features": _audio_adpcm_features,
         "audio_flac_features": _audio_flac_features,
         "audio_pcm24_features": _audio_pcm24_features,
+        "video_mp4_metadata": _video_mp4_metadata,
+        "audio_mp3_metadata": _audio_mp3_metadata,
         "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -4896,6 +5043,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_adpcm_features": _ADPCM_SQL,
         "audio_flac_features": _FLAC_SQL,
         "audio_pcm24_features": _PCM24_SQL,
+        "video_mp4_metadata": _MP4_META_SQL,
+        "audio_mp3_metadata": _MP3_META_SQL,
         "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

@@ -503,3 +503,66 @@ def gif_frames(media: DataFrame) -> DataFrame:
             })
     return media.select("media_id", "payload").mapInPandas(
         run, schema=GIF_FRAMES_SCHEMA)
+
+
+CONTAINER_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("container", T.StringType(), True),   # mp4 | mp3
+    T.StructField("brand", T.StringType(), True),       # ftyp / mpeg ver
+    T.StructField("track_id", T.IntegerType(), True),
+    T.StructField("handler", T.StringType(), True),     # vide | soun
+    T.StructField("codec", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("bitrate_kbps", T.IntegerType(), True),
+    T.StructField("n_frames", T.IntegerType(), True),
+    T.StructField("vbr", T.BooleanType(), True),
+])
+
+
+def container_metadata(media: DataFrame) -> DataFrame:
+    """REAL container-metadata parse for video/audio payloads — the
+    triage a 100 TB pipeline runs BEFORE any codec: ISO-BMFF (MP4/MOV,
+    core/isobmff.py — one row per track with handler/codec/dims/
+    duration) and MPEG audio (MP3, core/mpegaudio.py — frame-header
+    walk: duration, mean bitrate, CBR/VBR, sample rate). Sample DATA
+    decode for these perceptual codecs stays honest codec-fleet
+    territory. Unparseable payloads yield one all-null row (filter on
+    container IS NULL). Partition-parallel mapInPandas, no shuffle."""
+    from docext_spark.core import isobmff, mpegaudio
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CONTAINER_META_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                m = isobmff.parse_mp4(p)
+                if m is not None:
+                    for t in m["tracks"]:
+                        rows.append((mid, "mp4", m["brand"],
+                                     t["track_id"], t["handler"],
+                                     t["codec"], t["width"],
+                                     t["height"], t["duration_ms"],
+                                     None, None, None, None, None))
+                    continue
+                a = mpegaudio.parse_mp3(p)
+                if a is not None:
+                    rows.append((mid, "mp3", a["version"], None, "soun",
+                                 f"mp{a['layer']}", None, None,
+                                 a["duration_ms"], a["sample_rate"],
+                                 a["channels"], a["bitrate_kbps"],
+                                 a["n_frames"], a["vbr"]))
+                    continue
+                rows.append((mid,) + (None,) * 13)
+            pdf_out = pd.DataFrame(rows, columns=cols)
+            for c in ("track_id", "width", "height", "duration_ms",
+                      "sample_rate", "channels", "bitrate_kbps",
+                      "n_frames"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="Int32")
+            pdf_out["vbr"] = pd.array(pdf_out["vbr"], dtype="boolean")
+            yield pdf_out
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=CONTAINER_META_SCHEMA)

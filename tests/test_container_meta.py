@@ -1,0 +1,144 @@
+"""Container-metadata parsers: ISO-BMFF box walk (core/isobmff.py) and
+MPEG-audio frame-header walk (core/mpegaudio.py) — encode/parse
+round-trips over version/layout matrices, defensive guards, and the
+container_metadata operator's unified row shape.
+
+Reference parity: the reference's media handling is extension-predicate
+plus library decode (reference docext/core/utils.py:56-70, 13-15); this
+engine parses the real container bytes itself — the metadata layer a
+100 TB triage pass needs before any codec runs.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from docext_spark.core import isobmff, mpegaudio
+
+
+def test_mp4_roundtrip_matrix():
+    """Both mvhd/tkhd/mdhd layouts (32-bit v0, 64-bit v1), 1-3 tracks,
+    video/audio handlers, three sample-entry fourccs, 16.16 dims."""
+    for i in range(40):
+        ts = 600 + 100 * (i % 5)
+        dur = 1000 + i * 777
+        tracks = [dict(track_id=k + 1,
+                       handler="vide" if k % 2 == 0 else "soun",
+                       codec=("avc1", "mp4a", "hvc1")[k % 3],
+                       width=(320 + 16 * k) if k % 2 == 0 else 0,
+                       height=(240 + 16 * k) if k % 2 == 0 else 0,
+                       timescale=1000 + k, duration=dur * (k + 1))
+                  for k in range(1 + i % 3)]
+        m = isobmff.parse_mp4(isobmff.encode_mp4_meta(
+            "isom", ts, dur, tracks, version=i % 2))
+        assert m["timescale"] == ts
+        assert m["duration_ms"] == dur * 1000 // ts
+        for t, exp in zip(m["tracks"], tracks):
+            assert t["track_id"] == exp["track_id"]
+            assert t["handler"] == exp["handler"]
+            assert t["codec"] == exp["codec"]
+            assert (t["width"], t["height"]) == (exp["width"],
+                                                 exp["height"])
+            assert t["duration_ms"] == \
+                exp["duration"] * 1000 // exp["timescale"]
+
+
+def test_mp4_defensive():
+    """Truncation, bit flips, a zero movie timescale, and a crafted
+    infinite-nesting box are all rejected without raising."""
+    good = isobmff.encode_mp4_meta(
+        "mp42", 1000, 5000, [dict(track_id=1, handler="vide",
+                                  codec="avc1", width=64, height=48,
+                                  timescale=30, duration=150)])
+    assert isobmff.parse_mp4(good) is not None
+    for cut in range(0, len(good), 7):
+        r = isobmff.parse_mp4(good[:cut])
+        assert r is None or isinstance(r, dict)
+    rng = random.Random(11)
+    for _ in range(150):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = isobmff.parse_mp4(bytes(b))
+        assert r is None or isinstance(r, dict)
+    # size==0 (to-end) box claiming to be moov with garbage: bounded walk
+    bomb = b"\x00\x00\x00\x00moov" + b"\x00\x00\x00\x08trak" * 4000
+    assert isobmff.parse_mp4(bomb) is None
+
+
+def test_mp3_roundtrip_matrix():
+    rng = random.Random(5)
+    for version in ("1", "2", "2.5"):
+        for layer in (1, 2, 3):
+            for rate_idx in (0, 1, 2):
+                bidx = [1 + rng.randrange(14)
+                        for _ in range(1 + rng.randrange(6))]
+                m = mpegaudio.parse_mp3(mpegaudio.encode_mp3_frames(
+                    version, layer, rate_idx, bidx,
+                    channels=1 + rng.randrange(2)))
+                assert m["n_frames"] == len(bidx)
+                assert m["version"] == version and m["layer"] == layer
+                assert m["vbr"] == (len(set(bidx)) > 1)
+
+
+def test_mp3_duration_and_tables():
+    """MPEG1 Layer III at 44.1 kHz: 1152 samples/frame, index 9 =
+    128 kbps; MPEG2 Layer III: 576 samples/frame."""
+    m = mpegaudio.parse_mp3(mpegaudio.encode_mp3_frames("1", 3, 0,
+                                                        [9] * 10))
+    assert m["duration_ms"] == 1152 * 10 * 1000 // 44100
+    assert m["bitrate_kbps"] == 128 and m["sample_rate"] == 44100
+    m = mpegaudio.parse_mp3(mpegaudio.encode_mp3_frames("2", 3, 0,
+                                                        [9] * 10))
+    assert m["duration_ms"] == 576 * 10 * 1000 // 22050
+
+
+def test_mp3_id3_handling():
+    p = mpegaudio.encode_mp3_frames("1", 3, 1, [5, 6],
+                                    id3v2=b"y" * 200, id3v1=True)
+    m = mpegaudio.parse_mp3(p)
+    assert m["n_frames"] == 2 and m["sample_rate"] == 48000
+    # non-syncsafe ID3v2 size byte: corrupt
+    b = bytearray(p)
+    b[6] |= 0x80
+    assert mpegaudio.parse_mp3(bytes(b)) is None
+
+
+def test_mp3_defensive():
+    rng = random.Random(7)
+    good = mpegaudio.encode_mp3_frames("1", 2, 2, [3, 4, 5])
+    for cut in range(0, len(good), 7):
+        r = mpegaudio.parse_mp3(good[:cut])
+        assert r is None or isinstance(r, dict)
+    for _ in range(150):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = mpegaudio.parse_mp3(bytes(b))
+        assert r is None or isinstance(r, dict)
+    # mixed version mid-stream rejects
+    mixed = (mpegaudio.encode_mp3_frames("1", 3, 0, [9])
+             + mpegaudio.encode_mp3_frames("2", 3, 0, [9]))
+    assert mpegaudio.parse_mp3(mixed) is None
+
+
+def test_container_metadata_operator(spark):
+    import pandas as pd
+    from docext_spark.operators.multimodal import container_metadata
+    rows = [
+        (0, isobmff.encode_mp4_meta(
+            "mp42", 1000, 5000,
+            [dict(track_id=1, handler="vide", codec="avc1", width=64,
+                  height=48, timescale=30, duration=150)])),
+        (1, mpegaudio.encode_mp3_frames("1", 3, 0, [9, 10, 9])),
+        (2, b"garbage"),
+    ]
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in container_metadata(media).collect()}
+    assert got[0]["container"] == "mp4" and got[0]["codec"] == "avc1"
+    assert got[0]["width"] == 64 and got[0]["duration_ms"] == 5000
+    assert got[1]["container"] == "mp3" and got[1]["vbr"] is True
+    assert got[1]["bitrate_kbps"] == 139        # mean of 128/160/128
+    assert got[2]["container"] is None
