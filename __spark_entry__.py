@@ -4266,6 +4266,71 @@ FROM tracks
 """
 
 
+def _video_webm_metadata(spark, sf_dir):
+    """REAL Matroska/WebM metadata parse (core/ebml.py via
+    container_metadata): RFC 8794 EBML variable-length-integer element
+    walk — DocType, Info (TimestampScale cycling 0.5/1/2 ms units +
+    float64 Duration + MuxingApp), and TrackEntry kind/codec/dims/audio
+    params for mixed video (V_VP8/V_VP9/V_AV1 with PixelWidth/Height)
+    and audio (A_OPUS, SamplingFrequency float + Channels) tracks. The
+    oracle replays every field rule including the duration-units ×
+    timescale → ms conversion. Sample DATA (Clusters) stays honest
+    codec-fleet territory."""
+    import pandas as pd
+    from docext_spark.core import ebml
+    from docext_spark.operators.multimodal import container_metadata
+    rows = []
+    for i in range(60):
+        ts = (500_000, 1_000_000, 2_000_000)[i % 3]
+        tracks = []
+        for k in range(1 + i % 3):
+            if k % 2 == 0:
+                tracks.append(dict(
+                    track_id=k + 1, kind="video",
+                    codec=("V_VP8", "V_VP9", "V_AV1")[k % 3],
+                    width=320 + 16 * k, height=240 + 16 * k))
+            else:
+                tracks.append(dict(
+                    track_id=k + 1, kind="audio", codec="A_OPUS",
+                    sample_rate=48000, channels=1 + k % 2))
+        rows.append((i, ebml.encode_matroska_meta(
+            "webm" if i % 2 else "matroska", f"mux/{i}",
+            1000.0 + i * 333.0, ts, tracks)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return (container_metadata(media)
+            .select("media_id", "container", "brand", "track_id",
+                    "handler", "codec", "width", "height",
+                    "duration_ms", "sample_rate", "channels"))
+
+
+_WEBM_META_SQL = """
+WITH files AS (
+  SELECT i AS media_id,
+         [500000, 1000000, 2000000][i % 3 + 1]::BIGINT AS ts,
+         (1000 + i * 333)::BIGINT AS dur_units,
+         (1 + i % 3)::INT AS nt,
+         CASE WHEN i % 2 = 1 THEN 'webm' ELSE 'matroska' END AS brand
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+), tracks AS (
+  SELECT media_id, brand, ts, dur_units,
+         unnest(generate_series(0, nt - 1)) AS k
+  FROM files
+)
+SELECT media_id, 'mkv' AS container, brand, (k + 1)::INT AS track_id,
+       CASE WHEN k % 2 = 0 THEN 'video' ELSE 'audio' END AS handler,
+       CASE WHEN k % 2 = 0 THEN ['V_VP8', 'V_VP9', 'V_AV1'][k % 3 + 1]
+            ELSE 'A_OPUS' END AS codec,
+       (CASE WHEN k % 2 = 0 THEN 320 + 16 * k END)::INT AS width,
+       (CASE WHEN k % 2 = 0 THEN 240 + 16 * k END)::INT AS height,
+       (dur_units * ts // 1000000)::INT AS duration_ms,
+       (CASE WHEN k % 2 = 1 THEN 48000 END)::INT AS sample_rate,
+       (CASE WHEN k % 2 = 1 THEN 1 + k % 2 END)::INT AS channels
+FROM tracks
+"""
+
+
 def _audio_mp3_metadata(spark, sf_dir):
     """REAL MPEG-audio frame-header walk (core/mpegaudio.py via
     container_metadata): all three versions x all three layers x all
@@ -4895,6 +4960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac_features": _audio_flac_features,
         "audio_pcm24_features": _audio_pcm24_features,
         "video_mp4_metadata": _video_mp4_metadata,
+        "video_webm_metadata": _video_webm_metadata,
         "audio_mp3_metadata": _audio_mp3_metadata,
         "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
@@ -5044,6 +5110,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_flac_features": _FLAC_SQL,
         "audio_pcm24_features": _PCM24_SQL,
         "video_mp4_metadata": _MP4_META_SQL,
+        "video_webm_metadata": _WEBM_META_SQL,
         "audio_mp3_metadata": _MP3_META_SQL,
         "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,

@@ -528,11 +528,14 @@ def container_metadata(media: DataFrame) -> DataFrame:
     triage a 100 TB pipeline runs BEFORE any codec: ISO-BMFF (MP4/MOV,
     core/isobmff.py — one row per track with handler/codec/dims/
     duration) and MPEG audio (MP3, core/mpegaudio.py — frame-header
-    walk: duration, mean bitrate, CBR/VBR, sample rate). Sample DATA
+    walk: duration, mean bitrate, CBR/VBR, sample rate) and
+    Matroska/WebM (core/ebml.py — RFC 8794 EBML element walk: doctype,
+    duration via TimestampScale, per-track kind/codec/dims/audio
+    params). Sample DATA
     decode for these perceptual codecs stays honest codec-fleet
     territory. Unparseable payloads yield one all-null row (filter on
     container IS NULL). Partition-parallel mapInPandas, no shuffle."""
-    from docext_spark.core import isobmff, mpegaudio
+    from docext_spark.core import ebml, isobmff, mpegaudio
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CONTAINER_META_SCHEMA.fields]
@@ -547,6 +550,16 @@ def container_metadata(media: DataFrame) -> DataFrame:
                                      t["codec"], t["width"],
                                      t["height"], t["duration_ms"],
                                      None, None, None, None, None))
+                    continue
+                k = ebml.parse_matroska(p)
+                if k is not None:
+                    for t in k["tracks"]:
+                        rows.append((mid, "mkv", k["doctype"],
+                                     t["track_id"], t["kind"],
+                                     t["codec"], t["width"],
+                                     t["height"], k["duration_ms"],
+                                     t["sample_rate"], t["channels"],
+                                     None, None, None))
                     continue
                 a = mpegaudio.parse_mp3(p)
                 if a is not None:

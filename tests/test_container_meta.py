@@ -142,3 +142,48 @@ def test_container_metadata_operator(spark):
     assert got[1]["container"] == "mp3" and got[1]["vbr"] is True
     assert got[1]["bitrate_kbps"] == 139        # mean of 128/160/128
     assert got[2]["container"] is None
+
+
+def test_matroska_roundtrip_matrix():
+    from docext_spark.core import ebml
+    for i in range(30):
+        ts = (500_000, 1_000_000, 2_000_000)[i % 3]
+        tracks = []
+        for k in range(1 + i % 3):
+            if k % 2 == 0:
+                tracks.append(dict(track_id=k + 1, kind="video",
+                                   codec=("V_VP8", "V_VP9",
+                                          "V_AV1")[k % 3],
+                                   width=320 + 16 * k,
+                                   height=240 + 16 * k))
+            else:
+                tracks.append(dict(track_id=k + 1, kind="audio",
+                                   codec="A_OPUS", sample_rate=48000,
+                                   channels=1 + k % 2))
+        m = ebml.parse_matroska(ebml.encode_matroska_meta(
+            "webm", f"mux/{i}", 1000.0 + i * 333.0, ts, tracks))
+        assert m["doctype"] == "webm"
+        assert m["duration_ms"] == (1000 + i * 333) * ts // 1_000_000
+        for t, exp in zip(m["tracks"], tracks):
+            assert t["track_id"] == exp["track_id"]
+            assert t["kind"] == exp["kind"] and t["codec"] == exp["codec"]
+
+
+def test_matroska_defensive():
+    from docext_spark.core import ebml
+    good = ebml.encode_matroska_meta(
+        "webm", "m", 500.0, 1_000_000,
+        [dict(track_id=1, kind="video", codec="V_VP9", width=64,
+              height=48)])
+    assert ebml.parse_matroska(good) is not None
+    rng = random.Random(13)
+    for cut in range(0, len(good), 5):
+        r = ebml.parse_matroska(good[:cut])
+        assert r is None or isinstance(r, dict)
+    for _ in range(200):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 0xFF
+        r = ebml.parse_matroska(bytes(b))
+        assert r is None or isinstance(r, dict)
+    # zero first byte = >8-byte varint: rejected, not a spin
+    assert ebml.parse_matroska(b"\x00" * 64) is None
