@@ -4417,6 +4417,54 @@ FROM agg
 """
 
 
+def _audio_ogg_metadata(spark, sf_dir):
+    """REAL Ogg container parse (core/oggmeta.py via container_metadata):
+    RFC 3533 page walk with EVERY page's CRC-32 verified (poly
+    0x04C11DB7, init 0, unreflected — the spec's own parameterization,
+    computed over the page with the CRC field zeroed), Vorbis and Opus
+    ID headers (channels + rate; Opus granules run at 48 kHz with the
+    pre-skip subtracted), duration from the final granule position,
+    multi-page lacing. The oracle replays the duration arithmetic and
+    every header rule. Audio DATA stays honest codec-fleet territory.
+    A bit-flip fuzz in tests/test_container_meta.py shows the CRC gate
+    rejects 250/250 single-byte corruptions."""
+    import pandas as pd
+    from docext_spark.core import oggmeta
+    from docext_spark.operators.multimodal import container_metadata
+    rows = []
+    for i in range(60):
+        codec = "vorbis" if i % 2 else "opus"
+        rate = (8000, 44100, 48000)[i % 3]
+        rows.append((i, oggmeta.encode_ogg_meta(
+            codec, 1 + i % 2, rate, 1000 + i * 997,
+            n_data_pages=1 + i % 4, serial=100 + i, preskip=300 + i)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    return (container_metadata(media)
+            .select("media_id", "container", "codec", "duration_ms",
+                    "sample_rate", "channels",
+                    F.col("n_frames").alias("n_pages")))
+
+
+_OGG_META_SQL = """
+WITH files AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 2 = 1 THEN 'vorbis' ELSE 'opus' END AS codec,
+         CASE WHEN i % 2 = 1 THEN [8000, 44100, 48000][i % 3 + 1]
+              ELSE 48000 END AS rate,
+         (1000 + i * 997)::BIGINT AS dur_samples,
+         (1 + i % 4)::INT AS ndata
+  FROM (SELECT unnest(generate_series(0, 59)) AS i)
+)
+SELECT media_id, 'ogg' AS container, codec,
+       (dur_samples * 1000 // rate)::INT AS duration_ms,
+       rate::INT AS sample_rate, (1 + media_id % 2)::INT AS channels,
+       (ndata + 2)::INT AS n_pages
+FROM files
+"""
+
+
 def _audio_pcm24_features(spark, sf_dir):
     """24-bit PCM WAV decode (3-byte signed little-endian samples) +
     the WAVE_FORMAT_EXTENSIBLE container (tag 0xFFFE, real format tag in
@@ -4962,6 +5010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_mp4_metadata": _video_mp4_metadata,
         "video_webm_metadata": _video_webm_metadata,
         "audio_mp3_metadata": _audio_mp3_metadata,
+        "audio_ogg_metadata": _audio_ogg_metadata,
         "audio_g711_features": _audio_g711_features,
         "event_sessionization": _event_sessionization,
         "training_samples": _training_samples,
@@ -5112,6 +5161,7 @@ def oracle_sql() -> dict[str, str]:
         "video_mp4_metadata": _MP4_META_SQL,
         "video_webm_metadata": _WEBM_META_SQL,
         "audio_mp3_metadata": _MP3_META_SQL,
+        "audio_ogg_metadata": _OGG_META_SQL,
         "audio_g711_features": _G711_SQL,
         "event_sessionization": _SESSION_SQL,
         "training_samples": _TRAINING_SAMPLES_SQL,

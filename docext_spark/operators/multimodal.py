@@ -531,11 +531,14 @@ def container_metadata(media: DataFrame) -> DataFrame:
     walk: duration, mean bitrate, CBR/VBR, sample rate) and
     Matroska/WebM (core/ebml.py — RFC 8794 EBML element walk: doctype,
     duration via TimestampScale, per-track kind/codec/dims/audio
-    params). Sample DATA
+    params) and Ogg (core/oggmeta.py — RFC 3533 page walk with per-page
+    CRC verification, Vorbis/Opus ID headers, duration from the final
+    granule position). Sample DATA
     decode for these perceptual codecs stays honest codec-fleet
     territory. Unparseable payloads yield one all-null row (filter on
     container IS NULL). Partition-parallel mapInPandas, no shuffle."""
-    from docext_spark.core import ebml, isobmff, mpegaudio
+    from docext_spark.core import (ebml, isobmff, mpegaudio,
+                                   oggmeta)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CONTAINER_META_SCHEMA.fields]
@@ -560,6 +563,14 @@ def container_metadata(media: DataFrame) -> DataFrame:
                                      t["height"], k["duration_ms"],
                                      t["sample_rate"], t["channels"],
                                      None, None, None))
+                    continue
+                o = oggmeta.parse_ogg(p)
+                if o is not None:
+                    rows.append((mid, "ogg", o["codec"], None, "soun",
+                                 o["codec"], None, None,
+                                 o["duration_ms"], o["sample_rate"],
+                                 o["channels"], None, o["n_pages"],
+                                 None))
                     continue
                 a = mpegaudio.parse_mp3(p)
                 if a is not None:

@@ -187,3 +187,38 @@ def test_matroska_defensive():
         assert r is None or isinstance(r, dict)
     # zero first byte = >8-byte varint: rejected, not a spin
     assert ebml.parse_matroska(b"\x00" * 64) is None
+
+
+def test_ogg_roundtrip_matrix():
+    from docext_spark.core import oggmeta
+    for i in range(30):
+        codec = "vorbis" if i % 2 else "opus"
+        rate = (8000, 44100, 48000)[i % 3]
+        dur = 1000 + i * 997
+        m = oggmeta.parse_ogg(oggmeta.encode_ogg_meta(
+            codec, 1 + i % 2, rate, dur, n_data_pages=1 + i % 4,
+            serial=100 + i, preskip=300 + i))
+        want_rate = rate if codec == "vorbis" else 48000
+        assert m["codec"] == codec and m["channels"] == 1 + i % 2
+        assert m["sample_rate"] == want_rate
+        assert m["duration_ms"] == dur * 1000 // want_rate
+        assert m["n_pages"] == (1 + i % 4) + 2 and m["eos"]
+
+
+def test_ogg_crc_gate_and_defensive():
+    """The per-page RFC 3533 CRC rejects every single-byte corruption;
+    truncation and multiplexed serials reject too."""
+    from docext_spark.core import oggmeta
+    good = oggmeta.encode_ogg_meta("opus", 2, 24000, 48000)
+    assert oggmeta.parse_ogg(good) is not None
+    rng = random.Random(3)
+    for _ in range(250):
+        b = bytearray(good)
+        b[rng.randrange(len(b))] ^= 0xFF
+        assert oggmeta.parse_ogg(bytes(b)) is None
+    for cut in range(0, len(good), 5):
+        r = oggmeta.parse_ogg(good[:cut])
+        assert r is None or isinstance(r, dict)
+    # two interleaved serials: multiplexed -> None (fleet territory)
+    other = oggmeta.encode_ogg_meta("vorbis", 1, 8000, 100, serial=9)
+    assert oggmeta.parse_ogg(good + other) is None
