@@ -3069,6 +3069,47 @@ def _jpeg_progressive_pixels(spark, sf_dir):
                     "f0", "feature_src"))
 
 
+def _jpeg_arith_pixels(spark, sf_dir):
+    """ARITHMETIC-CODED JPEG decode (SOF9, core/jpegarith.py): the T.81
+    Annex D adaptive binary arithmetic coder (Table D.3 state machine,
+    carry-resolving byte output, 0xFF stuffing) driving the Annex F
+    sequential-DCT statistical model (5-category DC conditioning, per-
+    index AC decision trees, DAC L/U/Kx honored). Arithmetic coding is
+    a lossless re-coding of the same quantized coefficients, so these
+    fixtures (the jpeg_resample_pixels block rule re-encoded with SOF9,
+    a third of them with restart intervals and non-default DAC
+    conditioning) decode IDENTICALLY and the oracle is shared verbatim
+    with the baseline pair — the same closed-form statement the
+    progressive pair makes."""
+    import pandas as pd
+    from docext_spark.core import jpegpix
+    from docext_spark.operators.multimodal import (extract_features,
+                                                   resample_images)
+    rows = []
+    for i in range(100):
+        w, h = 8 + 8 * (i % 3), 8 + 8 * ((i * 2) % 3)
+        px = bytes((((x // 8) * 3 + (y // 8) * 5 + i) % 128) * 2
+                   for y in range(h) for x in range(w))
+        rows.append((i, "image", jpegpix.encode_jpeg_arith_gray(
+            w, h, px,
+            restart_interval=(1 + i % 3) if i % 3 == 1 else 0,
+            dc_cond=(0, 2) if i % 3 == 2 else (0, 1),
+            kx=2 if i % 3 == 2 else 5)))
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "kind", "payload"]),
+        "media_id long, kind string, payload binary")
+    rs = resample_images(media, max_size=12)
+    feats = extract_features(media).select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        "feature_src")
+    return (rs.join(feats, "media_id")
+            .select("media_id", "format", "width", "height", "channels",
+                    "new_width", "new_height", "px_checksum",
+                    F.round("px_mean", 6).alias("px_mean"),
+                    "f0", "feature_src"))
+
+
 def _jpeg_color_pixels(spark, sf_dir):
     """REAL baseline COLOR JPEG decode (3-component 4:4:4, interleaved
     MCUs with per-component DC predictors, BT.601 YCbCr→RGB with
@@ -5022,6 +5063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resample_pixels": _image_resample_pixels,
         "t_quality": _t_quality,
         "jpeg_progressive_pixels": _jpeg_progressive_pixels,
+        "jpeg_arith_pixels": _jpeg_arith_pixels,
         "jpeg_subsampled_pixels": _jpeg_subsampled_pixels,
         "p3_json_field_default": _p3_json_field_default,
         "s5_resize_dims": _s5_resize_dims,
@@ -5135,6 +5177,7 @@ def oracle_sql() -> dict[str, str]:
         # progressive re-codes the same coefficients losslessly, so the
         # baseline-gray SQL twin applies verbatim — sharing it IS the claim
         "jpeg_progressive_pixels": _JPEG_RESAMPLE_SQL,
+        "jpeg_arith_pixels": _JPEG_RESAMPLE_SQL,
         "bmp_pixels": _BMP_SQL,
         "tiff_pixels": _TIFF_SQL,
         # LZW re-codes the same pixels losslessly, so the baseline TIFF

@@ -197,6 +197,9 @@ def decode_jpeg(payload: bytes | None):
     comps: list[dict] | None = None
     progressive = False
     lossless = False
+    arith = False
+    dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     predictor = pt = 0
     prog_ready = False
     hmax = vmax = mcux = mcuy = 0
@@ -244,7 +247,8 @@ def decode_jpeg(payload: bytes | None):
                 table = _HuffTable(counts, symbols)
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + total
-        elif marker in (0xC0, 0xC2):        # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC9):  # SOF0 baseline / SOF2
+            # progressive / SOF9 sequential arithmetic (T.81 Annex F)
             if comps is not None:
                 return None     # a second frame header is corrupt — and
                                 # would orphan the progressive coef store
@@ -252,6 +256,7 @@ def decode_jpeg(payload: bytes | None):
                 return None
             if seg[0] != 8:
                 return None                 # 8-bit only
+            arith = marker == 0xC9
             progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
@@ -285,8 +290,23 @@ def decode_jpeg(payload: bytes | None):
                     return None             # lossless: 1x1 sampling only
                 comps.append({"id": cid, "sh": 1, "sv": 1})
         elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None                     # other SOF types out of scope
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None     # other SOF types out of scope (progressive/
+                            # lossless ARITHMETIC and hierarchical)
+        elif marker == 0xCC:                # DAC: arithmetic conditioning
+            p = 0
+            while p + 2 <= len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0x0F
+                if tc == 0:                 # DC: value = (U << 4) | L
+                    lo, hi = seg[p + 1] & 0x0F, seg[p + 1] >> 4
+                    if not lo <= hi <= 15:
+                        return None         # B.2.4.3: 0 <= L <= U <= 15
+                    dac_dc[tb] = (lo, hi)
+                else:                       # AC: value = Kx in 1..63
+                    if not 1 <= seg[p + 1] <= 63:
+                        return None
+                    dac_ac[tb] = seg[p + 1]
+                p += 2
         elif marker == 0xDD:                # DRI
             if len(seg) < 2:
                 return None
@@ -393,10 +413,19 @@ def decode_jpeg(payload: bytes | None):
             out[ci::3] = planes[ci]
         return (w, h, 3, bytes(out))
     for c in comps:
-        if c["qt"] not in qtables or c["dc"] not in dc_tables \
-                or c["ac"] not in ac_tables:
+        if c["qt"] not in qtables:
             return None
-    reader = _BitReader(payload[data_start:])
+        if not arith and (c["dc"] not in dc_tables
+                          or c["ac"] not in ac_tables):
+            return None
+    if arith:
+        from docext_spark.core.jpegarith import ArithScanDecoder
+        arith_scan = ArithScanDecoder(payload, data_start, comps,
+                                      dac_dc, dac_ac)
+        reader = None
+    else:
+        arith_scan = None
+        reader = _BitReader(payload[data_start:])
     if len(comps) == 1:
         # single-component scans are non-interleaved: the MCU is one block
         # regardless of declared sampling factors (spec A.2.2)
@@ -419,8 +448,11 @@ def decode_jpeg(payload: bytes | None):
             # resets — what camera JPEGs emit for error resilience
             if restart_interval and mcu_no \
                     and mcu_no % restart_interval == 0:
-                if not reader.sync_restart(
-                        (mcu_no // restart_interval - 1) % 8):
+                n_rst = (mcu_no // restart_interval - 1) % 8
+                if arith:
+                    if not arith_scan.restart(n_rst):
+                        return None
+                elif not reader.sync_restart(n_rst):
                     return None
                 preds = [0] * len(comps)
             mcu_no += 1
@@ -428,12 +460,21 @@ def decode_jpeg(payload: bytes | None):
             for ci, c in enumerate(comps):
                 for bi in range(c["sv"]):
                     for bj in range(c["sh"]):
-                        res = _decode_block(reader, dc_tables[c["dc"]],
-                                            ac_tables[c["ac"]],
-                                            qtables[c["qt"]], preds[ci])
-                        if res is None:
-                            return None
-                        spatial, preds[ci] = res
+                        if arith:
+                            q = arith_scan.decode_block(ci)
+                            if q is None:
+                                return None
+                            spatial = _coefs_to_spatial(
+                                q, qtables[c["qt"]])
+                        else:
+                            res = _decode_block(reader,
+                                                dc_tables[c["dc"]],
+                                                ac_tables[c["ac"]],
+                                                qtables[c["qt"]],
+                                                preds[ci])
+                            if res is None:
+                                return None
+                            spatial, preds[ci] = res
                         plane, cw, ch = c["plane"], c["cw"], c["ch"]
                         by, bx = my * c["sv"] + bi, mx * c["sh"] + bj
                         for yy in range(8):
@@ -827,6 +868,22 @@ def _decode_block(reader: _BitReader, dc_t: _HuffTable, ac_t: _HuffTable,
         # exactly 1.0 for u=v=0): f(x,y) = C0·C0·DC / 4
         spatial = [_C[0] * _C[0] * coef[0] / 4] * 64
     return spatial, pred
+
+
+def _coefs_to_spatial(q: list[int], qt: list[int]) -> list[float]:
+    """Dequantize zigzag-ordered quantized coefficients and IDCT —
+    bit-identical to _decode_block's tail (shared by the arithmetic
+    entropy path, which produces whole coefficient blocks)."""
+    coef = [0.0] * 64
+    coef[0] = q[0] * qt[0]
+    has_ac = False
+    for k in range(1, 64):
+        if q[k]:
+            coef[ZIGZAG[k]] = q[k] * qt[k]
+            has_ac = True
+    if has_ac:
+        return idct2d(coef)
+    return [_C[0] * _C[0] * coef[0] / 4] * 64
 
 
 def _ycbcr_to_rgb(y: bytearray, cb: bytearray, cr: bytearray) -> bytes:
@@ -1438,3 +1495,126 @@ def encode_jpeg_lossless(w: int, h: int, planes: list[bytes],
                + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
                + bytes([predictor, 0, pt]))
     return out + bytes(writer.out) + b"\xff\xd9"
+
+
+# -- encoder (fixture/test side): SEQUENTIAL ARITHMETIC (SOF9) ---------------
+
+def _arith_file(w: int, h: int, qt: list[int], ncomp: int,
+                entropy: bytes,
+                samplings: list[int] | None = None,
+                restart_interval: int = 0,
+                dc_cond: tuple[int, int] = (0, 1),
+                kx: int = 5,
+                tables: list[int] | None = None) -> bytes:
+    """Assemble a SOF9 file: DQT + SOF9 + DAC (only when the
+    conditioning is non-default — defaults L=0/U=1/Kx=5 need no DAC
+    segment, F.1.4.4.1.4) + optional DRI + single interleaved SOS."""
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    samplings = samplings or [0x11] * ncomp
+    out = b"\xff\xd8" + seg(0xDB, bytes([0x00]) + bytes(qt))
+    out += seg(0xC9, bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+               + b"".join(bytes([c + 1, samplings[c], 0])
+                          for c in range(ncomp)))
+    dac = b""
+    if dc_cond != (0, 1):
+        dac += bytes([0x00, (dc_cond[1] << 4) | dc_cond[0]])
+    if kx != 5:
+        dac += bytes([0x10, kx])
+    if dac:
+        out += seg(0xCC, dac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    tables = tables or [0x00] * ncomp
+    out += seg(0xDA, bytes([ncomp])
+               + b"".join(bytes([c + 1, tables[c]]) for c in range(ncomp))
+               + bytes([0, 63, 0]))
+    return out + entropy + b"\xff\xd9"
+
+
+def _quantize_block(plane: bytes, w: int, h: int, bx: int, by: int,
+                    qt: list[int]) -> list[int]:
+    """FDCT + quantize one centered block to zigzag-ordered ints — the
+    IDENTICAL quantization _encode_block performs, which is what makes
+    decode(arith) == decode(baseline) for the same pixels exact."""
+    coef = fdct2d(_block_at(plane, w, h, bx, by))
+    return [int(round(coef[ZIGZAG[k]] / qt[k])) for k in range(64)]
+
+
+def encode_jpeg_arith_gray(w: int, h: int, pixels: bytes,
+                           quant: int = 16, restart_interval: int = 0,
+                           dc_cond: tuple[int, int] = (0, 1),
+                           kx: int = 5) -> bytes:
+    """A real ARITHMETIC-CODED grayscale JPEG (SOF9): the same FDCT +
+    flat quantization as encode_jpeg_gray, entropy-coded with the T.81
+    Annex F adaptive binary arithmetic coder instead of Huffman codes.
+    Same quantized coefficients => decodes to the exact pixels the
+    baseline twin decodes to. ``dc_cond``/``kx`` set DAC conditioning
+    (emitted only when non-default)."""
+    from docext_spark.core.jpegarith import ArithScanEncoder
+    if len(pixels) != w * h:
+        raise ValueError("pixel buffer does not match dims")
+    qt = [quant] * 64
+    enc = ArithScanEncoder([{"dc": 0, "ac": 0}], {0: dc_cond}, {0: kx})
+    mcu_no = 0
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            if restart_interval and mcu_no \
+                    and mcu_no % restart_interval == 0:
+                enc.restart((mcu_no // restart_interval - 1) % 8)
+            mcu_no += 1
+            enc.encode_block(0, _quantize_block(pixels, w, h, bx, by, qt))
+    return _arith_file(w, h, qt, 1, enc.finish(),
+                       restart_interval=restart_interval,
+                       dc_cond=dc_cond, kx=kx)
+
+
+def encode_jpeg_arith_ycbcr(w: int, h: int, y: bytes, cb: bytes, cr: bytes,
+                            quant: int = 16) -> bytes:
+    """ARITHMETIC-CODED color JPEG (SOF9, 4:4:4 interleaved): the
+    arithmetic twin of encode_jpeg_ycbcr — identical quantized planes,
+    component 0 on DC/AC statistics areas 0 and the chroma components
+    sharing areas 1 (the two-table layout real encoders use)."""
+    from docext_spark.core.jpegarith import ArithScanEncoder
+    if len(y) != w * h or len(cb) != w * h or len(cr) != w * h:
+        raise ValueError("plane buffers do not match dims")
+    qt = [quant] * 64
+    comps = [{"dc": 0, "ac": 0}, {"dc": 1, "ac": 1}, {"dc": 1, "ac": 1}]
+    enc = ArithScanEncoder(comps, {0: (0, 1), 1: (0, 1)}, {0: 5, 1: 5})
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            for ci, plane in enumerate((y, cb, cr)):
+                enc.encode_block(ci, _quantize_block(plane, w, h,
+                                                     bx, by, qt))
+    return _arith_file(w, h, qt, 3, enc.finish(),
+                       tables=[0x00, 0x11, 0x11])
+
+
+def encode_jpeg_arith_ycbcr_sub(w: int, h: int, y: bytes, cb: bytes,
+                                cr: bytes, sh: int = 2, sv: int = 2,
+                                quant: int = 16) -> bytes:
+    """ARITHMETIC-CODED chroma-subsampled color JPEG: the SOF9 twin of
+    encode_jpeg_ycbcr_sub (same pre-subsampled chroma plane contract,
+    same MCU block order: sv×sh luma blocks then one block per chroma)."""
+    from docext_spark.core.jpegarith import ArithScanEncoder
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    cw, ch = (w + sh - 1) // sh, (h + sv - 1) // sv
+    if len(y) != w * h or len(cb) != cw * ch or len(cr) != cw * ch:
+        raise ValueError("plane buffers do not match dims")
+    qt = [quant] * 64
+    comps = [{"dc": 0, "ac": 0}, {"dc": 1, "ac": 1}, {"dc": 1, "ac": 1}]
+    enc = ArithScanEncoder(comps, {0: (0, 1), 1: (0, 1)}, {0: 5, 1: 5})
+    for my in range((h + 8 * sv - 1) // (8 * sv)):
+        for mx in range((w + 8 * sh - 1) // (8 * sh)):
+            for bi in range(sv):
+                for bj in range(sh):
+                    enc.encode_block(0, _quantize_block(
+                        y, w, h, mx * sh + bj, my * sv + bi, qt))
+            for ci, plane in ((1, cb), (2, cr)):
+                enc.encode_block(ci, _quantize_block(plane, cw, ch,
+                                                     mx, my, qt))
+    return _arith_file(w, h, qt, 3, enc.finish(),
+                       samplings=[(sh << 4) | sv, 0x11, 0x11],
+                       tables=[0x00, 0x11, 0x11])
