@@ -4974,14 +4974,109 @@ SELECT * FROM (VALUES
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination (training-data surface; no reference analog —
+# the GPT-3 Appendix C / PaLM published n-gram contamination check)
+# --------------------------------------------------------------------------
+
+def _decontam_eval_set(d):
+    """Deterministic planted eval set: every 23rd document contributes a
+    12-token substring (tokens 4-15 of its normalized text) as one eval
+    example — contamination is PARTIAL for the source doc (5 of its
+    8-grams hit, n_hit < n_ngrams) and can also hit unrelated docs that
+    share the n-grams, so the pair exercises both attribution paths."""
+    from docext_spark.operators.textops import normalized
+    return (d.filter(F.col("doc_id") % 23 == 0)
+            .select(F.col("doc_id").alias("eval_id"),
+                    F.array_join(
+                        F.slice(F.split(normalized(F.col("text")), " "),
+                                4, 12), " ").alias("text")))
+
+
+def _decontam_report(spark, sf_dir):
+    """Per-document 8-gram contamination report against the planted eval
+    set: broadcast eval n-grams, one corpus groupBy — the canonical
+    100 TB shape (the corpus is never shuffled to meet the eval set)."""
+    from docext_spark.operators.decontam import contamination_report
+    d = _t(spark, sf_dir, "documents")
+    return contamination_report(d, _decontam_eval_set(d), n=8)
+
+
+def _decontam_pairs(spark, sf_dir):
+    """Attribution: which eval example leaked into which training doc,
+    with the shared-8-gram count."""
+    from docext_spark.operators.decontam import contamination_pairs
+    d = _t(spark, sf_dir, "documents")
+    return contamination_pairs(d, _decontam_eval_set(d), n=8)
+
+
+def _decontam_filter(spark, sf_dir):
+    """The cleanup anti-join, pinned by exact integer aggregates over the
+    surviving corpus (count + id-sum — associative, order-independent)."""
+    from docext_spark.operators.decontam import decontaminate
+    d = _t(spark, sf_dir, "documents")
+    kept = decontaminate(d, _decontam_eval_set(d), n=8)
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("id_sum"))
+
+
+_DECONTAM_SQL_BASE = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+  FROM documents
+), evtxt AS (
+  SELECT doc_id AS eval_id,
+         array_to_string((string_split(n, ' '))[4:15], ' ') AS n
+  FROM norm WHERE doc_id % 23 = 0
+), esh AS (
+  SELECT eval_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 8 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+7], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 7)]
+  END) AS shingle FROM evtxt
+), desh AS (SELECT DISTINCT eval_id, shingle FROM esh),
+sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN n = '' THEN []::VARCHAR[]
+    WHEN len(string_split(n, ' ')) < 8 THEN [n]
+    ELSE [array_to_string((string_split(n, ' '))[i:i+7], ' ')
+          for i in generate_series(1, len(string_split(n, ' ')) - 7)]
+  END) AS shingle FROM norm
+), dsh AS (SELECT DISTINCT doc_id, shingle FROM sh)
+"""
+
+_DECONTAM_REPORT_SQL = _DECONTAM_SQL_BASE + """
+, ev AS (SELECT shingle, count(*) AS n_eval_ids, min(eval_id) AS min_eval_id
+         FROM desh GROUP BY shingle)
+SELECT d.doc_id, count(*) AS n_ngrams, count(ev.shingle) AS n_hit,
+       round(count(ev.shingle) * 1.0 / count(*), 6) AS overlap_frac,
+       min(ev.min_eval_id) AS first_eval_id, TRUE AS contaminated
+FROM dsh d LEFT JOIN ev USING (shingle)
+GROUP BY d.doc_id HAVING count(ev.shingle) >= 1
+"""
+
+_DECONTAM_PAIRS_SQL = _DECONTAM_SQL_BASE + """
+SELECT d.doc_id, e.eval_id, count(*) AS n_shared
+FROM dsh d JOIN desh e USING (shingle)
+GROUP BY 1, 2
+"""
+
+_DECONTAM_FILTER_SQL = _DECONTAM_SQL_BASE + """
+, bad AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN desh e USING (shingle))
+SELECT count(*) AS n_kept, sum(doc_id) AS id_sum
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 108 queries carry an oracle_sql
-    twin; the 58 overflow pairs (positions 51-108, all long-green) and
+    representative per operator family. 111 queries carry an oracle_sql
+    twin; the 61 overflow pairs (positions 51-111, all long-green) and
     the 7 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r6.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
@@ -5000,19 +5095,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    plus one representative per long-green operator family --
         "q1_pricing_summary": _q1_pricing_summary,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
-        "q7_volume_shipping": _q7_volume_shipping,
+        "decontam_report": _decontam_report,
         "q10_returned_items": _q10_returned_items,
         "a14_cube": _a14_cube,
         "j1_field_alignment": _j1_field_alignment,
         "a1_edit_similarity": _a1_edit_similarity,
-        "a4_exact_match": _a4_exact_match,
+        "decontam_pairs": _decontam_pairs,
         "a9_cost_accounting": _a9_cost_accounting,
         "w1_stable_order_concat": _w1_stable_order_concat,
         "p1_field_norm": _p1_field_norm,
         "p9_enclosing_bbox": _p9_enclosing_bbox,
         "s1_extension_predicate": _s1_extension_predicate,
         "scalar_sha_b64": _scalar_sha_b64,
-        "doc_length_percentiles": _doc_length_percentiles,
+        "decontam_filter": _decontam_filter,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
         "dedup_clusters": _dedup_clusters,
@@ -5052,6 +5147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "q3_shipping_priority": _q3_shipping_priority,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "a4_exact_match": _a4_exact_match,
+        "doc_length_percentiles": _doc_length_percentiles,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q14_promo_effect": _q14_promo_effect,
         "a3_vqa_best_of": _a3_vqa_best_of,
@@ -5158,6 +5256,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "decontam_report": _DECONTAM_REPORT_SQL,
+        "decontam_pairs": _DECONTAM_PAIRS_SQL,
+        "decontam_filter": _DECONTAM_FILTER_SQL,
         "curate_funnel": _curate_funnel_sql(),
         "dedup_minhash_sigs": _MINHASH_SQL,
         "dedup_lsh_pairs": _LSH_SQL,

@@ -45,6 +45,7 @@ HEADLINE = [
     "event_sessionization",
     "training_samples",
     "pack_sequences",
+    "decontam_report",        # broadcast eval 8-grams, one corpus groupBy
     # multimodal decode representative: 100 real TIFF strip files through
     # mapInPandas (IFD walk + PackBits + photometric normalize)
     "tiff_pixels",
