@@ -5069,14 +5069,130 @@ FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 
 
 # --------------------------------------------------------------------------
+# temporal joins (as-of / range — operators/temporal.py; no reference
+# analog, the canonical event-table operators Spark lacks as built-ins)
+# --------------------------------------------------------------------------
+
+def _asof_right_views(ev):
+    """Right side of the as-of pairs: one deterministic row per
+    (user_id, ts) — the operator's uniqueness contract (per-column max is
+    order-independent in both engines)."""
+    return (ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("state_value"),
+                 F.max("event_id").alias("state_id")))
+
+
+def _asof_recent_view(spark, sf_dir):
+    """Each click gains the user's most recent view state (backward
+    inclusive as-of). Oracle = DuckDB's native ASOF LEFT JOIN — an
+    independent implementation of the same published semantics, against
+    the union-window plan (one shuffle on user_id, no join explosion).
+    staleness_us is an exact integer difference — no float rounding."""
+    from docext_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, _asof_right_views(ev), ["user_id"],
+                    right_cols=["state_value", "state_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "ts_matched",
+        "state_value_matched", "state_id_matched",
+        F.expr("timestampdiff(MICROSECOND, ts_matched, ts)")
+        .alias("staleness_us"))
+
+
+def _asof_tolerance(spark, sf_dir):
+    """Tolerance-bounded as-of: matches staler than 12 hours are voided
+    (match columns NULL, left rows kept) — the state-freshness contract
+    a feature-store join needs."""
+    from docext_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    out = asof_join(clicks, _asof_right_views(ev), ["user_id"],
+                    right_cols=["state_value", "state_id"],
+                    tolerance_us=43_200_000_000)
+    return out.select("event_id", "user_id", "ts", "ts_matched",
+                      "state_value_matched", "state_id_matched")
+
+
+def _range_join_error_windows(spark, sf_dir):
+    """Clicks inside 12-hour error windows: the binned equi-join range
+    join (bin width = window length → each interval covers <= 2 bins;
+    the exact containment predicate runs on candidates only). Oracle =
+    DuckDB's inequality join, which IS the semantics — the pair pins
+    that binning loses and invents nothing."""
+    from docext_spark.operators.temporal import range_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", F.col("event_id").alias("click_id")))
+    wins = (ev.filter(F.col("event_type") == "error")
+            .select("user_id", F.col("ts").alias("win_start"),
+                    (F.col("ts") + F.expr("INTERVAL 12 HOURS"))
+                    .alias("win_end"),
+                    F.col("event_id").alias("error_id")))
+    return range_join(clicks, wins, ["user_id"], point_ts="ts",
+                      start_col="win_start", end_col="win_end",
+                      bin_width_us=43_200_000_000)
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS state_value,
+             max(event_id) AS state_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_matched,
+       r.state_value AS state_value_matched,
+       r.state_id AS state_id_matched,
+       epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+_ASOF_TOLERANCE_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS state_value,
+             max(event_id) AS state_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS mts,
+         r.state_value AS sv, r.state_id AS si
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(mts) <= 43200000000
+            THEN mts END AS ts_matched,
+       CASE WHEN epoch_us(ts) - epoch_us(mts) <= 43200000000
+            THEN sv END AS state_value_matched,
+       CASE WHEN epoch_us(ts) - epoch_us(mts) <= 43200000000
+            THEN si END AS state_id_matched
+FROM m
+"""
+
+_RANGE_JOIN_SQL = """
+WITH p AS (SELECT user_id, ts, event_id AS click_id FROM events
+           WHERE event_type = 'click'),
+i AS (SELECT user_id, ts AS win_start,
+             ts + INTERVAL 12 HOUR AS win_end,
+             event_id AS error_id
+      FROM events WHERE event_type = 'error')
+SELECT p.user_id, p.ts, p.click_id, i.win_start, i.win_end, i.error_id
+FROM p JOIN i ON p.user_id = i.user_id
+             AND i.win_start <= p.ts AND p.ts < i.win_end
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 111 queries carry an oracle_sql
-    twin; the 61 overflow pairs (positions 51-111, all long-green) and
+    representative per operator family. 114 queries carry an oracle_sql
+    twin; the 64 overflow pairs (positions 51-114, all long-green) and
     the 7 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r6.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
@@ -5097,16 +5213,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "decontam_report": _decontam_report,
         "q10_returned_items": _q10_returned_items,
-        "a14_cube": _a14_cube,
+        "asof_recent_view": _asof_recent_view,
         "j1_field_alignment": _j1_field_alignment,
         "a1_edit_similarity": _a1_edit_similarity,
         "decontam_pairs": _decontam_pairs,
         "a9_cost_accounting": _a9_cost_accounting,
         "w1_stable_order_concat": _w1_stable_order_concat,
-        "p1_field_norm": _p1_field_norm,
+        "asof_tolerance": _asof_tolerance,
         "p9_enclosing_bbox": _p9_enclosing_bbox,
         "s1_extension_predicate": _s1_extension_predicate,
-        "scalar_sha_b64": _scalar_sha_b64,
+        "range_join_error_windows": _range_join_error_windows,
         "decontam_filter": _decontam_filter,
         "dedup_exact": _dedup_exact,
         "dedup_jaccard_capped": _dedup_jaccard_capped,
@@ -5147,6 +5263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "q3_shipping_priority": _q3_shipping_priority,
+        "a14_cube": _a14_cube,
+        "p1_field_norm": _p1_field_norm,
+        "scalar_sha_b64": _scalar_sha_b64,
         "q7_volume_shipping": _q7_volume_shipping,
         "a4_exact_match": _a4_exact_match,
         "doc_length_percentiles": _doc_length_percentiles,
@@ -5256,6 +5375,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
+        "asof_recent_view": _ASOF_SQL,
+        "asof_tolerance": _ASOF_TOLERANCE_SQL,
+        "range_join_error_windows": _RANGE_JOIN_SQL,
         "decontam_report": _DECONTAM_REPORT_SQL,
         "decontam_pairs": _DECONTAM_PAIRS_SQL,
         "decontam_filter": _DECONTAM_FILTER_SQL,

@@ -46,6 +46,7 @@ HEADLINE = [
     "training_samples",
     "pack_sequences",
     "decontam_report",        # broadcast eval 8-grams, one corpus groupBy
+    "asof_recent_view",       # union-window as-of join, one entity shuffle
     # multimodal decode representative: 100 real TIFF strip files through
     # mapInPandas (IFD walk + PackBits + photometric normalize)
     "tiff_pixels",
