@@ -5117,6 +5117,28 @@ def _asof_tolerance(spark, sf_dir):
                       "state_value_matched", "state_id_matched")
 
 
+def _asof_forward_next_purchase(spark, sf_dir):
+    """Forward as-of: each click gains the user's NEXT purchase (smallest
+    purchase ts >= click ts) — the time-to-conversion primitive. Same
+    union-window plan, descending scan; wait_us is an exact integer."""
+    from docext_spark.operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    nxt = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id", "ts")
+           .agg(F.max("value").alias("next_value"),
+                F.max("event_id").alias("next_id")))
+    out = asof_join(clicks, nxt, ["user_id"],
+                    right_cols=["next_value", "next_id"],
+                    direction="forward")
+    return out.select(
+        "event_id", "user_id", "ts", "ts_matched",
+        "next_value_matched", "next_id_matched",
+        F.expr("timestampdiff(MICROSECOND, ts, ts_matched)")
+        .alias("wait_us"))
+
+
 def _range_join_error_windows(spark, sf_dir):
     """Clicks inside 12-hour error windows: the binned equi-join range
     join (bin width = window length → each interval covers <= 2 bins;
@@ -5171,6 +5193,19 @@ SELECT event_id, user_id, ts,
 FROM m
 """
 
+_ASOF_FORWARD_SQL = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, max(value) AS next_value,
+             max(event_id) AS next_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_matched,
+       r.next_value AS next_value_matched,
+       r.next_id AS next_id_matched,
+       epoch_us(r.ts) - epoch_us(l.ts) AS wait_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
 _RANGE_JOIN_SQL = """
 WITH p AS (SELECT user_id, ts, event_id AS click_id FROM events
            WHERE event_type = 'click'),
@@ -5191,8 +5226,8 @@ FROM p JOIN i ON p.user_id = i.user_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 114 queries carry an oracle_sql
-    twin; the 64 overflow pairs (positions 51-114, all long-green) and
+    representative per operator family. 115 queries carry an oracle_sql
+    twin; the 65 overflow pairs (positions 51-115, all long-green) and
     the 7 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r6.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
@@ -5210,7 +5245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (q1/q10/a9/event_sessionization — r5's one red row) —
         #    plus one representative per long-green operator family --
         "q1_pricing_summary": _q1_pricing_summary,
-        "q5_revenue_by_nation": _q5_revenue_by_nation,
+        "asof_forward_next_purchase": _asof_forward_next_purchase,
         "decontam_report": _decontam_report,
         "q10_returned_items": _q10_returned_items,
         "asof_recent_view": _asof_recent_view,
@@ -5263,6 +5298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "q3_shipping_priority": _q3_shipping_priority,
+        "q5_revenue_by_nation": _q5_revenue_by_nation,
         "a14_cube": _a14_cube,
         "p1_field_norm": _p1_field_norm,
         "scalar_sha_b64": _scalar_sha_b64,
@@ -5376,6 +5412,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_capped": _JACCARD_CAPPED_SQL,
         "dedup_clusters": _CLUSTERS_SQL,
         "asof_recent_view": _ASOF_SQL,
+        "asof_forward_next_purchase": _ASOF_FORWARD_SQL,
         "asof_tolerance": _ASOF_TOLERANCE_SQL,
         "range_join_error_windows": _RANGE_JOIN_SQL,
         "decontam_report": _DECONTAM_REPORT_SQL,

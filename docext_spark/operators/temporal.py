@@ -32,22 +32,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: list[str] | None = None,
               tolerance_us: int | None = None,
-              suffix: str = "_matched") -> DataFrame:
-    """Backward as-of join: each left row gains the right row with the
-    greatest ``right_ts`` <= ``left_ts`` for the same ``on`` keys (NULLs
-    when none), i.e. DuckDB's ``ASOF LEFT JOIN``. Ties on the timestamp
-    match the right row (inclusive).
+              suffix: str = "_matched",
+              direction: str = "backward") -> DataFrame:
+    """As-of join: each left row gains one right row for the same ``on``
+    keys (NULLs when none) — ``direction="backward"`` (default) the row
+    with the greatest ``right_ts`` <= ``left_ts`` (DuckDB's
+    ``ASOF LEFT JOIN ... l.ts >= r.ts``), ``"forward"`` the row with the
+    smallest ``right_ts`` >= ``left_ts``. Ties on the timestamp match
+    the right row (inclusive) in both directions.
 
     Output: every left column, then ``<right_ts><suffix>`` plus each of
     ``right_cols`` as ``<col><suffix>``. ``tolerance_us`` (microseconds)
-    voids matches staler than the bound — the match columns go NULL, the
-    left row stays.
+    voids matches further than the bound in the match direction — the
+    match columns go NULL, the left row stays.
 
     Contract: (on, right_ts) must be unique on the right side — with
     duplicate right timestamps the carried row depends on the sort's
     scheduling order. Pre-aggregate duplicates away (the oracle query
     does: one max_by row per (key, ts)).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     right_cols = right_cols or [c for c in right.columns
                                 if c not in set(on) | {right_ts}]
     payload = F.struct(F.col(right_ts).alias("__rts"),
@@ -60,17 +65,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                      .alias("__l"))
     # allowMissingColumns fills the absent struct with NULL on each side;
     # at equal ts the right row sorts first (__side 0 < 1) so an exact-ts
-    # state change is visible to the event that carries its timestamp
+    # state change is visible to the event that carries its timestamp —
+    # in both scan directions
     u = l.unionByName(r, allowMissingColumns=True)
-    w = (Window.partitionBy(*on).orderBy("__ts", "__side")
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
+    w = (Window.partitionBy(*on).orderBy(ts_order, F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
     if tolerance_us is not None:
         # timestampdiff is exact at microseconds and accepts both
         # TIMESTAMP and TIMESTAMP_NTZ (unix_micros rejects NTZ)
-        fresh = (F.expr("timestampdiff(MICROSECOND, __m.__rts, __ts)")
-                 <= F.lit(tolerance_us))
-        matched = matched.withColumn("__m", F.when(fresh, F.col("__m")))
+        gap = ("timestampdiff(MICROSECOND, __m.__rts, __ts)"
+               if direction == "backward"
+               else "timestampdiff(MICROSECOND, __ts, __m.__rts)")
+        matched = matched.withColumn(
+            "__m", F.when(F.expr(gap) <= F.lit(tolerance_us),
+                          F.col("__m")))
     matched = matched.filter(F.col("__side") == 1)
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols.append(F.col("__m.__rts").alias(f"{right_ts}{suffix}"))

@@ -50,6 +50,33 @@ def test_asof_tolerance_voids_stale_matches(sides):
     assert len(out) == 4                           # rows still all kept
 
 
+def test_asof_forward_direction(sides):
+    left, right = sides
+    out = {r["pid"]: r for r in
+           asof_join(left, right, ["k"], direction="forward").collect()}
+    # smallest right ts >= left ts; ties inclusive
+    assert out["l-a"]["ts_matched"] == _t(10) and out["l-a"]["v_matched"] == 1.0
+    assert out["l-early"]["ts_matched"] == _t(10)   # next future state
+    assert out["l-b"]["ts_matched"] is None         # nothing after :20
+    assert out["l-c"]["ts_matched"] == _t(99)
+
+
+def test_asof_forward_tolerance(sides):
+    left, right = sides
+    out = {r["pid"]: r for r in
+           asof_join(left, right, ["k"], direction="forward",
+                     tolerance_us=2 * 60_000_000).collect()}
+    assert out["l-a"]["ts_matched"] == _t(10)       # gap 0 within bound
+    assert out["l-early"]["ts_matched"] == _t(10)   # 1 min <= 2 min
+    assert out["l-c"]["ts_matched"] is None         # 94 min away — voided
+
+
+def test_asof_bad_direction(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, ["k"], direction="nearest")
+
+
 def test_asof_empty_right(spark, sides):
     left, _ = sides
     right = spark.createDataFrame([], "k long, ts timestamp, v double")
