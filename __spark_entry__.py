@@ -5193,6 +5193,40 @@ SELECT event_id, user_id, ts,
 FROM m
 """
 
+def _rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade: hourly partials →
+    daily rollup re-aggregated FROM THE HOURLY level, never re-reading
+    raw rows — at 100 TB the daily job consumes the ~1000× smaller
+    hourly store. sum/count are algebraic, and the value sum is held as
+    a LONG-quantized partial (exact integer re-aggregation; only the
+    final daily projection divides back), so the cascade is LOSSLESS:
+    the oracle computes the daily level straight from raw events and the
+    hash match IS the losslessness proof. n_hours = hourly rows folded
+    per day — the distinct-hour count without a distinct."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"),
+                         "event_type")
+              .agg(F.sum(F.round(F.col("value") * 100).cast("long"))
+                   .alias("v100"),
+                   F.count(F.lit(1)).alias("n")))
+    return (hourly
+            .groupBy(F.date_trunc("day", F.col("h")).alias("day"),
+                     "event_type")
+            .agg(F.round(F.sum("v100") / 100.0, 2).alias("value_sum"),
+                 F.sum("n").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_hours")))
+
+
+_ROLLUP_CASCADE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+         AS value_sum,
+       count(*) AS n_events,
+       count(DISTINCT date_trunc('hour', ts)) AS n_hours
+FROM events GROUP BY 1, 2
+"""
+
+
 _ASOF_FORWARD_SQL = """
 WITH l AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'click'),
@@ -5226,8 +5260,8 @@ FROM p JOIN i ON p.user_id = i.user_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-entry correctness window exercises the
     NEWEST work each round (VERDICT r4 #10) while keeping one
-    representative per operator family. 115 queries carry an oracle_sql
-    twin; the 65 overflow pairs (positions 51-115, all long-green) and
+    representative per operator family. 116 queries carry an oracle_sql
+    twin; the 66 overflow pairs (positions 51-116, all long-green) and
     the 7 rows-only tail entries are full-sweep-verified every round via
     tools/check_oracle.py (CORRECTNESS_FULL_r6.md, three SFs). The
     rows-only ones are genuinely non-SQL-replayable: HLL sketch,
@@ -5256,7 +5290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_stable_order_concat": _w1_stable_order_concat,
         "asof_tolerance": _asof_tolerance,
         "p9_enclosing_bbox": _p9_enclosing_bbox,
-        "s1_extension_predicate": _s1_extension_predicate,
+        "rollup_cascade": _rollup_cascade,
         "range_join_error_windows": _range_join_error_windows,
         "decontam_filter": _decontam_filter,
         "dedup_exact": _dedup_exact,
@@ -5298,6 +5332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    out to make window room — full-sweep-verified every round
         #    via tools/check_oracle.py, logged in CORRECTNESS_FULL) ----
         "q3_shipping_priority": _q3_shipping_priority,
+        "s1_extension_predicate": _s1_extension_predicate,
         "q5_revenue_by_nation": _q5_revenue_by_nation,
         "a14_cube": _a14_cube,
         "p1_field_norm": _p1_field_norm,
@@ -5413,6 +5448,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _CLUSTERS_SQL,
         "asof_recent_view": _ASOF_SQL,
         "asof_forward_next_purchase": _ASOF_FORWARD_SQL,
+        "rollup_cascade": _ROLLUP_CASCADE_SQL,
         "asof_tolerance": _ASOF_TOLERANCE_SQL,
         "range_join_error_windows": _RANGE_JOIN_SQL,
         "decontam_report": _DECONTAM_REPORT_SQL,
