@@ -1515,8 +1515,8 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
     bound a naive caller now gets without setting any flag. Oracle replays
     the banding, the bucket-size cap, and both stat aggregates in DuckDB."""
     from docext_spark.operators.dedup import (DEFAULT_MAX_BUCKET_SIZE,
-                                              lsh_banded,
-                                              lsh_candidate_pairs)
+                                              _bucket_pairs, lsh_banded,
+                                              lsh_buckets)
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     template = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") == 0)
                 .select(F.col("text").alias("_tpl")))
@@ -1524,19 +1524,33 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
              .select((F.col("id") + 1000000).alias("doc_id"),
                      F.concat(F.lit("v"), F.col("id").cast("string"),
                               F.lit(" "), F.col("_tpl")).alias("text")))
-    docs = base.unionByName(flood)
-    # DEFAULT config: no max_bucket_size argument — the guard must engage
-    # on its own (the whole point of this query)
-    pairs = lsh_candidate_pairs(docs, "doc_id", "text",
-                                num_hashes=8, bands=4, n=3)
-    banded = lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3)
-    hot = (banded.groupBy("band", "key")
-           .agg(F.count(F.lit(1)).alias("sz"))
-           .filter(F.col("sz") > DEFAULT_MAX_BUCKET_SIZE))
+    # explicit fan-out: the crossJoin flood generator's size estimate is
+    # garbage (row-product ~23 GB for 1500 short rows, measured r7), so
+    # the operator's size-gated fanout_small declines and the signature
+    # pUDF would run at the base table's degenerate scan parallelism; the
+    # query KNOWS the union is fixture-scale, and the target is derived
+    # from the cluster (defaultParallelism), not a local constant
+    docs = base.unionByName(flood) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    # ONE banded/bucket computation feeds BOTH the capped candidate pairs
+    # and the hot-bucket statistics (the exact DEFAULT-config grouping
+    # lsh_candidate_pairs uses — same lsh_buckets fold, same
+    # DEFAULT_MAX_BUCKET_SIZE threshold). localCheckpoint materializes the
+    # bucket table once per run; the former formulation re-ran the whole
+    # scan→shingle→sha256→min pipeline once per consumer (5 copies in the
+    # pre-AQE plan, r7 plan audit).
+    buckets = lsh_buckets(
+        lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3)
+    ).localCheckpoint(eager=True)
+    hot = buckets.select(F.size("ids").alias("sz")) \
+                 .filter(F.col("sz") > DEFAULT_MAX_BUCKET_SIZE)
     hot_stats = hot.agg(
         F.count(F.lit(1)).alias("n_hot_buckets"),
         F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0))
          .cast("long").alias("n_bucket_pairs_dropped"))
+    pairs = (buckets.filter(F.size("ids") <= DEFAULT_MAX_BUCKET_SIZE)
+             .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+             .select("p.id_a", "p.id_b").distinct())
     pair_stats = pairs.agg(
         F.count(F.lit(1)).alias("n_pairs_kept"),
         F.coalesce(F.sum(((F.col("id_a") >= 1000000)

@@ -14,7 +14,11 @@ All distributed-first designs:
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from docext_spark.operators.textops import fingerprint, minhash_component, word_shingles
@@ -23,8 +27,12 @@ from docext_spark.operators.textops import fingerprint, minhash_component, word_
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) texts: (fingerprint, dup_count,
-    doc_ids sorted). Only groups with >1 member."""
-    return (df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    doc_ids sorted). Only groups with >1 member. The normalize+sha256 map
+    stage fans out small inputs first (degenerate scan parallelism —
+    session.fanout_small; a no-op at scale)."""
+    from docext_spark.session import fanout_small
+    pre = fanout_small(df.select(F.col(id_col), F.col(text_col)))
+    return (pre.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
               .groupBy("fp")
               .agg(F.count(F.lit(1)).alias("dup_count"),
                    F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
@@ -39,10 +47,14 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id",
     shingles are already unique, so no shuffle is needed (a .distinct()
     after explode would shuffle the full shingle table). Normalization is
     projected once first (3x faster: Catalyst does not CSE the regex
-    through the higher-order shingle expression)."""
+    through the higher-order shingle expression), AFTER a small-input
+    fan-out (session.fanout_small) so the regex + shingle construction can
+    use every core when the scan's effective parallelism is degenerate."""
     from docext_spark.operators.textops import normalized
-    pre = df.select(F.col(id_col).alias("id"),
-                    normalized(F.col(text_col)).alias("_norm"))
+    from docext_spark.session import fanout_small
+    raw = fanout_small(df.select(F.col(id_col).alias("id"),
+                                 F.col(text_col).alias("_txt")))
+    pre = raw.select("id", normalized(F.col("_txt")).alias("_norm"))
     return pre.select(
         "id",
         F.explode(F.array_distinct(
@@ -168,23 +180,82 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     shuffle pass (map-side partial min), not k passes. engine='xxhash64'
     is the production hash (native XXH64, long min); 'sha256' is the
     engine-independent oracle hash (hex-string min)."""
-    sh = shingle_table(df, id_col, text_col, n)
     if engine == "sha256":
-        # project each 64-hex digest ONCE, aggregate mins over its 8-char
-        # slices — 8 permutations per sha256; relying on codegen
-        # subexpression elimination across aggregate inputs is not enough
-        # (measured: the projected form is what collapses the hash count)
-        n_digests = (num_hashes + 7) // 8
-        proj = sh.select("id", *[
-            F.sha2(F.concat_ws("|", F.lit(str(d)), F.col("shingle")), 256)
-             .alias(f"_dig_{d}") for d in range(n_digests)])
-        aggs = [F.min(F.substring(F.col(f"_dig_{s // 8}"),
-                                  1 + 8 * (s % 8), 8)).alias(f"sig_{s}")
-                for s in range(num_hashes)]
-        return proj.groupBy("id").agg(*aggs)
+        # Arrow-batched worker-side path (guide §4.2): tokenizing,
+        # shingling, sha256 and the per-slice running mins all happen in
+        # one pass over each document inside a pandas UDF — hashlib's
+        # sha256 is C code, so the per-shingle constant is far below the
+        # JVM expression chain this replaces (measured r7 on 2.6M
+        # shingles at sf1.0: sha2 expr 4.5s + 8×substring 4.5s +
+        # SortAggregate 2s + explode/shuffle ≈ 11.3s → ~1s worker-side).
+        # No explode, no shuffle: signatures are map-only per document.
+        # Bit-parity with the SQL oracle holds because sha256 bytes are
+        # engine-independent and Python's str min over fixed-width ASCII
+        # hex equals UTF8String binary min. Documents whose normalized
+        # text is empty produce no shingles and are dropped BEFORE the
+        # UDF (a JVM-side filter — filtering on the UDF's own output
+        # would double-evaluate it, guide §4.4).
+        from docext_spark.operators.textops import normalized
+        from docext_spark.session import fanout_small
+        raw = fanout_small(df.select(F.col(id_col).alias("id"),
+                                     F.col(text_col).alias("_txt")))
+        pre = (raw.select("id", normalized(F.col("_txt")).alias("_norm"))
+                  .filter(F.col("_norm") != ""))
+        udf = _minhash_sha_udf(num_hashes, n)
+        sigs = pre.select("id", udf(F.col("_norm")).alias("_sigs"))
+        return sigs.select("id", *[
+            F.col("_sigs")[s].alias(f"sig_{s}") for s in range(num_hashes)])
+    sh = shingle_table(df, id_col, text_col, n)
     aggs = [F.min(minhash_component(F.col("shingle"), s, engine)).alias(f"sig_{s}")
             for s in range(num_hashes)]
     return sh.groupBy("id").agg(*aggs)
+
+
+def _minhash_sha_udf(num_hashes: int, n: int):
+    """pandas UDF: normalized text → array of ``num_hashes`` MinHash
+    components (8-hex-char strings), the worker-side twin of the
+    sha256 minhash_component expression chain. Shingling replicates
+    word_shingles on pre-normalized text exactly: single-space tokens
+    (normalization guarantees no empty tokens), texts shorter than ``n``
+    tokens yield the whole text as one shingle. Duplicate shingles are NOT
+    deduped — a min is unaffected by duplicates, so array_distinct would
+    be pure cost here."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    n_digests = (num_hashes + 7) // 8
+    prefixes = [f"{d}|".encode() for d in range(n_digests)]
+    # slice offsets per digest: digest d carries components d*8 .. d*8+7
+    slices_by_digest = [[(8 * (s % 8), s) for s in range(num_hashes)
+                         if s // 8 == d] for d in range(n_digests)]
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def sigs(norms: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+        sha = hashlib.sha256
+        for batch in norms:
+            out = []
+            for norm in batch:
+                toks = norm.split(" ")
+                if len(toks) < n:
+                    shingles = [norm]
+                else:
+                    shingles = [" ".join(toks[i:i + n])
+                                for i in range(len(toks) - n + 1)]
+                mins = [None] * num_hashes
+                for s in shingles:
+                    b = s.encode("utf-8")
+                    for d in range(n_digests):
+                        h = sha(prefixes[d] + b).hexdigest()
+                        for off, si in slices_by_digest[d]:
+                            v = h[off:off + 8]
+                            m = mins[si]
+                            if m is None or v < m:
+                                mins[si] = v
+                out.append(mins)
+            yield pd.Series(out)
+
+    return sigs
 
 
 def lsh_plan(threshold: float, num_hashes: int = 16) -> dict:
@@ -264,15 +335,49 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         max_bucket_size)
 
 
+def lsh_buckets(banded: DataFrame) -> DataFrame:
+    """(band, key, ids) — bucket membership folded to one row per bucket,
+    member ids sorted ascending. The single source for both candidate-pair
+    generation and flood diagnostics (bucket sizes = size(ids)), so the two
+    cannot drift and the expensive signature pipeline below the groupBy is
+    computed once instead of once per self-join side (measured r7: the
+    pre-AQE plan for the join formulation carried the full scan→sha256→
+    SortAggregate subtree once PER SIDE plus once per hot-key aggregate)."""
+    return (banded.groupBy("band", "key")
+                  .agg(F.sort_array(F.collect_list("id")).alias("ids")))
+
+
+def _bucket_pairs(ids: Column) -> Column:
+    """All (ids[i], ids[j]) i<j combinations of a sorted member array —
+    id_a < id_b holds by construction. Array HOFs over a MATERIALIZED
+    column attribute (O(1) access per element; never over a computed
+    subtree, which Catalyst re-evaluates per lambda invocation)."""
+    return F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+
+
 def _banded_pairs(banded: DataFrame,
                   max_bucket_size: int | None) -> DataFrame:
+    """Candidate pairs via per-bucket combination generation: groupBy
+    (band, key) → sorted member list → in-bucket (i<j) pairs → distinct.
+
+    This replaces the former bucket self-join (a ⋈ b on (band, key) with
+    id_a < id_b): the pair SET is identical, but the banded table — and the
+    whole minhash/shingle pipeline beneath it — is computed ONCE instead of
+    once per join side, and the bucket-size cap becomes a size(ids) filter
+    on the already-grouped frame instead of a separate hot-key aggregation
+    plus broadcast anti-join (two more copies of the pipeline). At 100 TB
+    the shape is the same single shuffle on (band, key); per-bucket work is
+    O(B²) pairs either way, bounded by the default cap."""
+    buckets = lsh_buckets(banded)
     if max_bucket_size is not None:
-        banded = _drop_hot(banded, ["band", "key"], max_bucket_size)
-    a = banded.withColumnRenamed("id", "id_a")
-    b = banded.withColumnRenamed("id", "id_b")
-    return (a.join(b, ["band", "key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (buckets
+            .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
@@ -349,8 +454,10 @@ def winnow_fingerprint_table(df: DataFrame, id_col: str = "doc_id",
     the kernel dedupes first-seen). Exposed so flood diagnostics share the
     exact fingerprinting with winnow_overlap_pairs."""
     from docext_spark.operators.extract import winnow_udf
-    return df.select(F.col(id_col).alias("id"),
-                     F.explode(winnow_udf(F.col(text_col))).alias("fp"))
+    from docext_spark.session import fanout_small
+    pre = fanout_small(df.select(F.col(id_col).alias("id"),
+                                 F.col(text_col).alias("_txt")))
+    return pre.select("id", F.explode(winnow_udf(F.col("_txt"))).alias("fp"))
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -387,8 +494,10 @@ def simhash_banded(df: DataFrame, id_col: str = "doc_id",
     lsh_banded) so flood diagnostics share the exact banding scheme with
     simhash_near_dups."""
     from docext_spark.operators.extract import simhash_udf
-    sigs = df.select(F.col(id_col).alias("id"),
-                     simhash_udf(F.col(text_col)).alias("sim"))
+    from docext_spark.session import fanout_small
+    pre = fanout_small(df.select(F.col(id_col).alias("id"),
+                                 F.col(text_col).alias("_txt")))
+    sigs = pre.select("id", simhash_udf(F.col("_txt")).alias("sim"))
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
 
@@ -417,12 +526,21 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     buckets, and an uncapped bucket of B docs is B²/2 candidate pairs on
     one key — the flood must be bounded under the default config."""
     banded = simhash_banded(df, id_col, text_col, band_bits)
+    # same single-compute bucket-combination shape as _banded_pairs (the
+    # signature pUDF beneath the groupBy runs once, not once per join
+    # side); members carry (id, sim) so pairs keep both signatures
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list(F.struct("id", "sim")))
+                     .alias("ms")))
     if max_bucket_size is not None:
-        banded = _drop_hot(banded, ["band", "key"], max_bucket_size)
-    a = banded.select(F.col("id").alias("id_a"), F.col("sim").alias("sim_a"),
-                      "band", "key")
-    b = banded.select(F.col("id").alias("id_b"), F.col("sim").alias("sim_b"),
-                      "band", "key")
-    return (a.join(b, ["band", "key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    ms = F.col("ms")
+    pairs = F.flatten(F.transform(
+        ms,
+        lambda x, i: F.transform(
+            F.slice(ms, i + F.lit(2), F.size(ms)),
+            lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                               x["sim"].alias("sim_a"),
+                               y["sim"].alias("sim_b")))))
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b").distinct())
