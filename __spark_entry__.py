@@ -2220,7 +2220,10 @@ FROM t
 
 def _x1_turn_markdown(spark, sf_dir):
     from docext_spark.operators.extract import extract_turns
-    d = _t(spark, sf_dir, "documents")
+    from docext_spark.session import fanout_small
+    # the extraction pUDF is map-only, so its parallelism is the scan's —
+    # fan out a small single-row-group input first (no-op at scale)
+    d = fanout_small(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     transcripts = d.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),

@@ -37,11 +37,22 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     the corpus streams through one map stage, then a per-query top-k window.
 
     Returns (qid, vec_id, cos_sim, rank), rank 1..k, ties broken by vec_id
-    (deterministic)."""
-    scored = (vectors.crossJoin(F.broadcast(queries))
+    (deterministic).
+
+    Both sides' norms are projected ONCE before the cross join — the
+    inline cosine() would re-fold norm(vec) per query and norm(qvec) per
+    corpus row (measured r7: for q queries that triples the per-pair HOF
+    work). The value is bit-identical: same left-folds, same operation
+    order, one dot product per pair."""
+    from docext_spark.session import fanout_small
+    vn = fanout_small(vectors).withColumn("_vn", norm(F.col(vec_col)))
+    qn = queries.withColumn("_qn", norm(F.col(qvec_col)))
+    denom = F.col("_vn") * F.col("_qn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col(vec_col), F.col(qvec_col)) / denom)
+    scored = (vn.crossJoin(F.broadcast(qn))
               .select(F.col(qid_col), F.col(id_col),
-                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
-                       .alias("cos_sim")))
+                      F.round(cos, 6).alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
@@ -197,8 +208,10 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
             "embedding_near_dups(exact=False) requires dim= (the embedding "
             "length): hyperplanes of the wrong dimension silently null-pad "
             "every dot product and collapse all vectors into one bucket")
-    v = vectors.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("vec"))
+    from docext_spark.session import fanout_small
+    v = fanout_small(vectors).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"))
     if exact:
         a = v.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         b = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
@@ -272,38 +285,58 @@ def centroids_to_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFram
     return spark.createDataFrame(pdf, "cid int, cvec array<double>")
 
 
+def _packed_centroids(cdf: DataFrame) -> DataFrame:
+    """One-row frame holding ALL centroids as a sorted array of
+    (cid, cvec, cn) structs, cn = norm(cvec) precomputed once per centroid
+    — the broadcast payload for map-only nearest-centroid scoring."""
+    return (cdf.select(F.struct(F.col("cid"), F.col("cvec"),
+                                norm(F.col("cvec")).alias("cn")).alias("c"))
+               .agg(F.sort_array(F.collect_list("c")).alias("_cents")))
+
+
+def _centroid_negsim(vec: Column, vn: Column) -> Column:
+    """array<struct<negsim,cid>> over the broadcast ``_cents`` column:
+    per-centroid -cosine with the row's norm ``vn`` computed ONCE (the
+    generic cosine() re-folds norm(vec) for every centroid — k× redundant
+    work; the value is bit-identical, same left-fold, same operation
+    order)."""
+    def score(c):
+        d = vn * c["cn"]
+        cos = F.when(d == 0, F.lit(0.0)).otherwise(dot(vec, c["cvec"]) / d)
+        return F.struct((-cos).alias("negsim"), c["cid"].alias("cid"))
+    return F.transform(F.col("_cents"), score)
+
+
 def ivf_assign_broadcast(vectors: DataFrame, cdf: DataFrame,
                          vec_col: str = "embedding",
                          probe: int = 1) -> DataFrame:
     """IVF assignment against a BROADCAST centroid table — the real-k
     quantizer shape (k=4096 × dim=64 inlined literals would bloat every
     plan that embeds the assignment; as a broadcast relation the centroids
-    ship to executors once). The plan is a BroadcastNestedLoopJoin — the
-    correct shape for nearest-centroid: every row must score ALL k
-    centroids, so there is no equi-key to hash on; the follow-up
-    probed-list join in ivf_topk is the BroadcastHashJoin.
-
-    probe=1 (the corpus side, the billion-row side) aggregates with a
-    struct-min groupBy: partial aggregation collapses the k-way expansion
-    map-side, so the shuffle carries ONE row per vector, not k. probe>1
-    (the query side — small by construction) keeps the sorted-slice
-    explode. Tie-break matches ivf_assign exactly (lowest cid), asserted
-    equal in tests. Rows must be distinct (carry an id column) — the
-    groupBy is over all input columns."""
-    cols = vectors.columns
-    scored = (vectors.crossJoin(F.broadcast(cdf))
-              .select(*cols,
-                      F.struct((-cosine(F.col(vec_col), F.col("cvec")))
-                               .alias("negsim"),
-                               F.col("cid").alias("cid")).alias("_s")))
+    ship to executors once). The centroids travel as ONE array row
+    (BroadcastNestedLoopJoin of a single-row relation — the correct shape
+    for nearest-centroid: every row must score ALL k centroids, so there
+    is no equi-key to hash on), and the argmin/arg-top-probe runs as a
+    map-only array expression per row: NO k-way row expansion and NO
+    groupBy shuffle at all (the former shape exploded each vector into k
+    scored rows and re-aggregated them with the full embedding array as
+    part of the grouping key — measured r7). Tie-break matches ivf_assign
+    exactly: struct ordering on (negsim, cid) → lowest cid."""
+    # NOTE: no cast on vec_col — norm/dot must see the exact input type the
+    # former cosine() call saw, so every fold is bit-identical
+    packed = _packed_centroids(cdf)
+    scored = (vectors
+              .withColumn("_vn", norm(F.col(vec_col)))
+              .crossJoin(F.broadcast(packed)))
+    arr = _centroid_negsim(F.col(vec_col), F.col("_vn"))
     if probe == 1:
-        return (scored.groupBy(*cols).agg(F.min("_s").alias("_m"))
-                .select(*cols, F.col("_m.cid").alias("ivf_list")))
-    nearest = F.slice(F.array_sort(F.collect_list("_s")), 1, probe)
-    return (scored.groupBy(*cols).agg(nearest.alias("_near"))
-            .select(*cols,
-                    F.explode(F.transform(F.col("_near"), lambda s: s["cid"]))
-                     .alias("ivf_list")))
+        out = scored.withColumn("ivf_list", F.array_min(arr)["cid"])
+    else:
+        out = scored.withColumn(
+            "ivf_list",
+            F.explode(F.transform(F.slice(F.array_sort(arr), 1, probe),
+                                  lambda s: s["cid"])))
+    return out.drop("_vn", "_cents")
 
 
 def deterministic_centroids(vectors: DataFrame, n_lists: int = 8,
@@ -353,11 +386,19 @@ def farthest_point_centroids(vectors: DataFrame, n_lists: int = 8,
     chosen_ids = [first[0]["id"]]
     for _ in range(n_lists - 1):
         cdf = centroids_to_df(vectors.sparkSession, list(enumerate(cents)))
-        rows = (v.filter(~F.col("id").isin(chosen_ids))
-                .crossJoin(F.broadcast(cdf))
-                .groupBy("id", "vec")
-                .agg(F.min(1 - cosine(F.col("vec"), F.col("cvec")))
-                      .alias("_d"))
+        # map-only min-distance over the packed centroid array (same
+        # single-row broadcast shape as ivf_assign_broadcast — no k-way
+        # row expansion, no groupBy shuffle; values bit-identical)
+        packed = _packed_centroids(cdf)
+        scored = (v.filter(~F.col("id").isin(chosen_ids))
+                  .withColumn("_vn", norm(F.col("vec")))
+                  .crossJoin(F.broadcast(packed)))
+        dist = F.array_min(F.transform(
+            F.col("_cents"),
+            lambda c: 1 - F.when(F.col("_vn") * c["cn"] == 0, F.lit(0.0))
+                           .otherwise(dot(F.col("vec"), c["cvec"])
+                                      / (F.col("_vn") * c["cn"]))))
+        rows = (scored.select("id", "vec", dist.alias("_d"))
                 .orderBy(F.desc("_d"), "id").limit(1).collect())
         if not rows:
             break
@@ -430,13 +471,21 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     cents = centroids or farthest_point_centroids(vectors, n_lists,
                                                   id_col, vec_col)
     cdf = centroids_to_df(vectors.sparkSession, cents)
-    v = ivf_assign_broadcast(vectors, cdf, vec_col, probe=1)
+    from docext_spark.session import fanout_small
+    v = ivf_assign_broadcast(fanout_small(vectors), cdf, vec_col, probe=1) \
+        .withColumn("_vn", norm(F.col(vec_col)))
     q = ivf_assign_broadcast(queries.withColumnRenamed(qvec_col, "_qv"), cdf,
-                             "_qv", probe=probe).withColumnRenamed("_qv", qvec_col)
+                             "_qv", probe=probe) \
+        .withColumnRenamed("_qv", qvec_col) \
+        .withColumn("_qn", norm(F.col(qvec_col)))
+    # norms projected once per side (bit-identical to the inline cosine —
+    # same folds, same order; one dot per probed pair)
+    denom = F.col("_vn") * F.col("_qn")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col(vec_col), F.col(qvec_col)) / denom)
     scored = (v.join(F.broadcast(q), "ivf_list")
               .select(F.col(qid_col), F.col(id_col),
-                      F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6)
-                       .alias("cos_sim")))
+                      F.round(cos, 6).alias("cos_sim")))
     w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.col(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .filter(F.col("rank") <= k))
