@@ -113,9 +113,19 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     shingle table, which at 100TB is ~10x the input and must never be
     persisted)."""
     sh = shingle_table(df, id_col, text_col, n)
+    # co-occurrence via per-shingle member grouping (same single-compute
+    # combination shape as _banded_pairs: the shingle pipeline runs once,
+    # not once per self-join side, and the doc-freq cap is a size filter
+    # on the grouped frame instead of a hot-key aggregate + anti-join)
+    groups = (sh.groupBy("shingle")
+                .agg(F.sort_array(F.collect_list("id")).alias("ids")))
     if max_doc_freq is not None:
-        sh = capped_shingle_table(sh, max_doc_freq)
-        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+        groups = groups.filter(F.size("ids") <= max_doc_freq)
+        # per-doc set sizes over the SURVIVING shingles only (the capped
+        # Jaccard is exact over non-ubiquitous shingles): re-explode the
+        # kept groups — one extra narrow shuffle of (id) rows
+        sizes = (groups.select(F.explode("ids").alias("id"))
+                 .groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles")))
     else:
         from docext_spark.operators.textops import normalized
         pre = df.select(F.col(id_col).alias("id"),
@@ -125,12 +135,11 @@ def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             F.size(F.array_distinct(
                 word_shingles(F.col("_norm"), n, pre_normalized=True)))
              .alias("n_shingles"))
-    a = sh.withColumnRenamed("id", "id_a")
-    b = sh.withColumnRenamed("id", "id_b")
-    inter = (a.join(b, "shingle")
-              .filter(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("inter")))
+    inter = (groups
+             .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+             .groupBy(F.col("p.id_a").alias("id_a"),
+                      F.col("p.id_b").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
     return (inter.join(sa, "id_a").join(sb, "id_b")
@@ -192,17 +201,21 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         # Bit-parity with the SQL oracle holds because sha256 bytes are
         # engine-independent and Python's str min over fixed-width ASCII
         # hex equals UTF8String binary min. Documents whose normalized
-        # text is empty produce no shingles and are dropped BEFORE the
-        # UDF (a JVM-side filter — filtering on the UDF's own output
-        # would double-evaluate it, guide §4.4).
+        # text is empty produce no shingles: the UDF returns NULL for
+        # them and they are filtered on the UDF's output — the UDF is
+        # marked non-deterministic so the optimizer neither duplicates
+        # the evaluation below the filter (guide §4.4) nor pushes a
+        # normalized-text predicate below the fan-out exchange onto the
+        # degenerate scan side (measured r7: the pushed filter re-ran the
+        # full normalization regex single-task).
         from docext_spark.operators.textops import normalized
         from docext_spark.session import fanout_small
         raw = fanout_small(df.select(F.col(id_col).alias("id"),
                                      F.col(text_col).alias("_txt")))
-        pre = (raw.select("id", normalized(F.col("_txt")).alias("_norm"))
-                  .filter(F.col("_norm") != ""))
-        udf = _minhash_sha_udf(num_hashes, n)
-        sigs = pre.select("id", udf(F.col("_norm")).alias("_sigs"))
+        udf = _minhash_sha_udf(num_hashes, n).asNondeterministic()
+        sigs = (raw.select("id",
+                           udf(normalized(F.col("_txt"))).alias("_sigs"))
+                   .filter(F.col("_sigs").isNotNull()))
         return sigs.select("id", *[
             F.col("_sigs")[s].alias(f"sig_{s}") for s in range(num_hashes)])
     sh = shingle_table(df, id_col, text_col, n)
@@ -236,6 +249,11 @@ def _minhash_sha_udf(num_hashes: int, n: int):
         for batch in norms:
             out = []
             for norm in batch:
+                if not norm:
+                    # empty normalized text → no shingles → no signature
+                    # row (the caller filters these out)
+                    out.append(None)
+                    continue
                 toks = norm.split(" ")
                 if len(toks) < n:
                     shingles = [norm]
@@ -477,15 +495,18 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     NON-ubiquitous fingerprints only (a substring every doc contains is
     boilerplate, not copying evidence)."""
     fps = winnow_fingerprint_table(df, id_col, text_col)
+    # same single-compute grouped-combination shape as jaccard_pairs /
+    # _banded_pairs; the doc-freq cap is a group-size filter
+    groups = (fps.groupBy("fp")
+                 .agg(F.sort_array(F.collect_list("id")).alias("ids")))
     if max_doc_freq is not None:
-        fps = _drop_hot(fps, ["fp"], max_doc_freq)
-    a = fps.withColumnRenamed("id", "id_a")
-    b = fps.withColumnRenamed("id", "id_b")
-    return (a.join(b, "fp")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("shared_fps"))
-             .filter(F.col("shared_fps") >= min_shared))
+        groups = groups.filter(F.size("ids") <= max_doc_freq)
+    return (groups
+            .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+            .groupBy(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("shared_fps"))
+            .filter(F.col("shared_fps") >= min_shared))
 
 
 def simhash_banded(df: DataFrame, id_col: str = "doc_id",

@@ -91,24 +91,21 @@ def align_pred_gt(gt: DataFrame, pred: DataFrame,
                   pos_col: str | None = None) -> DataFrame:
     """J1/W3 — for each GT (keys, label), the first matching pred value or "".
 
-    First-match semantics: the pred with the smallest position wins
-    (ds.py:92-95: the first pred field with the label wins). Implemented
-    as a min-struct aggregation over (pos, value) rather than a
-    row_number window: the aggregate does map-side partial mins so the
-    shuffle carries one row per (keys, label) instead of every pred row,
-    and no per-partition sort is needed (measured r7). For a unique
-    ``pos_col`` the result is identical to the former rn=1 window; on
-    position ties it is DETERMINISTIC (lowest value wins) where
-    row_number's tie order was scheduling-dependent.
+    First-match semantics via row_number over pred position
+    (ds.py:92-95: the first pred field with the label wins). The rn=1
+    filter is deliberately the WINDOW form, not a min-struct aggregation:
+    Spark rewrites it to WindowGroupLimit, a map-side per-key top-1 that
+    prunes the shuffle to one row per (keys, label) BEFORE the exchange,
+    while min(struct(pos, value)) falls out of hash aggregation entirely
+    (struct buffers aren't mutable → SortAggregate + an extra sort pass —
+    measured 2.5× slower at sf1.0, r7).
     """
     join_cols = keys + [label_col]
     p = pred
     if pos_col is not None:
-        p = (p.groupBy(*join_cols)
-              .agg(F.min(F.struct(F.col(pos_col).alias("_pos"),
-                                  F.col(value_col).alias("_val")))
-                    .alias("_m"))
-              .select(*join_cols, F.col("_m._val").alias(value_col)))
+        w = Window.partitionBy(*join_cols).orderBy(pos_col)
+        p = (p.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn", pos_col))
     p = p.withColumnRenamed(value_col, "_pred_value")
     out = gt.join(p, join_cols, "left")
     return out.withColumn("pred_value",

@@ -42,6 +42,15 @@ def get_spark(app_name: str = "docext_spark", master: str | None = None,
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "256m"))
+        # Broadcast only genuinely dimension-sized relations: building a
+        # broadcast hash relation is SINGLE-THREADED on the driver and
+        # every executor holds a copy — broadcasting a ~10 MB-estimate /
+        # million-row mid table measured ~1.8× slower than the parallel
+        # shuffled-hash path (q5's lineitem⋈orders, r7). Config-scale dims
+        # (nation, aggregated key sets) stay under 4 MB and still
+        # broadcast; explicit F.broadcast() hints are unaffected.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
         # File-split sizing (guide §6): openCostInBytes models per-file
         # open latency. The 4 MB default is tuned for object stores; on

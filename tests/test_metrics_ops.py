@@ -45,23 +45,22 @@ def test_align_first_match_and_default(spark):
     assert 0 < score < 1
 
 
-def test_align_pos_tie_is_deterministic(spark):
-    """r7: align_pred_gt's first-match is a min-struct aggregation. On a
-    POSITION TIE the lowest value wins deterministically (the former
-    row_number window's tie order was scheduling-dependent)."""
+def test_align_first_match_is_group_limit(spark):
+    """r7: align_pred_gt's rn=1 must stay in the WindowGroupLimit form —
+    the map-side per-key top-1 that prunes the shuffle to one row per
+    (keys, label) (a min-struct aggregation degenerates to SortAggregate:
+    struct buffers aren't hash-aggregatable)."""
     gt = spark.createDataFrame([("d1", "amount", "100")],
                                "doc_id string, label string, value string")
     pred = spark.createDataFrame(
-        [("d1", "amount", "zzz", 1), ("d1", "amount", "aaa", 1),
-         ("d1", "amount", "early", 0)],
+        [("d1", "amount", "late", 5), ("d1", "amount", "early", 0)],
         "doc_id string, label string, value string, pos int")
     out = align_pred_gt(gt, pred, ["doc_id"], "label", "value",
-                        pos_col="pos").collect()
-    assert out[0]["pred_value"] == "early"      # lowest pos wins
-    pred_tied = pred.filter(F.col("pos") == 1)  # only the tied rows
-    out2 = align_pred_gt(gt, pred_tied, ["doc_id"], "label", "value",
-                         pos_col="pos").collect()
-    assert out2[0]["pred_value"] == "aaa"       # tie → lowest value
+                        pos_col="pos")
+    assert out.collect()[0]["pred_value"] == "early"   # lowest pos wins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "SortAggregate" not in plan
 
 
 def test_vqa_best_of(spark):
