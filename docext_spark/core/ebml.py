@@ -132,7 +132,11 @@ def _parse_track(payload, start, end, budget):
             tid = _uint(payload, b0, b1)
         elif eid == 0x83:
             kind = _uint(payload, b0, b1)
-            kind = {1: "video", 2: "audio"}.get(kind, kind)
+            # non-video/audio TrackTypes (17=subtitle, 16=logo, …) must
+            # still be a STRING: the value lands in a StringType column,
+            # and a raw int fails the Arrow conversion at runtime
+            # (ADVICE r6: ArrowTypeError on real-world Matroska files)
+            kind = {1: "video", 2: "audio"}.get(kind, str(kind))
         elif eid == 0x86:
             codec = payload[b0:b1].decode("latin1")
         elif eid == 0xE0:                # Video
@@ -192,7 +196,8 @@ def encode_matroska_meta(doctype: str, muxing_app: str,
     for t in tracks:
         body = (_elem(0xD7, _uint_body(t["track_id"]))
                 + _elem(0x83, _uint_body(
-                    1 if t["kind"] == "video" else 2))
+                    t["kind"] if isinstance(t["kind"], int)
+                    else (1 if t["kind"] == "video" else 2)))
                 + _elem(0x86, t["codec"].encode("latin1")))
         if t["kind"] == "video":
             body += _elem(0xE0, _elem(0xB0, _uint_body(t["width"]))

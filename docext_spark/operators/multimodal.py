@@ -547,6 +547,13 @@ def container_metadata(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 m = isobmff.parse_mp4(p)
                 if m is not None:
+                    if not m["tracks"]:
+                        # parseable container, empty track list: keep the
+                        # media_id visible with container set (ADVICE r6:
+                        # silently dropping the id contradicts the
+                        # all-null-row contract)
+                        rows.append((mid, "mp4", m["brand"]) + (None,) * 11)
+                        continue
                     for t in m["tracks"]:
                         rows.append((mid, "mp4", m["brand"],
                                      t["track_id"], t["handler"],
@@ -556,6 +563,9 @@ def container_metadata(media: DataFrame) -> DataFrame:
                     continue
                 k = ebml.parse_matroska(p)
                 if k is not None:
+                    if not k["tracks"]:
+                        rows.append((mid, "mkv", k["doctype"]) + (None,) * 11)
+                        continue
                     for t in k["tracks"]:
                         rows.append((mid, "mkv", k["doctype"],
                                      t["track_id"], t["kind"],
@@ -585,7 +595,13 @@ def container_metadata(media: DataFrame) -> DataFrame:
             for c in ("track_id", "width", "height", "duration_ms",
                       "sample_rate", "channels", "bitrate_kbps",
                       "n_frames"):
-                pdf_out[c] = pd.array(pdf_out[c], dtype="Int32")
+                # parsed values are unbounded (64-bit mvhd/mdhd v1
+                # durations, EBML varint uints): null anything outside
+                # Int32 rather than crash the task on the coercion
+                # (ADVICE r6: 'cannot safely cast non-equivalent int64')
+                pdf_out[c] = pd.array(
+                    [v if v is not None and -2**31 <= v < 2**31 else None
+                     for v in pdf_out[c]], dtype="Int32")
             pdf_out["vbr"] = pd.array(pdf_out["vbr"], dtype="boolean")
             yield pdf_out
     return media.select("media_id", "payload").mapInPandas(

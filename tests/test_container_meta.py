@@ -144,6 +144,34 @@ def test_container_metadata_operator(spark):
     assert got[2]["container"] is None
 
 
+def test_container_metadata_operator_edge_rows(spark):
+    """ADVICE r6 hardening: (a) a non-video/audio Matroska TrackType
+    (17=subtitle) must come through as a STRING handler, not crash the
+    Arrow conversion; (b) a 64-bit duration exceeding Int32 must null
+    out, not crash the Int32 coercion; (c) a parseable container with an
+    EMPTY track list must still emit one row with container set."""
+    import pandas as pd
+    from docext_spark.core import ebml
+    from docext_spark.operators.multimodal import container_metadata
+    sub_mkv = ebml.encode_matroska_meta(
+        "matroska", "mux", 1000.0, 1_000_000,
+        [dict(track_id=1, kind=17, codec="S_TEXT/UTF8",
+              sample_rate=0, channels=0)])
+    big_mp4 = isobmff.encode_mp4_meta(
+        "mp42", 1000, 2**40,
+        [dict(track_id=1, handler="vide", codec="avc1", width=64,
+              height=48, timescale=30, duration=2**40)], version=1)
+    empty_mp4 = isobmff.encode_mp4_meta("mp42", 1000, 5000, [])
+    media = spark.createDataFrame(
+        pd.DataFrame([(0, sub_mkv), (1, big_mp4), (2, empty_mp4)],
+                     columns=["media_id", "payload"]),
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in container_metadata(media).collect()}
+    assert got[0]["container"] == "mkv" and got[0]["handler"] == "17"
+    assert got[1]["container"] == "mp4" and got[1]["duration_ms"] is None
+    assert got[2]["container"] == "mp4" and got[2]["track_id"] is None
+
+
 def test_matroska_roundtrip_matrix():
     from docext_spark.core import ebml
     for i in range(30):
