@@ -1535,13 +1535,13 @@ def _dedup_lsh_flood_guard(spark, sf_dir):
     # ONE banded/bucket computation feeds BOTH the capped candidate pairs
     # and the hot-bucket statistics (the exact DEFAULT-config grouping
     # lsh_candidate_pairs uses — same lsh_buckets fold, same
-    # DEFAULT_MAX_BUCKET_SIZE threshold). localCheckpoint materializes the
-    # bucket table once per run; the former formulation re-ran the whole
-    # scan→shingle→sha256→min pipeline once per consumer (5 copies in the
-    # pre-AQE plan, r7 plan audit).
+    # DEFAULT_MAX_BUCKET_SIZE threshold). The two stat branches consume
+    # the SAME (band, key) exchange, which AQE's stage reuse materializes
+    # once (A/B-measured equal to an explicit localCheckpoint, r7); the
+    # former formulation re-ran the whole scan→shingle→sha256→min
+    # pipeline once per consumer (5 copies in the pre-AQE plan).
     buckets = lsh_buckets(
-        lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3)
-    ).localCheckpoint(eager=True)
+        lsh_banded(docs, "doc_id", "text", num_hashes=8, bands=4, n=3))
     hot = buckets.select(F.size("ids").alias("sz")) \
                  .filter(F.col("sz") > DEFAULT_MAX_BUCKET_SIZE)
     hot_stats = hot.agg(

@@ -32,7 +32,7 @@ CLAIMS = {
     "dedup_cosine_lsh": "multi-table hyperplane buckets via the worker-side signature UDF (ArrowEvalPython; ZERO plane literals in the plan at any dim); candidates dedup BEFORE the exact re-rank; no cartesian anywhere",
     "dedup_jaccard_capped": "r7 grouped-pair shape: one shingle pipeline -> per-shingle member fold -> doc-freq cap as a size(ids) filter -> in-group pair explode + count; no self-join of the shingle table",
     "x4_kie_fields": "KIE long-format output with NO total Sort (display sort is opt-in at the sink boundary)",
-    "dedup_lsh_flood_guard": "DEFAULT-config bucket cap as a size(ids) filter over ONE localCheckpoint'ed bucket table shared by pair stats and hot stats (plan shown is post-checkpoint; pipeline shape = dedup_lsh_pairs)",
+    "dedup_lsh_flood_guard": "DEFAULT-config bucket cap as a size(ids) filter over ONE bucket fold shared by pair stats and hot stats; the static plan prints the (band,key) exchange subtree once per stat branch, and AQE stage reuse materializes it ONCE at runtime (A/B-verified equal to an explicit localCheckpoint) — the old shape carried FIVE full signature-pipeline copies",
     "ann_ivf_topk": "centroids packed into ONE broadcast array row (BroadcastNestedLoopJoin of a single-row relation — all-centroid scoring has no equi-key); assignment is a map-only per-row array_min, NO k-way explode and NO assignment shuffle; probed-list corpus x query join is BroadcastHashJoin",
     "s5_resize_dims": "dims decoded from PNG bytes with native expressions only: no ArrowEvalPython / MapInPandas node anywhere in the plan",
     "sample_token_budget": "two-pass token-budget sampling: corpus total as a BROADCAST scalar into a map-only hash filter — no one-task running-total window, no Sort",
