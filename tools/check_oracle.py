@@ -2,7 +2,12 @@
 oracle_sql() on DuckDB at sf0.01; compare row count, column names, and an
 order-insensitive value hash (rows sorted by all columns, stringified).
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--strict] [query ...]
+
+``--strict`` (VERDICT r6 #2): canonicalize floats with FULL repr instead
+of the default 9-digit rounding — at least as strict as any driver canon,
+so a cross-engine last-ulp divergence on an unrounded DOUBLE column
+(the r6 driver-red class) FAILS here instead of being masked.
 """
 from __future__ import annotations
 
@@ -10,6 +15,9 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+
+STRICT = False  # --strict: full-repr float canon (no 9-digit rounding)
 
 
 def canon(val):
@@ -22,7 +30,7 @@ def canon(val):
             return "NaN"
         if val == int(val) and abs(val) < 1e15:
             return str(int(val))
-        return repr(round(val, 9))
+        return repr(val) if STRICT else repr(round(val, 9))
     if isinstance(val, bool):
         return str(bool(val)).lower()
     if isinstance(val, datetime.datetime):
@@ -48,8 +56,13 @@ def table_digest(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    if STRICT:
+        print("# STRICT canon: full float repr (no 9-digit rounding)")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import duckdb
     import __spark_entry__ as entry
