@@ -51,6 +51,36 @@ def test_minhash_matches_pure_python(docs):
         assert sigs[doc_id] == ts.minhash_signature(text, num_hashes=4), doc_id
 
 
+def test_minhash_udf_multi_digest_and_empties(spark):
+    """r7: the sha256 minhash path runs worker-side (pandas UDF). Pin the
+    MULTI-digest path (num_hashes=16 → 2 sha256 digests per shingle,
+    untouched by the num_hashes≤8 oracle pairs) against the pure-Python
+    twin, and the empty/whitespace-only drop semantics (the former
+    groupBy formulation emitted no row for shingle-less docs — the UDF
+    must match)."""
+    rows = [(1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, ""), (4, "   \t  "), (5, None), (6, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: [r[f"sig_{i}"] for i in range(16)]
+           for r in minhash_signatures(df, num_hashes=16).collect()}
+    assert set(got) == {1, 2, 6}          # empty/ws/null docs dropped
+    for doc_id, text in rows:
+        if doc_id in got:
+            assert got[doc_id] == ts.minhash_signature(text, num_hashes=16)
+
+
+def test_fanout_small_gating(spark):
+    """fanout_small repartitions only inside the size bound (the 100 TB
+    no-op guarantee is the whole point)."""
+    from docext_spark.session import fanout_small
+    df = spark.range(1000).selectExpr("id", "repeat('x', 20) AS t")
+    assert fanout_small(df).rdd.getNumPartitions() \
+        == spark.sparkContext.defaultParallelism
+    # 0-byte-per-slot bound → estimate exceeds it → untouched frame
+    assert fanout_small(df, max_bytes_per_slot=0) is df
+
+
 def test_lsh_candidates_include_dups(docs):
     cand = {(r["id_a"], r["id_b"])
             for r in lsh_candidate_pairs(docs, num_hashes=8, bands=4).collect()}
